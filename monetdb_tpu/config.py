@@ -1,0 +1,61 @@
+"""Engine configuration (analog of the reference's GDKgetenv kv-store +
+``--set key=value`` startup options, common/options/monet_options.c and
+gdk/gdk_utils.c GDKgetenv).
+
+Values can be set programmatically or via environment variables prefixed
+``MTPU_`` (e.g. ``MTPU_OVERFLOW_CHECKS=0``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+
+# The engine works on exact 64-bit integers (decimals, counts) — enable x64
+# before any array is created. TPU emulates int64 with int32 pairs; the hot
+# kernels use narrower types where exactness permits.
+jax.config.update("jax_enable_x64", True)
+
+_defaults: Dict[str, Any] = {
+    # raise on integer/decimal overflow like the reference's BATcalc*
+    # (gdk/gdk_calc_addsub.c ON_OVERFLOW macros)
+    "overflow_checks": True,
+    # bucketed capacity growth factor for device arrays (see column.capacity_for)
+    "growth": 2.0,
+    "min_capacity": 1024,
+    # number of rows below which group-by takes the sort path unconditionally
+    "small_sort_threshold": 1 << 14,
+    # default bucket count for radix/hash partitioning
+    "radix_bits": 8,
+    # observability
+    "trace": False,
+}
+
+_values: Dict[str, Any] = {}
+
+
+def get(key: str) -> Any:
+    if key in _values:
+        return _values[key]
+    env = os.environ.get("MTPU_" + key.upper())
+    if env is not None:
+        d = _defaults[key]
+        if isinstance(d, bool):
+            return env not in ("0", "false", "no", "")
+        return type(d)(env)
+    return _defaults[key]
+
+
+def set(key: str, value: Any) -> None:  # noqa: A001 - mirrors GDKsetenv
+    if key not in _defaults:
+        raise KeyError(f"unknown config key: {key}")
+    _values[key] = value
+
+
+def reset(key: str | None = None) -> None:
+    if key is None:
+        _values.clear()
+    else:
+        _values.pop(key, None)

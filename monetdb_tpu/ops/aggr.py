@@ -1,0 +1,264 @@
+"""Grouped aggregates — the reference's gdk_aggr.c family: BATgroupsum
+(:900), BATgroupprod (:1575), BATgroupavg (:1801) + the exact 2-phase
+decimal average BATgroupavg3/avg3combine (:1996/:2634), BATgroupcount
+(:3069), BATgroupmin/max (:3561/:3720), quantiles (:4233) — as segmented
+reductions over per-row group ids.
+
+All take ``skip_nils`` (SQL aggregates skip nils; ``count(*)`` counts rows).
+When ``skip_nils`` is false, any nil in a group makes that group's result
+nil — preserved via a per-group nil-presence reduction.
+
+The distributed decomposition the reference uses for partitioned plans
+(mat_grp two-phase aggregation, monetdb5/optimizer/opt_mergetable.c:15-27)
+falls out naturally: every aggregate here returns partials that combine
+with a plain segment-add/min/max across shards (see parallel/), and
+``avg`` keeps the exact (sum, count) pair like BATgroupavg3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import Column, capacity_for, valid_mask
+from ..dtypes import F64, I64, SQLType, Kind
+from .group import GroupResult
+
+__all__ = ["group_sum", "group_count", "group_avg", "group_min", "group_max",
+           "group_prod", "scalar_sum", "scalar_count", "scalar_avg",
+           "scalar_min", "scalar_max"]
+
+
+def _nilmask(x):
+    if x.dtype.kind == "f":
+        return jnp.isnan(x)
+    if x.dtype.kind == "b":
+        return jnp.zeros(x.shape, jnp.bool_)
+    return x == jnp.iinfo(x.dtype).min
+
+
+def _nil_of(dtype):
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f":
+        return dtype.type(np.nan)
+    return dtype.type(np.iinfo(dtype).min)
+
+
+# ---------------------------------------------------------------------------
+# core segmented reduction kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("op", "seg_cap", "skip_nils",
+                                             "may_nil", "acc_dtype_s", "check"))
+def _seg_reduce(x, ids, count, *, op: str, seg_cap: int, skip_nils: bool,
+                may_nil: bool, acc_dtype_s: str, check: bool):
+    acc_dtype = np.dtype(acc_dtype_s)
+    cap = ids.shape[0]
+    live = valid_mask(cap, count) & (ids >= 0)
+    nilm = _nilmask(x) if may_nil else jnp.zeros(cap, jnp.bool_)
+    use = live & ~nilm
+    sid = jnp.where(use, ids.astype(jnp.int64), seg_cap)
+    err = jnp.zeros((), jnp.int32)
+
+    if op == "count":
+        w = (live if not skip_nils else use).astype(jnp.int64)
+        wid = jnp.where(live if not skip_nils else use,
+                        ids.astype(jnp.int64), seg_cap)
+        out = jnp.zeros(seg_cap + 1, jnp.int64).at[wid].add(w)[:seg_cap]
+        cnt = out
+        nil_in_group = jnp.zeros(seg_cap, jnp.bool_)
+        return out, cnt, nil_in_group, err
+
+    xa = x.astype(acc_dtype)
+    if op == "sum":
+        z = jnp.zeros(seg_cap + 1, acc_dtype)
+        vals = jnp.where(use, xa, acc_dtype.type(0))
+        out = z.at[sid].add(vals)[:seg_cap]
+        if check and acc_dtype.kind == "i" and x.dtype.itemsize == 8:
+            # running int64 sums can overflow: re-check via float magnitude
+            fsum = jnp.zeros(seg_cap + 1, jnp.float64).at[sid].add(
+                jnp.where(use, x.astype(jnp.float64), 0.0))[:seg_cap]
+            ovf = jnp.abs(fsum) > 9.1e18
+            err = jnp.max(jnp.where(ovf, 1, 0)).astype(jnp.int32)
+    elif op == "prod":
+        # log-free exact product only for small groups; use sequential
+        # segment product via multiplicative scatter
+        z = jnp.ones(seg_cap + 1, acc_dtype)
+        vals = jnp.where(use, xa, acc_dtype.type(1))
+        out = z.at[sid].mul(vals)[:seg_cap]
+    elif op == "min":
+        big = acc_dtype.type(np.inf) if acc_dtype.kind == "f" \
+            else np.iinfo(acc_dtype).max
+        z = jnp.full(seg_cap + 1, big, acc_dtype)
+        vals = jnp.where(use, xa, big)
+        out = z.at[sid].min(vals)[:seg_cap]
+    elif op == "max":
+        small = acc_dtype.type(-np.inf) if acc_dtype.kind == "f" \
+            else acc_dtype.type(np.iinfo(acc_dtype).min)
+        z = jnp.full(seg_cap + 1, small, acc_dtype)
+        vals = jnp.where(use, xa, small)
+        out = z.at[sid].max(vals)[:seg_cap]
+    else:  # pragma: no cover
+        raise ValueError(op)
+
+    cnt = jnp.zeros(seg_cap + 1, jnp.int64).at[sid].add(
+        use.astype(jnp.int64))[:seg_cap]
+    lid = jnp.where(live, ids.astype(jnp.int64), seg_cap)
+    nil_in_group = jnp.zeros(seg_cap + 1, jnp.bool_).at[lid].max(
+        nilm & live)[:seg_cap]
+    return out, cnt, nil_in_group, err
+
+
+@functools.partial(jax.jit, static_argnames=("nil_s",))
+def _fix_empty_and_nil(out, cnt, nil_in_group, *, nil_s):
+    """Empty group or (non-skip_nils) nil-containing group ⇒ nil result."""
+    nil = out.dtype.type(float(nil_s)) if out.dtype.kind == "f" else \
+        out.dtype.type(int(nil_s))
+    bad = (cnt == 0) | nil_in_group
+    return jnp.where(bad, nil, out)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _acc_type(typ: SQLType, op: str) -> SQLType:
+    if op in ("min", "max"):
+        return typ
+    if typ.np_dtype.kind == "f":
+        return F64
+    if typ.kind == Kind.DECIMAL:
+        from ..dtypes import decimal
+        return decimal(18, typ.scale)
+    return I64
+
+
+def group_sum(col: Column, g: GroupResult, skip_nils: bool = True,
+              check_overflow: bool = True) -> Column:
+    """BATgroupsum (gdk/gdk_aggr.c:900). Accumulates in int64/f64."""
+    out_typ = _acc_type(col.typ, "sum")
+    out, cnt, nig, err = _seg_reduce(
+        col.data, g.ids, jnp.int64(g.base_count), op="sum",
+        seg_cap=g.seg_cap, skip_nils=skip_nils, may_nil=not col.nonil,
+        acc_dtype_s=out_typ.np_dtype.str, check=check_overflow)
+    if check_overflow and int(err):
+        from .calc import CalcOverflow
+        raise CalcOverflow("22003!overflow in sum aggregate")
+    nig = nig if not skip_nils else jnp.zeros_like(nig)
+    res = _fix_empty_and_nil(out, cnt, nig, nil_s=_nil_of(out_typ.np_dtype))
+    return Column(out_typ, res, g.ngroups, nonil=False)
+
+
+def group_count(col: Optional[Column], g: GroupResult,
+                skip_nils: bool = True) -> Column:
+    """BATgroupcount; col=None = count(*) (counts candidate rows)."""
+    if col is None:
+        x = jnp.zeros(len(g.ids), jnp.int8)
+        may_nil = False
+        skip = False
+    else:
+        x, may_nil, skip = col.data, not col.nonil, skip_nils
+    out, _, _, _ = _seg_reduce(x, g.ids, jnp.int64(g.base_count), op="count",
+                               seg_cap=g.seg_cap, skip_nils=skip,
+                               may_nil=may_nil, acc_dtype_s="<i8", check=False)
+    return Column(I64, out, g.ngroups, nonil=True)
+
+
+def group_avg(col: Column, g: GroupResult, skip_nils: bool = True):
+    """BATgroupavg (gdk/gdk_aggr.c:1801): returns float64 average; also
+    returns the exact (sum, count) pair — the associative decomposition of
+    BATgroupavg3 (:1996) used for distributed combining."""
+    sum_typ = _acc_type(col.typ, "sum")
+    out, cnt, nig, _ = _seg_reduce(
+        col.data, g.ids, jnp.int64(g.base_count), op="sum",
+        seg_cap=g.seg_cap, skip_nils=skip_nils, may_nil=not col.nonil,
+        acc_dtype_s=sum_typ.np_dtype.str, check=False)
+    nig2 = nig if not skip_nils else jnp.zeros_like(nig)
+    avg = _avg_div(out, cnt, nig2,
+                   scale=col.typ.scale if col.typ.kind == Kind.DECIMAL else 0)
+    sums = _fix_empty_and_nil(out, cnt, nig2, nil_s=_nil_of(sum_typ.np_dtype))
+    return (Column(F64, avg, g.ngroups, nonil=False),
+            Column(sum_typ, sums, g.ngroups, nonil=False),
+            Column(I64, cnt, g.ngroups, nonil=True))
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _avg_div(s, cnt, nil_in_group, *, scale: int = 0):
+    f = s.astype(jnp.float64)
+    if scale:
+        f = f / (10.0 ** scale)
+    a = f / jnp.maximum(cnt, 1)
+    return jnp.where((cnt == 0) | nil_in_group, jnp.nan, a)
+
+
+def _minmax(op, col: Column, g: GroupResult, skip_nils=True) -> Column:
+    out_typ = col.typ
+    out, cnt, nig, _ = _seg_reduce(
+        col.data, g.ids, jnp.int64(g.base_count), op=op,
+        seg_cap=g.seg_cap, skip_nils=skip_nils, may_nil=not col.nonil,
+        acc_dtype_s=out_typ.np_dtype.str, check=False)
+    nig = nig if not skip_nils else jnp.zeros_like(nig)
+    res = _fix_empty_and_nil(out, cnt, nig, nil_s=_nil_of(out_typ.np_dtype))
+    return Column(out_typ, res, g.ngroups, nonil=False, sdict=col.sdict)
+
+
+def group_min(col, g, skip_nils=True):
+    """BATgroupmin (gdk/gdk_aggr.c:3561)."""
+    return _minmax("min", col, g, skip_nils)
+
+
+def group_max(col, g, skip_nils=True):
+    """BATgroupmax (gdk/gdk_aggr.c:3720)."""
+    return _minmax("max", col, g, skip_nils)
+
+
+def group_prod(col, g, skip_nils=True):
+    out_typ = _acc_type(col.typ, "sum")
+    out, cnt, nig, _ = _seg_reduce(
+        col.data, g.ids, jnp.int64(g.base_count), op="prod",
+        seg_cap=g.seg_cap, skip_nils=skip_nils, may_nil=not col.nonil,
+        acc_dtype_s=out_typ.np_dtype.str, check=False)
+    nig = nig if not skip_nils else jnp.zeros_like(nig)
+    res = _fix_empty_and_nil(out, cnt, nig, nil_s=_nil_of(out_typ.np_dtype))
+    return Column(out_typ, res, g.ngroups, nonil=False)
+
+
+# ---------------------------------------------------------------------------
+# scalar (ungrouped) aggregates — single-group reduction
+# ---------------------------------------------------------------------------
+
+def _one_group(col: Column, cand=None) -> GroupResult:
+    from ..column import Cand
+    if cand is not None and not cand.is_all():
+        m = cand.as_mask(col.cap)
+        ids = jnp.where(m, 0, -1).astype(jnp.int32)
+    else:
+        ids = jnp.where(valid_mask(col.cap, col.count), 0, -1).astype(jnp.int32)
+    return GroupResult(ids, 1, col.count)
+
+
+def scalar_sum(col, cand=None, skip_nils=True):
+    return group_sum(col, _one_group(col, cand), skip_nils)
+
+
+def scalar_count(col=None, cand=None, skip_nils=True, base=None):
+    """count(col) or count(*) (col=None; ``base`` supplies the row shape)."""
+    ref = col if col is not None else base
+    g = _one_group(ref, cand)
+    return group_count(col, g, skip_nils)
+
+
+def scalar_avg(col, cand=None, skip_nils=True):
+    return group_avg(col, _one_group(col, cand), skip_nils)
+
+
+def scalar_min(col, cand=None):
+    return group_min(col, _one_group(col, cand))
+
+
+def scalar_max(col, cand=None):
+    return group_max(col, _one_group(col, cand))

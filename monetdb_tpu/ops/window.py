@@ -1,0 +1,242 @@
+"""Window / analytic functions — the reference's gdk_analytic family
+(gdk/gdk_analytic_bounds.c window bounds for ROWS/RANGE/GROUPS frames,
+gdk_analytic_func.c diff/ntile/lag/lead/first/last/nth,
+gdk_analytic_statistics.c framed aggregates; segment-tree sliding
+aggregates via GDKinitialize_segment_tree gdk/gdk_analytic.h:59).
+
+TPU design: a window computation is expressed over rows *pre-sorted by
+(partition, order)* (the SQL layer emits the sort, as the reference's
+sql_rank.c does). Partition boundaries are a diff mask; ranking functions
+are prefix sums over boundary-reset sequences (associative scans — the
+natural TPU form of the reference's sequential loops); framed aggregates
+use prefix sums with searchsorted frame bounds instead of segment trees
+(O(1) per row after one scan for invertible aggregates; min/max via
+log-step sweeps later).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import Column, valid_mask
+from ..dtypes import I32, I64, F64
+
+__all__ = ["diff", "row_number", "rank", "dense_rank", "ntile",
+           "lag", "lead", "first_value", "last_value",
+           "cume_window_sum", "percent_rank", "cume_dist"]
+
+
+@jax.jit
+def _boundary(parts, count):
+    """diff: True at the first row of each partition (GDKanalyticaldiff)."""
+    cap = parts.shape[0]
+    first = jax.lax.iota(jnp.int32, cap) == 0
+    b = first | (parts != jnp.roll(parts, 1))
+    return b & valid_mask(cap, count)
+
+
+def diff(part_col: Column) -> Column:
+    from ..dtypes import BOOL
+    b = _boundary(part_col.data, jnp.int64(part_col.count))
+    return Column(BOOL, b, part_col.count, nonil=True)
+
+
+@jax.jit
+def _seg_start(bound):
+    """For each row, index of its partition's first row (via running max)."""
+    cap = bound.shape[0]
+    io = jax.lax.iota(jnp.int64, cap)
+    starts = jnp.where(bound, io, 0)
+    return jax.lax.associative_scan(jnp.maximum, starts)
+
+
+@jax.jit
+def _row_number(bound, count):
+    io = jax.lax.iota(jnp.int64, bound.shape[0])
+    return (io - _seg_start(bound) + 1).astype(jnp.int64)
+
+
+def row_number(bound: Column) -> Column:
+    r = _row_number(bound.data, jnp.int64(bound.count))
+    r = jnp.where(valid_mask(bound.cap, bound.count), r, np.iinfo(np.int64).min)
+    return Column(I64, r, bound.count, nonil=True)
+
+
+@jax.jit
+def _rank(bound, order_bound):
+    """rank: row_number of the first peer row. order_bound marks rows whose
+    order-key differs from the previous row (peers share a rank)."""
+    io = jax.lax.iota(jnp.int64, bound.shape[0])
+    newval = bound | order_bound
+    starts = jnp.where(newval, io, 0)
+    peer_start = jax.lax.associative_scan(jnp.maximum, starts)
+    part_start = _seg_start(bound)
+    return peer_start - part_start + 1
+
+
+def rank(part_bound: Column, order_bound: Column) -> Column:
+    r = _rank(part_bound.data, order_bound.data)
+    r = jnp.where(valid_mask(part_bound.cap, part_bound.count), r,
+                  np.iinfo(np.int64).min)
+    return Column(I64, r, part_bound.count, nonil=True)
+
+
+@jax.jit
+def _dense_rank(bound, order_bound):
+    newval = (bound | order_bound).astype(jnp.int64)
+    run = jnp.cumsum(newval)
+    part_base = jnp.where(bound, run, 0)
+    base = jax.lax.associative_scan(jnp.maximum, part_base)
+    return run - base + 1
+
+
+def dense_rank(part_bound: Column, order_bound: Column) -> Column:
+    r = _dense_rank(part_bound.data, order_bound.data)
+    r = jnp.where(valid_mask(part_bound.cap, part_bound.count), r,
+                  np.iinfo(np.int64).min)
+    return Column(I64, r, part_bound.count, nonil=True)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _part_size(bound, count):
+    """Partition size broadcast to each row."""
+    cap = bound.shape[0]
+    live = valid_mask(cap, count)
+    # partition id = cumsum(bound)-1; sizes via bincount-style scatter
+    pid = jnp.cumsum(bound.astype(jnp.int64)) - 1
+    ones = live.astype(jnp.int64)
+    sizes = jnp.zeros(cap + 1, jnp.int64).at[jnp.where(live, pid, cap)].add(ones)
+    return sizes[jnp.clip(pid, 0, cap - 1)], pid
+
+
+def ntile(part_bound: Column, n: int) -> Column:
+    size, _pid = _part_size(part_bound.data, jnp.int64(part_bound.count))
+    rn = _row_number(part_bound.data, jnp.int64(part_bound.count))
+    # SQL ntile: first (size % n) buckets get ceil(size/n) rows
+    t = _ntile_calc(rn, size, jnp.int64(n))
+    t = jnp.where(valid_mask(part_bound.cap, part_bound.count), t,
+                  np.iinfo(np.int64).min)
+    return Column(I64, t, part_bound.count, nonil=True)
+
+
+@jax.jit
+def _ntile_calc(rn, size, n):
+    q = size // n
+    r = size % n
+    boundary = r * (q + 1)
+    idx = rn - 1
+    return jnp.where(idx < boundary,
+                     idx // jnp.maximum(q + 1, 1) + 1,
+                     r + (idx - boundary) // jnp.maximum(q, 1) + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("offset",))
+def _shift(x, bound, nil, *, offset: int):
+    cap = x.shape[0]
+    io = jax.lax.iota(jnp.int64, cap)
+    src = io - offset
+    start = _seg_start(bound)
+    pid = jnp.cumsum(bound.astype(jnp.int64)) - 1
+    ok = (src >= 0) & (src < cap)
+    safe = jnp.clip(src, 0, cap - 1)
+    same_part = pid[safe] == pid
+    v = x[safe]
+    return jnp.where(ok & same_part, v, nil)
+
+
+def lag(col: Column, part_bound: Column, offset: int = 1,
+        default=None) -> Column:
+    nil = default if default is not None else (
+        col.typ.nil if col.typ.np_dtype.kind != "b" else False)
+    v = _shift(col.data, part_bound.data, col.typ.np_dtype.type(nil),
+               offset=offset)
+    v = jnp.where(valid_mask(col.cap, col.count), v, col.typ.nil)
+    return Column(col.typ, v, col.count, nonil=False, sdict=col.sdict)
+
+
+def lead(col: Column, part_bound: Column, offset: int = 1,
+         default=None) -> Column:
+    return lag(col, part_bound, offset=-offset, default=default)
+
+
+def first_value(col: Column, part_bound: Column) -> Column:
+    start = _seg_start(part_bound.data)
+    v = col.data[start]
+    v = jnp.where(valid_mask(col.cap, col.count), v, col.typ.nil)
+    return Column(col.typ, v, col.count, nonil=col.nonil, sdict=col.sdict)
+
+
+def last_value(col: Column, part_bound: Column) -> Column:
+    """last_value with default frame (up to current row) = current value;
+    with full-partition frame = value at partition end."""
+    size, _ = _part_size(part_bound.data, jnp.int64(part_bound.count))
+    start = _seg_start(part_bound.data)
+    idx = jnp.clip(start + size - 1, 0, col.cap - 1)
+    v = col.data[idx]
+    v = jnp.where(valid_mask(col.cap, col.count), v, col.typ.nil)
+    return Column(col.typ, v, col.count, nonil=col.nonil, sdict=col.sdict)
+
+
+def cume_window_sum(col: Column, part_bound: Column) -> Column:
+    """Running sum within partition (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    x = col.data.astype(jnp.float64 if col.typ.np_dtype.kind == "f"
+                        else jnp.int64)
+    nilm = (jnp.isnan(x) if x.dtype.kind == "f"
+            else x == np.iinfo(np.int64).min)
+    xz = jnp.where(nilm, 0, x)
+    cs = jnp.cumsum(xz)
+    start = _seg_start(part_bound.data)
+    base = jnp.where(start > 0, cs[jnp.clip(start - 1, 0, col.cap - 1)], 0)
+    base = jnp.where(start == 0, 0, base)
+    out = cs - base
+    out = jnp.where(valid_mask(col.cap, col.count), out,
+                    np.iinfo(np.int64).min if x.dtype.kind != "f" else np.nan)
+    typ = F64 if x.dtype.kind == "f" else I64
+    from ..dtypes import decimal, Kind
+    if col.typ.kind == Kind.DECIMAL:
+        typ = decimal(18, col.typ.scale)
+    return Column(typ, out, col.count, nonil=False)
+
+
+def percent_rank(part_bound: Column, order_bound: Column) -> Column:
+    r = _rank(part_bound.data, order_bound.data)
+    size, _ = _part_size(part_bound.data, jnp.int64(part_bound.count))
+    v = jnp.where(size > 1, (r - 1).astype(jnp.float64) /
+                  jnp.maximum(size - 1, 1), 0.0)
+    v = jnp.where(valid_mask(part_bound.cap, part_bound.count), v, np.nan)
+    return Column(F64, v, part_bound.count, nonil=True)
+
+
+def cume_dist(part_bound: Column, order_bound: Column) -> Column:
+    """count of peers ≤ current / partition size."""
+    cap = part_bound.cap
+    bound = part_bound.data
+    ob = order_bound.data
+    newval = bound | ob
+    size, _ = _part_size(bound, jnp.int64(part_bound.count))
+    start = _seg_start(bound)
+    # clamp to partition end
+    part_end = start + size
+    peer_end = jnp.minimum(_next_start(newval), part_end)
+    v = (peer_end - start).astype(jnp.float64) / jnp.maximum(size, 1)
+    v = jnp.where(valid_mask(cap, part_bound.count), v, np.nan)
+    return Column(F64, v, part_bound.count, nonil=True)
+
+
+@jax.jit
+def _next_start(newval):
+    """For each row, the index of the next boundary row strictly after it
+    (or cap). Reverse min-scan."""
+    cap = newval.shape[0]
+    io = jax.lax.iota(jnp.int64, cap)
+    marks = jnp.where(newval, io, cap)
+    # shift left by one so 'strictly after'
+    shifted = jnp.concatenate([marks[1:], jnp.array([cap], jnp.int64)])
+    rev = jnp.flip(shifted)
+    scan = jax.lax.associative_scan(jnp.minimum, rev)
+    return jnp.flip(scan)
