@@ -1,0 +1,150 @@
+"""Logical relational algebra — the analog of the reference's sql_rel tree
+(sql/server/sql_relation.h: op_basetable, op_select, op_project, op_join,
+op_groupby, op_topn, op_sample, set ops). The SQL binder produces this tree;
+optimizer passes rewrite it; the executor walks it bottom-up."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+from .exprs import Expr
+
+__all__ = ["Rel", "Scan", "Filter", "Project", "Join", "GroupBy", "OrderBy",
+           "Limit", "Distinct", "SetOp", "SubPlan"]
+
+
+@dataclasses.dataclass
+class Rel:
+    def children(self) -> List["Rel"]:
+        return []
+
+    def show(self, indent=0) -> str:
+        s = " " * indent + self._label()
+        for c in self.children():
+            s += "\n" + c.show(indent + 2)
+        return s
+
+    def _label(self) -> str:
+        return type(self).__name__
+
+
+@dataclasses.dataclass
+class Scan(Rel):
+    table: str
+    alias: str
+    # column pruning fills this during optimization (None = all)
+    cols: Optional[List[str]] = None
+
+    def _label(self):
+        return f"Scan {self.table} as {self.alias}"
+
+
+@dataclasses.dataclass
+class Filter(Rel):
+    child: Rel
+    pred: Expr
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return f"Filter {self.pred!r}"
+
+
+@dataclasses.dataclass
+class Project(Rel):
+    child: Rel
+    exprs: List[Tuple[str, Expr]]   # output name → expr
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return f"Project {[n for n, _ in self.exprs]}"
+
+
+@dataclasses.dataclass
+class Join(Rel):
+    left: Rel
+    right: Rel
+    kind: str                       # inner left right full semi anti cross
+    # equi-key pairs (left expr, right expr); extra = residual predicate
+    on: List[Tuple[Expr, Expr]] = dataclasses.field(default_factory=list)
+    extra: Optional[Expr] = None
+
+    def children(self):
+        return [self.left, self.right]
+
+    def _label(self):
+        return f"Join[{self.kind}] on={self.on} extra={self.extra!r}"
+
+
+@dataclasses.dataclass
+class GroupBy(Rel):
+    child: Rel
+    keys: List[Tuple[str, Expr]]
+    aggs: List[Tuple[str, str, Optional[Expr], bool]]  # name func arg distinct
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return (f"GroupBy keys={[n for n, _ in self.keys]} "
+                f"aggs={[(f, n) for n, f, _, _ in self.aggs]}")
+
+
+@dataclasses.dataclass
+class OrderBy(Rel):
+    child: Rel
+    keys: List[Tuple[Expr, bool, Optional[bool]]]  # expr, desc, nulls_last
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass
+class Limit(Rel):
+    child: Rel
+    n: Optional[int]
+    offset: int = 0
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return f"Limit {self.n} offset {self.offset}"
+
+
+@dataclasses.dataclass
+class Distinct(Rel):
+    child: Rel
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass
+class SetOp(Rel):
+    kind: str                       # union / union_all / except / intersect
+    left: Rel
+    right: Rel
+
+    def children(self):
+        return [self.left, self.right]
+
+    def _label(self):
+        return f"SetOp {self.kind}"
+
+
+@dataclasses.dataclass
+class SubPlan(Rel):
+    """A bound subquery rendered as a relation (FROM-clause subquery)."""
+    child: Rel
+    alias: str
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return f"SubPlan as {self.alias}"

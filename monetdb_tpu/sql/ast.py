@@ -1,0 +1,75 @@
+"""Statement-level AST (the parser's output, pre-binding).
+Expressions reuse plan.exprs nodes with unresolved ColRefs."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+from ..plan.exprs import Expr
+
+__all__ = ["SelectStmt", "TableSource", "SubquerySource", "JoinSource",
+           "CreateTable", "DropTable", "InsertValues", "CopyFrom"]
+
+
+@dataclasses.dataclass
+class TableSource:
+    name: str
+    alias: str
+
+
+@dataclasses.dataclass
+class SubquerySource:
+    select: "SelectStmt"
+    alias: str
+    col_aliases: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class JoinSource:
+    left: Any
+    right: Any
+    kind: str                  # inner left right full cross
+    on: Optional[Expr]
+
+
+@dataclasses.dataclass
+class SelectStmt:
+    items: List[Tuple[Optional[str], Expr]]    # (alias, expr); Star possible
+    sources: List[Any]
+    where: Optional[Expr] = None
+    group_by: List[Expr] = dataclasses.field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[Tuple[Expr, bool, Optional[bool]]] = \
+        dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    offset: int = 0
+    distinct: bool = False
+    setops: List[Tuple[str, "SelectStmt"]] = \
+        dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class CreateTable:
+    name: str
+    columns: List[Tuple[str, Any, bool]]   # name, SQLType, not_null
+
+
+@dataclasses.dataclass
+class DropTable:
+    name: str
+
+
+@dataclasses.dataclass
+class InsertValues:
+    table: str
+    rows: List[List[Expr]]
+    columns: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class CopyFrom:
+    table: str
+    path: str
+    delimiter: str = "|"
+    records: Optional[int] = None

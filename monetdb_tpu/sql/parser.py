@@ -1,0 +1,608 @@
+"""Recursive-descent SQL parser (replaces the reference's 7.5k-line yacc
+grammar sql/server/sql_parser.y for the analytical subset). Produces
+ast.SelectStmt / DDL nodes with plan.exprs expression trees."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+from typing import List, Optional, Tuple
+
+from ..dtypes import (BOOL, DATE, F64, I32, I64, TIMESTAMP, SQLType,
+                      decimal as dec_t, varchar)
+from ..plan.exprs import (Between, BinOp, BoolOp, Case, Cast, ColRef, Cmp,
+                          Const, Expr, Func, InList, IsNull, Like, Not, Star,
+                          Subquery, AggRef)
+from .ast import (CopyFrom, CreateTable, DropTable, InsertValues, JoinSource,
+                  SelectStmt, SubquerySource, TableSource)
+from .lexer import SQLSyntaxError, Token, tokenize
+
+__all__ = ["parse", "parse_expr", "SQLSyntaxError"]
+
+AGG_FUNCS = {"sum", "count", "avg", "min", "max", "prod",
+             "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median"}
+
+_CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, ahead=0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value in kws
+
+    def eat_kw(self, *kws) -> bool:
+        if self.at_kw(*kws):
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, kw):
+        if not self.eat_kw(kw):
+            raise SQLSyntaxError(f"expected {kw.upper()}, got {self.peek()}")
+
+    def at_punct(self, p) -> bool:
+        t = self.peek()
+        return t.kind == "punct" and t.value == p
+
+    def eat_punct(self, p) -> bool:
+        if self.at_punct(p):
+            self.i += 1
+            return True
+        return False
+
+    def expect_punct(self, p):
+        if not self.eat_punct(p):
+            raise SQLSyntaxError(f"expected {p!r}, got {self.peek()}")
+
+    def at_op(self, *ops) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.value in ops
+
+    # -- statements ---------------------------------------------------------
+    def parse_stmt(self):
+        if self.at_kw("select") or self.at_punct("("):
+            return self.parse_select()
+        if self.at_kw("create"):
+            return self.parse_create()
+        if self.at_kw("drop"):
+            self.next()
+            self.expect_kw("table")
+            return DropTable(self.next().value)
+        if self.at_kw("insert"):
+            return self.parse_insert()
+        if self.at_kw("copy"):
+            return self.parse_copy()
+        raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
+
+    def parse_select(self) -> SelectStmt:
+        stmt = self.parse_select_core()
+        while self.at_kw("union", "except", "intersect"):
+            op = self.next().value
+            if op == "union" and self.eat_kw("all"):
+                op = "union_all"
+            rhs = self.parse_select_core()
+            stmt.setops.append((op, rhs))
+        # trailing ORDER BY / LIMIT apply to the whole set expression
+        self._parse_order_limit(stmt)
+        return stmt
+
+    def parse_select_core(self) -> SelectStmt:
+        if self.eat_punct("("):
+            s = self.parse_select()
+            self.expect_punct(")")
+            return s
+        self.expect_kw("select")
+        distinct = bool(self.eat_kw("distinct"))
+        self.eat_kw("all")
+        items: List[Tuple[Optional[str], Expr]] = []
+        while True:
+            e = self.parse_expr()
+            alias = None
+            if self.eat_kw("as"):
+                alias = self.next().value
+            elif self.peek().kind == "ident":
+                alias = self.next().value
+            items.append((alias, e))
+            if not self.eat_punct(","):
+                break
+        stmt = SelectStmt(items=items, sources=[], distinct=distinct)
+        if self.eat_kw("from"):
+            stmt.sources = self.parse_from()
+        if self.eat_kw("where"):
+            stmt.where = self.parse_expr()
+        if self.at_kw("group"):
+            self.next()
+            self.expect_kw("by")
+            while True:
+                stmt.group_by.append(self.parse_expr())
+                if not self.eat_punct(","):
+                    break
+        if self.eat_kw("having"):
+            stmt.having = self.parse_expr()
+        self._parse_order_limit(stmt)
+        return stmt
+
+    def _parse_order_limit(self, stmt: SelectStmt):
+        if self.at_kw("order"):
+            self.next()
+            self.expect_kw("by")
+            stmt.order_by = []
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.eat_kw("desc"):
+                    desc = True
+                else:
+                    self.eat_kw("asc")
+                nulls_last = None
+                if self.eat_kw("nulls"):
+                    nulls_last = bool(self.eat_kw("last"))
+                    if nulls_last is False:
+                        self.eat_kw("first")
+                stmt.order_by.append((e, desc, nulls_last))
+                if not self.eat_punct(","):
+                    break
+        if self.eat_kw("limit"):
+            stmt.limit = int(self.next().value)
+        if self.eat_kw("offset"):
+            stmt.offset = int(self.next().value)
+
+    # -- FROM clause --------------------------------------------------------
+    def parse_from(self):
+        sources = [self.parse_table_ref()]
+        while self.eat_punct(","):
+            sources.append(self.parse_table_ref())
+        return sources
+
+    def parse_table_ref(self):
+        left = self.parse_table_primary()
+        while True:
+            kind = None
+            if self.eat_kw("cross"):
+                self.expect_kw("join")
+                kind = "cross"
+            elif self.at_kw("join"):
+                self.next()
+                kind = "inner"
+            elif self.at_kw("inner"):
+                self.next()
+                self.expect_kw("join")
+                kind = "inner"
+            elif self.at_kw("left", "right", "full"):
+                kind = self.next().value
+                self.eat_kw("outer")
+                self.expect_kw("join")
+            else:
+                break
+            right = self.parse_table_primary()
+            on = None
+            if kind != "cross":
+                self.expect_kw("on")
+                on = self.parse_expr()
+            left = JoinSource(left, right, kind, on)
+        return left
+
+    def parse_table_primary(self):
+        if self.eat_punct("("):
+            if self.at_kw("select"):
+                s = self.parse_select()
+                self.expect_punct(")")
+                alias = self._opt_alias() or f"_sq{self.i}"
+                col_aliases = None
+                if self.eat_punct("("):        # derived column list
+                    col_aliases = [self.next().value]
+                    while self.eat_punct(","):
+                        col_aliases.append(self.next().value)
+                    self.expect_punct(")")
+                return SubquerySource(s, alias, col_aliases)
+            inner = self.parse_table_ref()
+            self.expect_punct(")")
+            return inner
+        name = self.next().value
+        alias = self._opt_alias() or name
+        return TableSource(name, alias)
+
+    def _opt_alias(self) -> Optional[str]:
+        if self.eat_kw("as"):
+            return self.next().value
+        if self.peek().kind == "ident":
+            return self.next().value
+        return None
+
+    # -- expressions --------------------------------------------------------
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        args = [self.parse_and()]
+        while self.eat_kw("or"):
+            args.append(self.parse_and())
+        return args[0] if len(args) == 1 else BoolOp("or", args)
+
+    def parse_and(self) -> Expr:
+        args = [self.parse_not()]
+        while self.eat_kw("and"):
+            args.append(self.parse_not())
+        return args[0] if len(args) == 1 else BoolOp("and", args)
+
+    def parse_not(self) -> Expr:
+        if self.eat_kw("not"):
+            return Not(self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> Expr:
+        e = self.parse_additive()
+        negated = False
+        if self.at_kw("not"):
+            # x NOT BETWEEN / NOT IN / NOT LIKE
+            self.next()
+            negated = True
+        if self.eat_kw("between"):
+            lo = self.parse_additive()
+            self.expect_kw("and")
+            hi = self.parse_additive()
+            return Between(e, lo, hi, negated=negated)
+        if self.eat_kw("in"):
+            self.expect_punct("(")
+            if self.at_kw("select"):
+                s = self.parse_select()
+                self.expect_punct(")")
+                return Subquery(s, "in", outer=e, negated=negated)
+            items = [self.parse_expr()]
+            while self.eat_punct(","):
+                items.append(self.parse_expr())
+            self.expect_punct(")")
+            return InList(e, items, negated=negated)
+        if self.eat_kw("like"):
+            pat = self.next()
+            if pat.kind != "str":
+                raise SQLSyntaxError("LIKE requires a string literal pattern")
+            esc = None
+            if self.eat_kw("escape"):
+                esc = self.next().value
+            return Like(e, pat.value, negated=negated, escape=esc)
+        if negated:
+            raise SQLSyntaxError(f"unexpected NOT near {self.peek()}")
+        if self.eat_kw("is"):
+            neg = bool(self.eat_kw("not"))
+            self.expect_kw("null")
+            return IsNull(e, negated=neg)
+        if self.at_op(*_CMP_OPS):
+            op = self.next().value
+            if op == "!=":
+                op = "<>"
+            # quantified comparison: x op ANY/ALL (select ...)
+            if self.at_kw("any", "some", "all"):
+                q = self.next().value
+                self.expect_punct("(")
+                s = self.parse_select()
+                self.expect_punct(")")
+                kind = "any" if q in ("any", "some") else "all"
+                return Subquery(s, kind, outer=e, cmp_op=op)
+            rhs = self.parse_additive()
+            return Cmp(op, e, rhs)
+        return e
+
+    def parse_additive(self) -> Expr:
+        e = self.parse_multiplicative()
+        while self.at_op("+", "-", "||"):
+            op = self.next().value
+            rhs = self.parse_multiplicative()
+            e = BinOp(op, e, rhs)
+        return e
+
+    def parse_multiplicative(self) -> Expr:
+        e = self.parse_unary()
+        while self.at_op("*", "/", "%"):
+            op = self.next().value
+            rhs = self.parse_unary()
+            e = BinOp(op, e, rhs)
+        return e
+
+    def parse_unary(self) -> Expr:
+        if self.at_op("-"):
+            self.next()
+            e = self.parse_unary()
+            if isinstance(e, Const) and isinstance(e.value, (int, float,
+                                                             Decimal)):
+                return Const(-e.value, e.ctype)
+            return Func("neg", [e])
+        if self.at_op("+"):
+            self.next()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t.kind == "punct" and t.value == "(":
+            self.next()
+            if self.at_kw("select"):
+                s = self.parse_select()
+                self.expect_punct(")")
+                return Subquery(s, "scalar")
+            e = self.parse_expr()
+            self.expect_punct(")")
+            return e
+        if t.kind == "num":
+            self.next()
+            v = t.value
+            if "." in v or "e" in v.lower():
+                if "e" in v.lower():
+                    return Const(float(v), F64)
+                d = Decimal(v)
+                scale = -d.as_tuple().exponent
+                return Const(d, dec_t(18, scale))
+            return Const(int(v), None)
+        if t.kind == "str":
+            self.next()
+            return Const(t.value, varchar())
+        if t.kind == "kw":
+            return self.parse_kw_primary()
+        if t.kind == "ident":
+            self.next()
+            # qualified name?
+            if self.at_punct("."):
+                self.next()
+                col = self.next().value
+                if col == "*":
+                    return Star(t.value)
+                return ColRef(t.value, col)
+            if self.at_punct("("):
+                return self.parse_call(t.value)
+            return ColRef(None, t.value)
+        if t.kind == "op" and t.value == "*":
+            self.next()
+            return Star(None)
+        raise SQLSyntaxError(f"unexpected token {t}")
+
+    def parse_kw_primary(self) -> Expr:
+        t = self.next()
+        v = t.value
+        if v == "null":
+            return Const(None, None)
+        if v == "true":
+            return Const(True, BOOL)
+        if v == "false":
+            return Const(False, BOOL)
+        if v == "date":
+            s = self.next().value
+            return Const(datetime.date.fromisoformat(s), DATE)
+        if v == "timestamp":
+            s = self.next().value
+            return Const(datetime.datetime.fromisoformat(s), TIMESTAMP)
+        if v == "interval":
+            amount = self.next().value
+            unit = self.next().value   # day month year
+            return Const((int(amount), unit), None)  # interval pseudo-const
+        if v == "case":
+            whens = []
+            base = None
+            if not self.at_kw("when"):
+                base = self.parse_expr()
+            while self.eat_kw("when"):
+                c = self.parse_expr()
+                self.expect_kw("then")
+                r = self.parse_expr()
+                if base is not None:
+                    c = Cmp("=", base, c)
+                whens.append((c, r))
+            default = None
+            if self.eat_kw("else"):
+                default = self.parse_expr()
+            self.expect_kw("end")
+            return Case(whens, default)
+        if v == "cast":
+            self.expect_punct("(")
+            e = self.parse_expr()
+            self.expect_kw("as")
+            typ = self.parse_type()
+            self.expect_punct(")")
+            return Cast(e, typ)
+        if v == "extract":
+            self.expect_punct("(")
+            field = self.next().value
+            self.expect_kw("from")
+            e = self.parse_expr()
+            self.expect_punct(")")
+            return Func(f"extract_{field}", [e])
+        if v == "substring":
+            self.expect_punct("(")
+            e = self.parse_expr()
+            if self.eat_kw("from"):
+                start = self.parse_expr()
+                length = None
+                if self.eat_kw("for"):
+                    length = self.parse_expr()
+            else:
+                self.expect_punct(",")
+                start = self.parse_expr()
+                length = None
+                if self.eat_punct(","):
+                    length = self.parse_expr()
+            self.expect_punct(")")
+            args = [e, start] + ([length] if length is not None else [])
+            return Func("substring", args)
+        if v == "exists":
+            self.expect_punct("(")
+            s = self.parse_select()
+            self.expect_punct(")")
+            return Subquery(s, "exists")
+        if v == "current" and self.eat_kw("date"):
+            return Const(datetime.date.today(), DATE)
+        raise SQLSyntaxError(f"unexpected keyword {v!r}")
+
+    def parse_call(self, name: str) -> Expr:
+        self.expect_punct("(")
+        if name in AGG_FUNCS:
+            distinct = bool(self.eat_kw("distinct"))
+            if name == "count" and self.at_op("*"):
+                self.next()
+                self.expect_punct(")")
+                return AggRef("count_star", None)
+            if name == "count" and self.peek().kind == "op" and \
+                    self.peek().value == "*":
+                pass
+            arg = self.parse_expr()
+            self.expect_punct(")")
+            if isinstance(arg, Star):
+                return AggRef("count_star", None)
+            return AggRef(name, arg, distinct=distinct)
+        args = []
+        if not self.at_punct(")"):
+            args.append(self.parse_expr())
+            while self.eat_punct(","):
+                args.append(self.parse_expr())
+        self.expect_punct(")")
+        return Func(name, args)
+
+    def parse_type(self) -> SQLType:
+        t = self.next().value
+        if t in ("int", "integer"):
+            return I32
+        if t == "bigint":
+            return I64
+        if t in ("smallint",):
+            from ..dtypes import I16
+            return I16
+        if t in ("tinyint",):
+            from ..dtypes import I8
+            return I8
+        if t in ("double", "float", "real"):
+            if self.at_kw("precision"):
+                self.next()
+            return F64
+        if t in ("decimal", "numeric", "dec"):
+            p, s = 18, 0
+            if self.eat_punct("("):
+                p = int(self.next().value)
+                if self.eat_punct(","):
+                    s = int(self.next().value)
+                self.expect_punct(")")
+            return dec_t(p, s)
+        if t in ("varchar", "char", "character", "text", "string", "clob"):
+            if self.eat_punct("("):
+                self.next()
+                self.expect_punct(")")
+            return varchar()
+        if t == "date":
+            return DATE
+        if t == "timestamp":
+            return TIMESTAMP
+        if t in ("boolean", "bool"):
+            return BOOL
+        raise SQLSyntaxError(f"unknown type {t!r}")
+
+    # -- DDL / DML ----------------------------------------------------------
+    def parse_create(self):
+        self.expect_kw("create")
+        self.expect_kw("table")
+        name = self.next().value
+        self.expect_punct("(")
+        cols = []
+        while True:
+            if self.at_kw("primary"):
+                self.next()
+                self.expect_kw("key")
+                self.expect_punct("(")
+                while not self.eat_punct(")"):
+                    self.next()
+            elif self.at_kw("foreign"):
+                self.next()
+                self.expect_kw("key")
+                self.expect_punct("(")
+                while not self.eat_punct(")"):
+                    self.next()
+                self.expect_kw("references")
+                self.next()
+                if self.eat_punct("("):
+                    while not self.eat_punct(")"):
+                        self.next()
+            else:
+                cname = self.next().value
+                ctype = self.parse_type()
+                not_null = False
+                while True:
+                    if self.eat_kw("not"):
+                        self.expect_kw("null")
+                        not_null = True
+                    elif self.eat_kw("primary"):
+                        self.expect_kw("key")
+                        not_null = True
+                    else:
+                        break
+                cols.append((cname, ctype, not_null))
+            if not self.eat_punct(","):
+                break
+        self.expect_punct(")")
+        return CreateTable(name, cols)
+
+    def parse_insert(self):
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        name = self.next().value
+        columns = None
+        if self.eat_punct("("):
+            columns = []
+            while True:
+                columns.append(self.next().value)
+                if not self.eat_punct(","):
+                    break
+            self.expect_punct(")")
+        self.expect_kw("values")
+        rows = []
+        while True:
+            self.expect_punct("(")
+            row = [self.parse_expr()]
+            while self.eat_punct(","):
+                row.append(self.parse_expr())
+            self.expect_punct(")")
+            rows.append(row)
+            if not self.eat_punct(","):
+                break
+        return InsertValues(name, rows, columns)
+
+    def parse_copy(self):
+        self.expect_kw("copy")
+        records = None
+        if self.peek().kind == "num":
+            records = int(self.next().value)
+            self.expect_kw("records")
+        self.expect_kw("into")
+        name = self.next().value
+        self.expect_kw("from")
+        path = self.next().value
+        delim = "|"
+        if self.eat_kw("delimiters"):
+            delim = self.next().value
+            while self.eat_punct(","):
+                self.next()
+        return CopyFrom(name, path, delim, records)
+
+
+def parse(sql: str):
+    p = Parser(sql)
+    stmt = p.parse_stmt()
+    p.eat_punct(";")
+    if p.peek().kind != "eof":
+        raise SQLSyntaxError(f"trailing tokens at {p.peek()}")
+    return stmt
+
+
+def parse_expr(sql: str) -> Expr:
+    p = Parser(sql)
+    e = p.parse_expr()
+    if p.peek().kind != "eof":
+        raise SQLSyntaxError(f"trailing tokens at {p.peek()}")
+    return e
