@@ -1,0 +1,914 @@
+"""Plan executor: logical Rel tree → device kernel pipeline.
+
+The reference compiles sql_rel to MAL instructions (rel_bin.c:7599 subrel_bin)
+and interprets them (mal_interpreter.c:491), each instruction calling one GDK
+operator. Here the two layers collapse: the executor walks the Rel tree and
+calls the ops.* kernels directly, carrying a Frame (aligned column family) up
+the tree. Candidate/mask threading happens inside predicate evaluation (the
+opt_pushselect/opt_candidates analog); materialization points are explicit
+(one host sync per data-dependent cardinality, mirroring the reference's
+operator-at-a-time full materialization).
+
+Decimal semantics follow the reference's SQL rules (sql/common/sql_types.c):
+add/sub align scales, mul adds scales, div goes through double; all decimal
+arithmetic is exact scaled-int64 on device with overflow checks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import functools
+from decimal import Decimal as PyDecimal
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import Cand, Column, StrDict, capacity_for, valid_mask
+from ..dtypes import (BOOL, DATE, F64, I8, I32, I64, OID, Kind, SQLType,
+                      decimal as dec_t)
+from ..plan import logical as L
+from ..plan.exprs import (AggRef, Between, BinOp, BoolOp, Case, Cast, Cmp,
+                          ColRef, Const, Expr, Func, InList, IsNull, Like,
+                          Not, Star, Subquery, walk)
+from ..table import Catalog
+from ..ops import aggr as A
+from ..ops import calc as C
+from ..ops import datecalc as DT
+from ..ops import group as G
+from ..ops import join as J
+from ..ops import project as P
+from ..ops import select as S
+from ..ops import sort as SRT
+from ..ops import strfuncs as SF
+
+__all__ = ["Executor", "Frame", "Scalar", "ExecError"]
+
+
+class ExecError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# runtime values
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Scalar:
+    """Host scalar in *physical* domain (scaled int for decimals, epoch days
+    for dates, raw str for strings — dict lookup happens at the use site)."""
+    value: object
+    typ: SQLType
+
+    @property
+    def scale(self) -> int:
+        return self.typ.scale if self.typ and self.typ.kind == Kind.DECIMAL else 0
+
+    def is_float(self) -> bool:
+        return self.typ is not None and self.typ.np_dtype.kind == "f"
+
+
+@dataclasses.dataclass
+class Frame:
+    """Aligned column family — all columns share count and capacity.
+    Rows are implicitly numbered 0..count-1 (live prefix of the arrays)."""
+    cols: Dict[Tuple[str, str], Column]
+    count: int
+
+    @property
+    def cap(self) -> int:
+        if not self.cols:
+            return capacity_for(self.count)
+        return next(iter(self.cols.values())).cap
+
+    def get(self, table: Optional[str], name: str) -> Column:
+        if table is not None:
+            c = self.cols.get((table, name))
+            if c is not None:
+                return c
+        hits = [c for (t, n), c in self.cols.items() if n == name]
+        if len(hits) == 1:
+            return hits[0]
+        raise ExecError(f"column {table}.{name} not in frame "
+                        f"(have {list(self.cols)[:8]}...)")
+
+    def gather(self, oids: jax.Array, n: int,
+               right_nil: bool = False) -> "Frame":
+        out = {}
+        for k, c in self.cols.items():
+            pc = P.project_oids(oids, n, c)
+            if right_nil:
+                pc = pc.with_props(nonil=False)
+            out[k] = pc
+        return Frame(out, n)
+
+    def rename(self, alias: str) -> "Frame":
+        return Frame({(alias, n): c for (_t, n), c in self.cols.items()},
+                     self.count)
+
+    def merged(self, other: "Frame", count: int) -> "Frame":
+        cols = dict(self.cols)
+        for k, v in other.cols.items():
+            if k in cols:
+                raise ExecError(f"column collision {k}")
+            cols[k] = v
+        return Frame(cols, count)
+
+
+def _scale_of(col_or_scalar) -> int:
+    if isinstance(col_or_scalar, Column):
+        return col_or_scalar.typ.scale if col_or_scalar.typ.kind == Kind.DECIMAL else 0
+    return col_or_scalar.scale
+
+
+def _is_float(x) -> bool:
+    if isinstance(x, Column):
+        return x.typ.np_dtype.kind == "f"
+    return x.is_float()
+
+
+def _upscale_col(col: Column, k: int) -> Column:
+    if k == 0:
+        return col
+    s = (col.typ.scale if col.typ.kind == Kind.DECIMAL else 0) + k
+    return C.convert(col, dec_t(18, s), scale_up=k)
+
+
+def _to_f64_col(col: Column) -> Column:
+    if col.typ.np_dtype.kind == "f" and col.typ is F64:
+        return col
+    return C.convert(col, F64)
+
+
+def _to_f64_scalar(s: Scalar) -> float:
+    if s.value is None:
+        return float("nan")
+    v = float(s.value)
+    if s.scale:
+        v /= 10.0 ** s.scale
+    return v
+
+
+# small jitted helpers ------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _concat_live(a, na, b, nb, *, out_cap: int):
+    """Concatenate the live prefixes of two padded int64 arrays."""
+    out = jnp.full(out_cap, jnp.int64(-1))
+    ia = jax.lax.iota(jnp.int64, a.shape[0])
+    pa = jnp.where(ia < na, ia, out_cap)
+    out = out.at[pa].set(a, mode="drop")
+    ib = jax.lax.iota(jnp.int64, b.shape[0])
+    pb = jnp.where(ib < nb, ib + na, out_cap)
+    return out.at[pb].set(b, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _unique_sorted(r1, total, *, out_cap: int):
+    """First occurrence of each value in a sorted live-prefix oid array."""
+    cap = r1.shape[0]
+    live = valid_mask(cap, total)
+    first = (jax.lax.iota(jnp.int64, cap) == 0) | (r1 != jnp.roll(r1, 1))
+    sel = live & first
+    si = sel.astype(jnp.int32)
+    idx = jnp.cumsum(si) - si
+    pos = jnp.where(sel, idx.astype(jnp.int64), out_cap)
+    out = jnp.full(out_cap, jnp.int64(-1))
+    return out.at[pos].set(r1, mode="drop"), jnp.sum(si)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _matched_mask(r1, total, *, cap: int):
+    live = valid_mask(r1.shape[0], total) & (r1 >= 0)
+    safe = jnp.where(live, r1, cap - 1)
+    return jnp.zeros(cap, jnp.bool_).at[safe].max(live)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap",))
+def _distinct_counts(ids, ext, ng2, nil_at_ext, *, seg_cap: int):
+    """#subgroups per outer group (count distinct): for each live subgroup
+    extent row, bump its outer group's counter (skipping nil values)."""
+    cap2 = ext.shape[0]
+    live = valid_mask(cap2, ng2) & (ext >= 0) & ~nil_at_ext
+    oid = jnp.where(live, ext, 0)
+    og = ids[oid].astype(jnp.int64)
+    safe = jnp.where(live & (og >= 0), og, seg_cap)
+    return jnp.zeros(seg_cap + 1, jnp.int64).at[safe].add(
+        live.astype(jnp.int64))[:seg_cap]
+
+
+@functools.partial(jax.jit, static_argnames=("nr", "out_cap"))
+def _cross_pairs(total, *, nr: int, out_cap: int):
+    io = jax.lax.iota(jnp.int64, out_cap)
+    live = io < total
+    r1 = jnp.where(live, io // nr, -1)
+    r2 = jnp.where(live, io % nr, -1)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
+
+
+class Executor:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.refs: Dict[str, set] = {}
+
+    # -- entry ---------------------------------------------------------------
+    def run(self, rel: L.Rel) -> Frame:
+        self._collect_refs(rel)
+        return self.exec_rel(rel)
+
+    # -- column pruning (the rel_bin column-usage analysis analog) -----------
+    def _collect_refs(self, rel: L.Rel):
+        def ref_expr(e: Expr):
+            for n in walk(e):
+                if isinstance(n, ColRef) and n.table not in ("#out", "#grp"):
+                    self.refs.setdefault(n.table, set()).add(n.name)
+                if isinstance(n, Subquery) and isinstance(n.select, tuple):
+                    self._collect_refs(n.select[1])
+
+        def visit(r: L.Rel):
+            if isinstance(r, L.Filter):
+                ref_expr(r.pred)
+            elif isinstance(r, L.Project):
+                for _n, e in r.exprs:
+                    ref_expr(e)
+            elif isinstance(r, L.Join):
+                for a, b in r.on:
+                    ref_expr(a)
+                    ref_expr(b)
+                if r.extra is not None:
+                    ref_expr(r.extra)
+            elif isinstance(r, L.GroupBy):
+                for _n, e in r.keys:
+                    ref_expr(e)
+                for _n, _f, arg, _d in r.aggs:
+                    if arg is not None:
+                        ref_expr(arg)
+            elif isinstance(r, L.OrderBy):
+                for e, _d, _nl in r.keys:
+                    ref_expr(e)
+            for c in r.children():
+                visit(c)
+
+        visit(rel)
+
+    # -- node dispatch --------------------------------------------------------
+    def exec_rel(self, rel: L.Rel) -> Frame:
+        m = getattr(self, "_exec_" + type(rel).__name__.lower(), None)
+        if m is None:
+            raise ExecError(f"no executor for {type(rel).__name__}")
+        return m(rel)
+
+    def _exec_scan(self, r: L.Scan) -> Frame:
+        t = self.catalog.get(r.table)
+        wanted = self.refs.get(r.alias) or self.refs.get(r.table) or set()
+        names = [n for n in t.names() if n in wanted] or t.names()[:1]
+        return Frame({(r.alias, n): t.col(n) for n in names}, t.count)
+
+    def _exec_subplan(self, r: L.SubPlan) -> Frame:
+        return self.exec_rel(r.child).rename(r.alias)
+
+    def _exec_filter(self, r: L.Filter) -> Frame:
+        fr = self.exec_rel(r.child)
+        cand = self.eval_pred(r.pred, fr)
+        return self._apply_cand(fr, cand)
+
+    def _apply_cand(self, fr: Frame, cand: Cand) -> Frame:
+        if cand.is_all():
+            return fr
+        c = S.materialize(cand, fr.cap)
+        return fr.gather(c.oids, c.oid_count)
+
+    def _exec_project(self, r: L.Project) -> Frame:
+        fr = self.exec_rel(r.child)
+        out = {}
+        for name, e in r.exprs:
+            v = self.eval(e, fr)
+            if isinstance(v, Scalar):
+                v = self._broadcast(v, fr)
+            out[("#out", name)] = v
+        return Frame(out, fr.count)
+
+    def _broadcast(self, s: Scalar, fr: Frame) -> Column:
+        typ = s.typ or I64
+        if typ.kind == Kind.STR:
+            sd = StrDict(np.array([s.value]))
+            data = jnp.zeros(fr.cap, jnp.int32)
+            return Column(typ, data, fr.count, sdict=sd)
+        v = typ.nil if s.value is None else typ.np_dtype.type(s.value)
+        return Column(typ, jnp.full(fr.cap, v), fr.count,
+                      nonil=s.value is not None)
+
+    def _exec_orderby(self, r: L.OrderBy) -> Frame:
+        fr = self.exec_rel(r.child)
+        cols, desc, nl = [], [], []
+        for e, d, n in r.keys:
+            v = self.eval(e, fr)
+            if isinstance(v, Scalar):
+                continue
+            cols.append(v)
+            desc.append(d)
+            nl.append(n)
+        if not cols:
+            return fr
+        oids, n = SRT.argsort(cols, desc, nl)
+        return fr.gather(oids, n)
+
+    def _exec_limit(self, r: L.Limit) -> Frame:
+        fr = self.exec_rel(r.child)
+        lo = r.offset or 0
+        hi = fr.count if r.n is None else min(fr.count, lo + r.n)
+        c = S.materialize(Cand.dense(fr.count, lo, hi), fr.cap)
+        return fr.gather(c.oids, c.oid_count)
+
+    def _exec_distinct(self, r: L.Distinct) -> Frame:
+        fr = self.exec_rel(r.child)
+        g = G.group_multi(list(fr.cols.values()))
+        return fr.gather(g.extents, g.ngroups)
+
+    def _exec_setop(self, r: L.SetOp) -> Frame:
+        raise ExecError("set operations land with the sqllogictest milestone")
+
+    # -- group by -------------------------------------------------------------
+    def _exec_groupby(self, r: L.GroupBy) -> Frame:
+        fr = self.exec_rel(r.child)
+        out: Dict[Tuple[str, str], Column] = {}
+        key_cols = []
+        for name, e in r.keys:
+            v = self.eval(e, fr)
+            if isinstance(v, Scalar):
+                v = self._broadcast(v, fr)
+            key_cols.append((name, v))
+        if key_cols:
+            g = G.group_multi([c for _n, c in key_cols])
+        else:
+            # scalar aggregation: one group over all live rows
+            ids = jnp.where(valid_mask(fr.cap, fr.count), 0, -1).astype(jnp.int32)
+            g = G.GroupResult(ids, 1, fr.count)
+            g.extents = jnp.zeros(g.seg_cap, jnp.int64)
+            g.histo = jnp.full(g.seg_cap, jnp.int64(fr.count))
+        for name, kc in key_cols:
+            out[("#grp", name)] = P.project_oids(g.extents, g.ngroups, kc)
+        for name, func, arg, distinct in r.aggs:
+            ac = None
+            if arg is not None:
+                ac = self.eval(arg, fr)
+                if isinstance(ac, Scalar):
+                    ac = self._broadcast(ac, fr)
+            out[("#grp", name)] = self._agg(func, ac, g, distinct, fr)
+        return Frame(out, g.ngroups)
+
+    def _agg(self, func: str, col: Optional[Column], g: G.GroupResult,
+             distinct: bool, fr: Frame) -> Column:
+        if distinct:
+            if func != "count":
+                raise ExecError(f"distinct {func} unsupported")
+            g2 = G.group(col, None, prev=g, with_extents=True)
+            ext = g2.extents
+            if not col.nonil:
+                vals = col.data[jnp.where(ext >= 0, ext, 0)]
+                nil_at = (vals == jnp.iinfo(vals.dtype).min) if \
+                    vals.dtype.kind != "f" else jnp.isnan(vals)
+            else:
+                nil_at = jnp.zeros(ext.shape[0], jnp.bool_)
+            cnt = _distinct_counts(g.ids, ext, jnp.int64(g2.ngroups), nil_at,
+                                   seg_cap=g.seg_cap)
+            return Column(I64, cnt, g.ngroups, nonil=True)
+        if func in ("count_star",):
+            return A.group_count(None, g)
+        if func == "count":
+            return A.group_count(col, g)
+        if func == "sum":
+            return A.group_sum(col, g)
+        if func == "avg":
+            return A.group_avg(col, g)[0]
+        if func == "min":
+            return A.group_min(col, g)
+        if func == "max":
+            return A.group_max(col, g)
+        raise ExecError(f"aggregate {func} unsupported")
+
+    # -- joins ----------------------------------------------------------------
+    def _side_of(self, e: Expr, lf: Frame, rf: Frame) -> str:
+        for n in walk(e):
+            if isinstance(n, ColRef):
+                if any(k == (n.table, n.name) for k in lf.cols):
+                    return "l"
+                if any(k == (n.table, n.name) for k in rf.cols):
+                    return "r"
+        raise ExecError(f"cannot place join key {e!r}")
+
+    def _key_cols(self, j: L.Join, lf: Frame, rf: Frame):
+        pairs = []
+        for a, b in j.on:
+            if self._side_of(a, lf, rf) == "l":
+                pairs.append((a, b))
+            else:
+                pairs.append((b, a))
+        cols = []
+        for a, b in pairs:
+            lc = self.eval(a, lf)
+            rc = self.eval(b, rf)
+            if isinstance(lc, Scalar) or isinstance(rc, Scalar):
+                raise ExecError("scalar join key")
+            lc, rc = self._align_join_keys(lc, rc)
+            cols.append((lc, rc))
+        return cols
+
+    def _align_join_keys(self, lc: Column, rc: Column):
+        if lc.typ.kind == Kind.STR or rc.typ.kind == Kind.STR:
+            if lc.sdict is rc.sdict:
+                return lc, rc
+            # translate right codes into the left dictionary's code space
+            idx = np.searchsorted(lc.sdict.values, rc.sdict.values)
+            idx = np.clip(idx, 0, len(lc.sdict) - 1)
+            found = lc.sdict.values[idx] == rc.sdict.values
+            remap = np.where(found, idx, -2).astype(np.int32)
+            rm = jnp.asarray(remap)
+            ok = rc.data >= 0
+            nd = jnp.where(ok, rm[jnp.where(ok, rc.data, 0)], rc.data)
+            return lc, Column(rc.typ, nd, rc.count, nonil=rc.nonil,
+                              sdict=lc.sdict)
+        ls = _scale_of(lc)
+        rs = _scale_of(rc)
+        if ls != rs:
+            if ls < rs:
+                lc = _upscale_col(lc, rs - ls)
+            else:
+                rc = _upscale_col(rc, ls - rs)
+        return lc, rc
+
+    def _pick_primary(self, cols) -> int:
+        """Choose the join key with the most distinct right values (joincost
+        analog, gdk/gdk_join.c:3586): unique key wins, else widest range."""
+        best, best_score = 0, -1.0
+        for i, (_lc, rc) in enumerate(cols):
+            if rc.key:
+                return i
+            if rc.sdict is not None:
+                score = float(len(rc.sdict))
+            elif rc.minval is not None and rc.maxval is not None:
+                score = float(int(rc.maxval) - int(rc.minval) + 1)
+            else:
+                score = 0.0
+            if score > best_score:
+                best, best_score = i, score
+        return best
+
+    def _exec_join(self, j: L.Join) -> Frame:
+        lf = self.exec_rel(j.left)
+        rf = self.exec_rel(j.right)
+        kind = j.kind
+
+        if kind == "cross" or not j.on:
+            total = lf.count * rf.count
+            out_cap = capacity_for(total)
+            nr = max(rf.count, 1)
+            r1, r2 = _cross_pairs(jnp.int64(total), nr=nr, out_cap=out_cap)
+            frame = lf.gather(r1, total).merged(rf.gather(r2, total), total)
+            if j.extra is not None:
+                frame = self._apply_cand(frame, self.eval_pred(j.extra, frame))
+            return frame
+
+        cols = self._key_cols(j, lf, rf)
+        prim = self._pick_primary(cols)
+        lc0, rc0 = cols[prim]
+        rest = [cols[i] for i in range(len(cols)) if i != prim]
+
+        # fast paths: single-key semi/anti with no residual
+        if kind in ("semi", "anti") and not rest and j.extra is None:
+            fn = J.semijoin if kind == "semi" else J.antijoin
+            oids, n = fn(lc0, rc0)
+            return lf.gather(oids, n)
+
+        r1, r2, total = J.join(lc0, rc0, how="left")
+        # refine on remaining keys (pair-space equality — the reference's
+        # multi-attribute join refinement via mkey/second-column compare)
+        for lc, rc in rest:
+            lp = P.project_oids(r1, total, lc)
+            rp = P.project_oids(r2, total, rc)
+            eq = C.compare("=", lp, rp)
+            cand = Cand.from_mask(eq.data == 1, total)
+            c = S.materialize(cand, eq.cap)
+            r1 = P.project_oids(c.oids, c.oid_count,
+                                Column(OID, r1, total)).data
+            r2 = P.project_oids(c.oids, c.oid_count,
+                                Column(OID, r2, total)).data
+            total = c.oid_count
+        if j.extra is not None:
+            pair = lf.gather(r1, total).merged(rf.gather(r2, total), total)
+            cand = self.eval_pred(j.extra, pair)
+            if not cand.is_all():
+                c = S.materialize(cand, pair.cap)
+                r1 = P.project_oids(c.oids, c.oid_count,
+                                    Column(OID, r1, total)).data
+                r2 = P.project_oids(c.oids, c.oid_count,
+                                    Column(OID, r2, total)).data
+                total = c.oid_count
+
+        if kind == "inner":
+            return lf.gather(r1, total).merged(rf.gather(r2, total), total)
+        if kind == "semi":
+            out_cap = capacity_for(min(total, lf.count))
+            oids, n = _unique_sorted(r1, jnp.int64(total), out_cap=out_cap)
+            return lf.gather(oids, int(n))
+        if kind == "anti":
+            m = _matched_mask(r1, jnp.int64(total), cap=lf.cap)
+            cand = S.cand_not(Cand.from_mask(m, lf.count), lf.cap)
+            return self._apply_cand(lf, cand)
+        if kind in ("left", "left_outer", "outer"):
+            m = _matched_mask(r1, jnp.int64(total), cap=lf.cap)
+            un = S.materialize(S.cand_not(Cand.from_mask(m, lf.count), lf.cap),
+                               lf.cap)
+            n_all = total + un.oid_count
+            out_cap = capacity_for(n_all)
+            r1a = _concat_live(r1, jnp.int64(total), un.oids,
+                               jnp.int64(un.oid_count), out_cap=out_cap)
+            neg = jnp.full(un.oids.shape[0], jnp.int64(-1))
+            r2a = _concat_live(r2, jnp.int64(total), neg,
+                               jnp.int64(un.oid_count), out_cap=out_cap)
+            return lf.gather(r1a, n_all).merged(
+                rf.gather(r2a, n_all, right_nil=True), n_all)
+        raise ExecError(f"join kind {kind} unsupported")
+
+    # ======================================================================
+    # expression evaluation (value context)
+    # ======================================================================
+    def eval(self, e: Expr, fr: Frame) -> Union[Column, Scalar]:
+        if isinstance(e, ColRef):
+            return fr.get(e.table, e.name)
+        if isinstance(e, Const):
+            return self._const(e)
+        if isinstance(e, BinOp):
+            return self._eval_binop(e, fr)
+        if isinstance(e, Func):
+            return self._eval_func(e, fr)
+        if isinstance(e, Cast):
+            return self._eval_cast(e, fr)
+        if isinstance(e, Case):
+            return self._eval_case(e, fr)
+        if isinstance(e, Subquery):
+            return self._eval_subquery(e)
+        if isinstance(e, (Cmp, BoolOp, Not, IsNull, Between, InList, Like)):
+            cand = self.eval_pred(e, fr)
+            m = cand.as_mask(fr.cap)
+            return Column(I8, m.astype(jnp.int8), fr.count, nonil=True)
+        raise ExecError(f"cannot evaluate {type(e).__name__}")
+
+    def _const(self, e: Const) -> Scalar:
+        v = e.value
+        typ = e.typ
+        if v is None:
+            return Scalar(None, typ)
+        if isinstance(v, PyDecimal):
+            scale = typ.scale if typ is not None else 0
+            return Scalar(int(v.scaleb(scale).to_integral_value()), typ)
+        if isinstance(v, datetime.date):
+            return Scalar((v - datetime.date(1970, 1, 1)).days, typ or DATE)
+        if isinstance(v, bool):
+            return Scalar(bool(v), typ or BOOL)
+        if isinstance(v, (int, float, str)):
+            return Scalar(v, typ)
+        raise ExecError(f"cannot lower constant {v!r}")
+
+    def _eval_subquery(self, e: Subquery) -> Scalar:
+        if not (isinstance(e.select, tuple) and e.select[0] == "bound"):
+            raise ExecError("unbound subquery reached executor")
+        _tag, rel, scols = e.select
+        sub = Executor(self.catalog)
+        frame = sub.run(rel)
+        col = frame.get("#out", scols[0].name)
+        if frame.count == 0:
+            return Scalar(None, col.typ)
+        v = np.asarray(col.data[0])
+        if col.typ.np_dtype.kind == "f":
+            fv = float(v)
+            return Scalar(None if np.isnan(fv) else fv, col.typ)
+        iv = int(v)
+        if col.typ.np_dtype.kind == "i" and iv == np.iinfo(col.typ.np_dtype).min:
+            return Scalar(None, col.typ)
+        if col.typ.kind == Kind.STR:
+            return Scalar(str(col.sdict.values[iv]), col.typ)
+        return Scalar(iv, col.typ)
+
+    # arithmetic ------------------------------------------------------------
+    _OPMAP = {"+": "add", "-": "sub", "*": "mul", "/": "div", "%": "mod"}
+
+    def _eval_binop(self, e: BinOp, fr: Frame):
+        a = self.eval(e.left, fr)
+        b = self.eval(e.right, fr)
+        if e.op == "||":
+            if isinstance(a, Column) and isinstance(b, Scalar):
+                return SF.concat(a, b.value)
+            raise ExecError("|| shape unsupported")
+        if isinstance(a, Scalar) and isinstance(b, Scalar):
+            return self._fold_scalars(e.op, a, b)
+        op = self._OPMAP[e.op]
+
+        # float path: any float operand ⇒ f64 arithmetic
+        if _is_float(a) or _is_float(b):
+            a = _to_f64_col(a) if isinstance(a, Column) else Scalar(
+                _to_f64_scalar(a), F64)
+            b = _to_f64_col(b) if isinstance(b, Column) else Scalar(
+                _to_f64_scalar(b), F64)
+            return self._binop_dispatch(op, a, b, F64, fr)
+
+        sa, sb = _scale_of(a), _scale_of(b)
+        if op == "mul":
+            s = sa + sb
+            out = dec_t(18, s) if s else None
+            return self._binop_dispatch(op, a, b, out, fr)
+        if op in ("add", "sub"):
+            s = max(sa, sb)
+            if sa < s:
+                a = self._rescale(a, s - sa)
+            if sb < s:
+                b = self._rescale(b, s - sb)
+            out = dec_t(18, s) if s else None
+            return self._binop_dispatch(op, a, b, out, fr)
+        if op == "div":
+            if sa == 0 and sb == 0:
+                return self._binop_dispatch(op, a, b, None, fr)
+            a = _to_f64_col(a) if isinstance(a, Column) else Scalar(
+                _to_f64_scalar(a), F64)
+            b = _to_f64_col(b) if isinstance(b, Column) else Scalar(
+                _to_f64_scalar(b), F64)
+            return self._binop_dispatch(op, a, b, F64, fr)
+        if op == "mod":
+            return self._binop_dispatch(op, a, b, None, fr)
+        raise ExecError(f"operator {e.op}")
+
+    def _rescale(self, x, k: int):
+        if isinstance(x, Column):
+            return _upscale_col(x, k)
+        if x.value is None:
+            return Scalar(None, dec_t(18, x.scale + k))
+        return Scalar(int(x.value) * 10 ** k, dec_t(18, x.scale + k))
+
+    def _binop_dispatch(self, op, a, b, out_typ, fr: Frame):
+        if isinstance(a, Scalar) and op in ("sub", "div", "mod"):
+            a = self._broadcast(a, fr)
+        if isinstance(a, Scalar):
+            a, b = b, a   # commutative: put the column first
+        if isinstance(b, Scalar):
+            if b.value is None:
+                return Scalar(None, out_typ or a.typ)
+            return C.binop(op, a, b.value, out_typ=out_typ)
+        return C.binop(op, a, b, out_typ=out_typ)
+
+    def _fold_scalars(self, op: str, a: Scalar, b: Scalar) -> Scalar:
+        if a.value is None or b.value is None:
+            return Scalar(None, a.typ or b.typ)
+        if _is_float(a) or _is_float(b) or op == "/":
+            av, bv = _to_f64_scalar(a), _to_f64_scalar(b)
+            v = {"+": av + bv, "-": av - bv, "*": av * bv,
+                 "/": av / bv if bv else float("nan")}[op]
+            return Scalar(v, F64)
+        sa, sb = a.scale, b.scale
+        if op == "*":
+            return Scalar(int(a.value) * int(b.value),
+                          dec_t(18, sa + sb) if sa + sb else I64)
+        s = max(sa, sb)
+        av = int(a.value) * 10 ** (s - sa)
+        bv = int(b.value) * 10 ** (s - sb)
+        v = av + bv if op == "+" else av - bv
+        return Scalar(v, dec_t(18, s) if s else I64)
+
+    # functions ---------------------------------------------------------------
+    def _eval_func(self, e: Func, fr: Frame):
+        if e.name.startswith("extract_"):
+            col = self.eval(e.args[0], fr)
+            return DT.extract(e.name[len("extract_"):], col)
+        if e.name == "substring":
+            col = self.eval(e.args[0], fr)
+            start = self.eval(e.args[1], fr).value
+            length = self.eval(e.args[2], fr).value if len(e.args) > 2 else None
+            return SF.substring(col, int(start), length)
+        if e.name in ("neg", "abs"):
+            v = self.eval(e.args[0], fr)
+            if isinstance(v, Scalar):
+                if v.value is None:
+                    return v
+                nv = -v.value if e.name == "neg" else abs(v.value)
+                return Scalar(nv, v.typ)
+            return C.unop(e.name, v)
+        raise ExecError(f"function {e.name} unsupported")
+
+    def _eval_cast(self, e: Cast, fr: Frame):
+        v = self.eval(e.arg, fr)
+        to = e.to
+        if isinstance(v, Scalar):
+            k = (to.scale if to.kind == Kind.DECIMAL else 0) - v.scale
+            if v.value is None:
+                return Scalar(None, to)
+            if to.np_dtype.kind == "f":
+                return Scalar(_to_f64_scalar(v), to)
+            val = int(v.value) * 10 ** k if k >= 0 else \
+                int(round(int(v.value) / 10 ** (-k)))
+            return Scalar(val, to)
+        fs = v.typ.scale if v.typ.kind == Kind.DECIMAL else 0
+        ts = to.scale if to.kind == Kind.DECIMAL else 0
+        return C.convert(v, to, scale_up=max(0, ts - fs),
+                         scale_down=max(0, fs - ts))
+
+    def _eval_case(self, e: Case, fr: Frame):
+        out_typ = e.typ or F64
+        out_scale = out_typ.scale if out_typ.kind == Kind.DECIMAL else 0
+
+        def coerce(v):
+            if isinstance(v, Scalar):
+                if v.value is None or out_typ.np_dtype.kind == "f":
+                    return Scalar(_to_f64_scalar(v) if v.value is not None
+                                  else None, out_typ)
+                return Scalar(int(v.value) * 10 ** (out_scale - v.scale),
+                              out_typ)
+            vs = v.typ.scale if v.typ.kind == Kind.DECIMAL else 0
+            if out_typ.np_dtype.kind == "f":
+                return _to_f64_col(v)
+            if vs < out_scale:
+                return _upscale_col(v, out_scale - vs)
+            return v
+
+        result = coerce(self.eval(e.default, fr)) if e.default is not None \
+            else Scalar(None, out_typ)
+        for cond, val in reversed(e.whens):
+            cnd = self.eval_pred(cond, fr)
+            cm = Column(BOOL, cnd.as_mask(fr.cap), fr.count, nonil=True)
+            v = coerce(self.eval(val, fr))
+            av = v if isinstance(v, Column) else (
+                out_typ.nil if v.value is None else v.value)
+            bv = result if isinstance(result, Column) else (
+                out_typ.nil if result.value is None else result.value)
+            result = C.ifthenelse(cm, av, bv, out_typ)
+        return result
+
+    # ======================================================================
+    # predicate evaluation (candidate context)
+    # ======================================================================
+    def eval_pred(self, e: Expr, fr: Frame) -> Cand:
+        if isinstance(e, BoolOp):
+            cands = [self.eval_pred(a, fr) for a in e.args]
+            out = cands[0]
+            for c in cands[1:]:
+                out = S.cand_and(out, c, fr.cap) if e.op == "and" else \
+                    S.cand_or(out, c, fr.cap)
+            return out
+        if isinstance(e, Not):
+            return S.cand_not(self.eval_pred(e.arg, fr), fr.cap)
+        if isinstance(e, Cmp):
+            return self._pred_cmp(e, fr)
+        if isinstance(e, Between):
+            return self._pred_between(e, fr)
+        if isinstance(e, InList):
+            return self._pred_inlist(e, fr)
+        if isinstance(e, Like):
+            col = self.eval(e.arg, fr)
+            return SF.like_cand(col, e.pattern, e.negated, e.escape)
+        if isinstance(e, IsNull):
+            col = self.eval(e.arg, fr)
+            m = C.isnil(col)
+            cand = Cand.from_mask(m.data, fr.count)
+            return S.cand_not(cand, fr.cap) if e.negated else cand
+        if isinstance(e, Const):
+            if e.value:
+                return Cand.all(fr.count)
+            return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
+        raise ExecError(f"cannot compile predicate {type(e).__name__}")
+
+    _FLIP = {"=": "=", "<>": "<>", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+    def _pred_cmp(self, e: Cmp, fr: Frame) -> Cand:
+        a = self.eval(e.left, fr)
+        b = self.eval(e.right, fr)
+        op = e.op
+        if isinstance(a, Scalar) and isinstance(b, Column):
+            a, b = b, a
+            op = self._FLIP[op]
+        if isinstance(a, Column) and isinstance(b, Scalar):
+            return self._cmp_col_scalar(a, op, b, fr)
+        if isinstance(a, Column) and isinstance(b, Column):
+            if _is_float(a) or _is_float(b):
+                a, b = _to_f64_col(a), _to_f64_col(b)
+            else:
+                a, b = self._align_join_keys(a, b)
+            r = C.compare(op, a, b)
+            return Cand.from_mask(r.data == 1, fr.count)
+        # scalar vs scalar
+        av, bv = a.value, b.value
+        if av is None or bv is None:
+            res = False
+        else:
+            s = max(a.scale, b.scale)
+            if not (_is_float(a) or _is_float(b)):
+                av = int(av) * 10 ** (s - a.scale)
+                bv = int(bv) * 10 ** (s - b.scale)
+            else:
+                av, bv = _to_f64_scalar(a), _to_f64_scalar(b)
+            res = {"=": av == bv, "<>": av != bv, "<": av < bv,
+                   "<=": av <= bv, ">": av > bv, ">=": av >= bv}[op]
+        if res:
+            return Cand.all(fr.count)
+        return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
+
+    def _cmp_col_scalar(self, col: Column, op: str, s: Scalar,
+                        fr: Frame) -> Cand:
+        if s.value is None:
+            return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
+        if col.typ.kind == Kind.STR:
+            sd = col.sdict
+            val = str(s.value)
+            if op in ("=", "<>"):
+                code = sd.code_of(val)
+                return S.thetaselect(col, None, code, op)
+            if op == "<":
+                th = sd.range_codes(val, "left")
+                return S.select(col, None, tl=None, th=th, li=True, hi=False)
+            if op == "<=":
+                th = sd.range_codes(val, "right")
+                return S.select(col, None, tl=None, th=th, li=True, hi=False)
+            if op == ">":
+                tl = sd.range_codes(val, "right")
+                return S.thetaselect(col, None, tl, ">=")
+            if op == ">=":
+                tl = sd.range_codes(val, "left")
+                return S.thetaselect(col, None, tl, ">=")
+            raise ExecError(op)
+        if _is_float(s) and col.typ.np_dtype.kind != "f":
+            col = _to_f64_col(col)
+            r = C.compare(op, col, _to_f64_scalar(s))
+            return Cand.from_mask(r.data == 1, fr.count)
+        if _is_float(col) and not _is_float(s):
+            r = C.compare(op, col, _to_f64_scalar(s))
+            return Cand.from_mask(r.data == 1, fr.count)
+        cs = _scale_of(col)
+        ss = s.scale
+        v = s.value
+        if ss > cs:
+            col = _upscale_col(col, ss - cs)
+        elif cs > ss:
+            v = int(v) * 10 ** (cs - ss)
+        return S.thetaselect(col, None, v, op)
+
+    def _pred_between(self, e: Between, fr: Frame) -> Cand:
+        col = self.eval(e.arg, fr)
+        lo = self.eval(e.lo, fr)
+        hi = self.eval(e.hi, fr)
+        if not (isinstance(col, Column) and isinstance(lo, Scalar)
+                and isinstance(hi, Scalar)):
+            lo_c = self._pred_cmp_parts(col, ">=", lo, fr)
+            hi_c = self._pred_cmp_parts(col, "<=", hi, fr)
+            c = S.cand_and(lo_c, hi_c, fr.cap)
+            return S.cand_not(c, fr.cap) if e.negated else c
+        if _is_float(lo) or _is_float(hi) or _is_float(col):
+            colf = _to_f64_col(col)
+            m1 = C.compare(">=", colf, _to_f64_scalar(lo))
+            m2 = C.compare("<=", colf, _to_f64_scalar(hi))
+            c = S.cand_and(Cand.from_mask(m1.data == 1, fr.count),
+                           Cand.from_mask(m2.data == 1, fr.count), fr.cap)
+            return S.cand_not(c, fr.cap) if e.negated else c
+        cs = _scale_of(col)
+        s = max(cs, lo.scale, hi.scale)
+        if cs < s:
+            col = _upscale_col(col, s - cs)
+        lv = int(lo.value) * 10 ** (s - lo.scale)
+        hv = int(hi.value) * 10 ** (s - hi.scale)
+        return S.select(col, None, tl=lv, th=hv, anti=e.negated)
+
+    def _pred_cmp_parts(self, a, op, b, fr) -> Cand:
+        if isinstance(a, Column) and isinstance(b, Scalar):
+            return self._cmp_col_scalar(a, op, b, fr)
+        if isinstance(a, Column) and isinstance(b, Column):
+            if _is_float(a) or _is_float(b):
+                a, b = _to_f64_col(a), _to_f64_col(b)
+            else:
+                a, b = self._align_join_keys(a, b)
+            r = C.compare(op, a, b)
+            return Cand.from_mask(r.data == 1, fr.count)
+        raise ExecError("between shape unsupported")
+
+    def _pred_inlist(self, e: InList, fr: Frame) -> Cand:
+        col = self.eval(e.arg, fr)
+        vals = [self.eval(i, fr) for i in e.items]
+        if col.typ.kind == Kind.STR:
+            return SF.in_strings_cand(col, [str(v.value) for v in vals],
+                                      e.negated)
+        out = None
+        cs = _scale_of(col)
+        for v in vals:
+            pv = int(v.value) * 10 ** (cs - v.scale)
+            c = S.thetaselect(col, None, pv, "=")
+            out = c if out is None else S.cand_or(out, c, fr.cap)
+        if e.negated:
+            nonil = S.select(col, None, tl=col.typ.nil, th=col.typ.nil,
+                             anti=True) if not col.nonil else \
+                Cand.all(col.count)
+            return S.cand_and(nonil, S.cand_not(out, fr.cap), fr.cap)
+        return out

@@ -1,0 +1,122 @@
+"""String operators over dictionary-encoded columns.
+
+The reference implements bulk string ops as C loops over the string heap
+(gdk/gdk_string.c, modules/kernel/batstr.c ~9.6k+5.9k LoC) and prefilters
+LIKE with string imprints (gdk/gdk_strimps.c). The TPU design makes the
+dictionary the unit of string work: any per-value function or predicate runs
+once per *distinct* value on the host, and the device applies the result
+with a single gather by code — asymptotically cheaper than the reference's
+per-row loops whenever the dictionary is smaller than the column, which is
+the common case by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..column import Cand, Column, StrDict, valid_mask
+
+__all__ = ["like_regex", "like_cand", "lut_cand", "in_strings_cand",
+           "substring", "map_dict", "concat"]
+
+
+def like_regex(pattern: str, escape: Optional[str] = None) -> "re.Pattern":
+    """SQL LIKE pattern → anchored regex (%→.*, _→., escape handling —
+    reference: modules/mal/pcre.c converts LIKE to PCRE the same way)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lut_gather(codes, count, lut, base_mask):
+    live = valid_mask(codes.shape[0], count)
+    if base_mask is not None:
+        live = live & base_mask
+    ok = codes >= 0
+    m = lut[jnp.where(ok, codes, 0)] & ok
+    return live & m
+
+
+def lut_cand(col: Column, lut: np.ndarray,
+             cand: Optional[Cand] = None) -> Cand:
+    """Apply a per-dictionary-value boolean table to a code column."""
+    base_mask = cand.as_mask(col.cap) if (cand is not None and
+                                          not cand.is_all()) else None
+    m = _lut_gather(col.data, jnp.int64(col.count), jnp.asarray(lut),
+                    base_mask)
+    return Cand.from_mask(m, col.count)
+
+
+def like_cand(col: Column, pattern: str, negated: bool = False,
+              escape: Optional[str] = None,
+              cand: Optional[Cand] = None) -> Cand:
+    """LIKE predicate: host regex over the dictionary, device gather.
+    NOT LIKE excludes nils (SQL three-valued logic), which the code>=0
+    test in the gather already enforces."""
+    rx = like_regex(pattern, escape)
+    lut = col.sdict.match_mask(lambda v: rx.match(v) is not None)
+    if negated:
+        lut = ~lut
+    return lut_cand(col, lut, cand)
+
+
+def in_strings_cand(col: Column, values, negated: bool = False,
+                    cand: Optional[Cand] = None) -> Cand:
+    vs = set(values)
+    lut = col.sdict.match_mask(lambda v: v in vs)
+    if negated:
+        lut = ~lut
+    return lut_cand(col, lut, cand)
+
+
+def map_dict(col: Column, fn) -> Column:
+    """Apply a per-value host function, re-encode order-preserving.
+
+    The device-side cost is one gather (old code → new code); the host cost
+    is O(|dict|). This is the engine's entire scalar-string-function story."""
+    old = col.sdict.values
+    new_vals = np.array([fn(v) for v in old], dtype=object).astype(str)
+    uniq, inv = np.unique(new_vals, return_inverse=True)
+    remap = jnp.asarray(inv.astype(np.int32))
+    codes = col.data
+    ok = codes >= 0
+    new_codes = jnp.where(ok, remap[jnp.where(ok, codes, 0)], codes)
+    return Column(col.typ, new_codes, col.count, nonil=col.nonil,
+                  sdict=StrDict(uniq))
+
+
+def substring(col: Column, start: int, length: Optional[int] = None) -> Column:
+    """SQL SUBSTRING(s FROM start FOR length), 1-based (reference:
+    gdk/gdk_string.c str_substring / batstr)."""
+    a = max(start - 1, 0)
+    if length is None:
+        return map_dict(col, lambda v: v[a:])
+    return map_dict(col, lambda v: v[a:a + max(length, 0)])
+
+
+def concat(a: Column, b) -> Column:
+    """String concatenation: column || const (const || column via flip)."""
+    if isinstance(b, str):
+        return map_dict(a, lambda v: v + b)
+    raise NotImplementedError("column||column concat lands with the full "
+                              "batstr parity milestone")

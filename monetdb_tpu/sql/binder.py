@@ -1,0 +1,826 @@
+"""Binder / planner: AST → typed logical plan.
+
+This is the TPU engine's condensation of the reference's semantic layer:
+name resolution & typing (sql/server/rel_select.c, sql_semantic.c),
+subquery unnesting (rel_unnest.c — here: targeted decorrelation of
+correlated EXISTS/scalar-aggregate subqueries into semi/anti/equi joins on
+the correlation keys), and the bind-time rewrites that matter most from the
+rel_optimizer pipeline (predicate classification & pushdown, equi-join
+extraction from WHERE conjuncts, greedy selectivity-ordered join trees).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import datetime
+from decimal import Decimal
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..dtypes import (BOOL, DATE, F64, I32, I64, Kind, SQLType,
+                      decimal as dec_t, varchar)
+from ..plan import logical as L
+from ..plan.exprs import (AggRef, Between, BinOp, BoolOp, Case, Cast, Cmp,
+                          ColRef, Const, Expr, Func, InList, IsNull, Like,
+                          Not, Star, Subquery, walk)
+from ..table import Catalog
+from . import ast as A
+from .parser import parse
+
+__all__ = ["Binder", "BindError", "bind_select"]
+
+
+class BindError(Exception):
+    pass
+
+
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def date_to_days(d: datetime.date) -> int:
+    return (d - EPOCH).days
+
+
+def add_interval(d: datetime.date, amount: int, unit: str) -> datetime.date:
+    if unit.startswith("day"):
+        return d + datetime.timedelta(days=amount)
+    if unit.startswith("month"):
+        m = d.month - 1 + amount
+        y = d.year + m // 12
+        m = m % 12 + 1
+        return d.replace(year=y, month=m)
+    if unit.startswith("year"):
+        return d.replace(year=d.year + amount)
+    raise BindError(f"unsupported interval unit {unit}")
+
+
+@dataclasses.dataclass
+class ColInfo:
+    alias: str
+    name: str
+    typ: SQLType
+    table: Optional[str] = None
+
+
+class Scope:
+    """Visible columns during binding; chains to an outer scope for
+    correlated subqueries (the reference's stack of sql_rel scopes)."""
+
+    def __init__(self, outer: Optional["Scope"] = None):
+        self.tables: Dict[str, List[ColInfo]] = {}
+        self.outer = outer
+
+    def add_table(self, alias: str, cols: List[ColInfo]):
+        if alias in self.tables:
+            raise BindError(f"duplicate table alias {alias}")
+        self.tables[alias] = cols
+
+    def resolve(self, table: Optional[str], name: str) -> Tuple[ColInfo, bool]:
+        if table is not None:
+            if table in self.tables:
+                for c in self.tables[table]:
+                    if c.name == name:
+                        return c, False
+                raise BindError(f"column {table}.{name} not found")
+            if self.outer is not None:
+                info, _ = self.outer.resolve(table, name)
+                return info, True
+            raise BindError(f"unknown table {table}")
+        hits = [c for cols in self.tables.values() for c in cols
+                if c.name == name]
+        if len(hits) == 1:
+            return hits[0], False
+        if len(hits) > 1:
+            raise BindError(f"ambiguous column {name}")
+        if self.outer is not None:
+            info, _ = self.outer.resolve(table, name)
+            return info, True
+        raise BindError(f"column {name} not found")
+
+
+def _split_conjuncts(e: Optional[Expr]) -> List[Expr]:
+    if e is None:
+        return []
+    if isinstance(e, BoolOp) and e.op == "and":
+        out = []
+        for a in e.args:
+            out.extend(_split_conjuncts(a))
+        return out
+    return [e]
+
+
+def _expr_tables(e: Expr) -> Set[str]:
+    return {n.table for n in walk(e)
+            if isinstance(n, ColRef) and n.table is not None}
+
+
+def _and(exprs: List[Expr]) -> Optional[Expr]:
+    if not exprs:
+        return None
+    if len(exprs) == 1:
+        return exprs[0]
+    b = BoolOp("and", exprs)
+    b.typ = BOOL
+    return b
+
+
+def _factor_or(e: Expr) -> Expr:
+    """Hoist conjuncts common to every OR branch out of the OR — the
+    reference's find_fk/pushdown enabler in rel_optimize_sel.c. Without it
+    Q19-style ``(a=b and p1) or (a=b and p2)`` hides its join key inside the
+    disjunction and forces a cross product."""
+    if isinstance(e, BoolOp) and e.op == "and":
+        b = BoolOp("and", [_factor_or(a) for a in e.args])
+        b.typ = e.typ
+        return b
+    if not (isinstance(e, BoolOp) and e.op == "or"):
+        return e
+    branches = [_split_conjuncts(_factor_or(a)) for a in e.args]
+    keyed = [{repr(c): c for c in b} for b in branches]
+    common = set(keyed[0])
+    for ks in keyed[1:]:
+        common &= set(ks)
+    if not common:
+        return e
+    hoisted = [keyed[0][k] for k in sorted(common)]
+    resid = []
+    for b in branches:
+        rb = [c for c in b if repr(c) not in common]
+        if not rb:
+            # a branch is fully covered by the common part ⇒ OR is implied
+            return _and(hoisted)
+        resid.append(_and(rb))
+    orx = BoolOp("or", resid)
+    orx.typ = BOOL
+    return _and(hoisted + [orx])
+
+
+class Binder:
+    def __init__(self, catalog: Catalog, outer_scope: Optional[Scope] = None):
+        self.catalog = catalog
+        self.scope = Scope(outer_scope)
+        # correlation triples (outer_ref, op, inner_ref) stripped from WHERE
+        self.correlations: List[Tuple[Expr, str, Expr]] = []
+        # output column names for correlation keys (grouped scalar subqueries)
+        self.corr_out: Dict[int, str] = {}
+
+    # ==================================================================
+    # entry
+    # ==================================================================
+    def bind(self, stmt: A.SelectStmt) -> Tuple[L.Rel, List[ColInfo]]:
+        rel, out_cols = self._bind_query(stmt)
+        for op, rhs in stmt.setops:
+            rb = Binder(self.catalog)
+            rrel, rcols = rb.bind(rhs)
+            if len(rcols) != len(out_cols):
+                raise BindError("set operands differ in arity")
+            rel = L.SetOp(op, rel, rrel)
+        if stmt.order_by:
+            keys = [(self._bind_order_key(e, out_cols), d, nl)
+                    for e, d, nl in stmt.order_by]
+            rel = L.OrderBy(rel, keys)
+        if stmt.limit is not None or stmt.offset:
+            rel = L.Limit(rel, stmt.limit, stmt.offset)
+        return rel, out_cols
+
+    def _bind_order_key(self, e: Expr, out_cols: List[ColInfo]) -> Expr:
+        if isinstance(e, Const) and isinstance(e.value, int) \
+                and e.ctype is None:
+            idx = e.value - 1
+            if not (0 <= idx < len(out_cols)):
+                raise BindError(f"ORDER BY position {e.value} out of range")
+            return self._out_ref(out_cols[idx])
+        if isinstance(e, ColRef) and e.table is None:
+            for c in out_cols:
+                if c.name == e.name:
+                    return self._out_ref(c)
+        return self.bind_expr(e)
+
+    def _out_ref(self, c: ColInfo) -> ColRef:
+        r = ColRef("#out", c.name)
+        r.typ = c.typ
+        return r
+
+    # ==================================================================
+    # query core
+    # ==================================================================
+    def _bind_query(self, stmt: A.SelectStmt, collect_corr: bool = False,
+                    mode: str = "project"):
+        """mode: 'project' (normal), 'bare' (EXISTS: no projection)."""
+        frontier = [self._bind_source(s) for s in stmt.sources]
+
+        filters: List[Expr] = []
+        join_preds: List[Tuple[Expr, Expr]] = []
+        sub_preds: List[Expr] = []
+        conjuncts: List[Expr] = []
+        for c0 in _split_conjuncts(stmt.where):
+            conjuncts.extend(_split_conjuncts(_factor_or(c0)))
+        for c in conjuncts:
+            if any(isinstance(n, Subquery) for n in walk(c)):
+                sub_preds.append(c)
+                continue
+            if collect_corr:
+                corr = self._try_correlation(c)
+                if corr is not None:
+                    self.correlations.append(corr)
+                    continue
+            b = self.bind_expr(c)
+            if (isinstance(b, Cmp) and b.op == "=" and
+                    isinstance(b.left, ColRef) and isinstance(b.right, ColRef)
+                    and b.left.table != b.right.table):
+                join_preds.append((b.left, b.right))
+            else:
+                filters.append(b)
+
+        rel = self._build_join_tree(frontier, join_preds, filters)
+        for sp in sub_preds:
+            rel = self._apply_subquery_pred(rel, sp)
+
+        has_aggs = any(isinstance(n, AggRef)
+                       for _, it in stmt.items for n in walk(it)) or \
+            stmt.having is not None
+        if mode == "bare":
+            if has_aggs or stmt.group_by:
+                raise BindError("bare subquery with aggregates")
+            return rel, None
+        if stmt.group_by or has_aggs:
+            rel, out_cols = self._bind_groupby(rel, stmt)
+        else:
+            rel, out_cols = self._bind_project(rel, stmt)
+        if stmt.distinct:
+            rel = L.Distinct(rel)
+        return rel, out_cols
+
+    # ==================================================================
+    # FROM sources
+    # ==================================================================
+    def _bind_source(self, src) -> L.Rel:
+        if isinstance(src, A.TableSource):
+            if src.name not in self.catalog:
+                raise BindError(f"unknown table {src.name}")
+            t = self.catalog.get(src.name)
+            cols = [ColInfo(src.alias, n, c.typ, src.name)
+                    for n, c in t.columns.items()]
+            self.scope.add_table(src.alias, cols)
+            return L.Scan(src.name, src.alias)
+        if isinstance(src, A.SubquerySource):
+            sub = Binder(self.catalog)
+            srel, scols = sub.bind(src.select)
+            names = src.col_aliases or [c.name for c in scols]
+            if len(names) != len(scols):
+                raise BindError("derived column list arity mismatch")
+            cols = [ColInfo(src.alias, nm, c.typ)
+                    for nm, c in zip(names, scols)]
+            self.scope.add_table(src.alias, cols)
+            if src.col_aliases:
+                srel = L.Project(srel, [(nm, self._out_ref(c))
+                                        for nm, c in zip(names, scols)])
+            return L.SubPlan(srel, src.alias)
+        if isinstance(src, A.JoinSource):
+            lrel = self._bind_source(src.left)
+            rrel = self._bind_source(src.right)
+            on_b = self.bind_expr(src.on) if src.on is not None else None
+            eq, extra = self._extract_equi(on_b)
+            return L.Join(lrel, rrel, src.kind, on=eq, extra=extra)
+        raise BindError(f"unsupported source {src}")
+
+    def _extract_equi(self, on: Optional[Expr]):
+        if on is None:
+            return [], None
+        eq, rest = [], []
+        for c in _split_conjuncts(on):
+            if (isinstance(c, Cmp) and c.op == "=" and
+                    isinstance(c.left, ColRef) and isinstance(c.right, ColRef)
+                    and c.left.table != c.right.table):
+                eq.append((c.left, c.right))
+            else:
+                rest.append(c)
+        return eq, _and(rest)
+
+    # ==================================================================
+    # join tree (greedy, smallest-filtered-first)
+    # ==================================================================
+    def _rel_aliases(self, rel: L.Rel) -> Set[str]:
+        if isinstance(rel, (L.Scan, L.SubPlan)):
+            return {rel.alias}
+        out: Set[str] = set()
+        for c in rel.children():
+            out |= self._rel_aliases(c)
+        return out
+
+    def _card_estimate(self, rel: L.Rel, filters_on: int) -> float:
+        base = rel
+        while isinstance(base, L.Filter):
+            base = base.child
+        n = (self.catalog.get(base.table).count
+             if isinstance(base, L.Scan) else 10_000.0)
+        return n * (0.1 ** filters_on)
+
+    def _build_join_tree(self, frontier, join_preds, filters) -> L.Rel:
+        items = []
+        placed = set()
+        for rel in frontier:
+            aliases = self._rel_aliases(rel)
+            nf = 0
+            for fi, f in enumerate(filters):
+                ts = _expr_tables(f)
+                if ts and ts <= aliases:
+                    rel = L.Filter(rel, f)
+                    placed.add(fi)
+                    nf += 1
+            items.append([rel, aliases, nf])
+        remaining = [f for i, f in enumerate(filters) if i not in placed]
+
+        preds = list(join_preds)
+        if len(items) == 1:
+            rel = items[0][0]
+        else:
+            items.sort(key=lambda it: self._card_estimate(it[0], it[2]))
+            cur, cur_aliases, _ = items.pop(0)
+            while items:
+                picked = None
+                for idx, (r, aliases, nf) in enumerate(items):
+                    keys = [(a, b) for a, b in preds
+                            if (a.table in cur_aliases and b.table in aliases)
+                            or (b.table in cur_aliases and a.table in aliases)]
+                    if keys:
+                        picked = (idx, keys)
+                        break
+                if picked is None:
+                    r, aliases, _ = items.pop(0)
+                    cur = L.Join(cur, r, "cross", on=[])
+                else:
+                    idx, keys = picked
+                    r, aliases, _ = items.pop(idx)
+                    on = []
+                    for a, b in keys:
+                        on.append((a, b) if a.table in cur_aliases else (b, a))
+                        preds.remove((a, b))
+                    cur = L.Join(cur, r, "inner", on=on)
+                cur_aliases |= aliases
+            rel = cur
+            for a, b in preds:
+                remaining.append(Cmp("=", a, b))
+                remaining[-1].typ = BOOL
+        f = _and(remaining)
+        if f is not None:
+            rel = L.Filter(rel, f)
+        return rel
+
+    # ==================================================================
+    # subquery predicates (rel_unnest.c analog)
+    # ==================================================================
+    def _apply_subquery_pred(self, rel: L.Rel, pred: Expr) -> L.Rel:
+        neg = False
+        p = pred
+        while isinstance(p, Not):
+            neg = not neg
+            p = p.arg
+        if isinstance(p, Subquery):
+            negated = neg or p.negated
+            if p.kind == "exists":
+                return self._bind_exists(rel, p.select, negated)
+            if p.kind == "in":
+                return self._bind_in_subquery(rel, p, negated)
+        if isinstance(p, Cmp):
+            sq = None
+            other = None
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                    "=": "=", "<>": "<>"}
+            op = p.op
+            if isinstance(p.right, Subquery) and p.right.kind == "scalar":
+                sq, other = p.right, p.left
+            elif isinstance(p.left, Subquery) and p.left.kind == "scalar":
+                sq, other = p.left, p.right
+                op = flip[op]
+            if sq is not None:
+                if neg:
+                    op = {"=": "<>", "<>": "=", "<": ">=", ">=": "<",
+                          ">": "<=", "<=": ">"}[op]
+                return self._bind_scalar_cmp(rel, other, op, sq)
+        # fallback: bind as ordinary expression (uncorrelated scalar subqueries
+        # inside are evaluated by the executor)
+        return L.Filter(rel, self.bind_expr(pred))
+
+    def _bind_exists(self, rel, sel: A.SelectStmt, negated: bool) -> L.Rel:
+        sub = Binder(self.catalog, outer_scope=self.scope)
+        srel, _ = sub._bind_query(sel, collect_corr=True, mode="bare")
+        eq = [(o, i) for o, op, i in sub.correlations if op == "="]
+        extra = _and([self._mk_cmp(op, o, i)
+                      for o, op, i in sub.correlations if op != "="])
+        if not eq:
+            raise BindError("EXISTS without equi-correlation unsupported")
+        return L.Join(rel, srel, "anti" if negated else "semi",
+                      on=eq, extra=extra)
+
+    def _mk_cmp(self, op, a, b):
+        c = Cmp(op, a, b)
+        c.typ = BOOL
+        return c
+
+    def _bind_in_subquery(self, rel, p: Subquery, negated: bool) -> L.Rel:
+        outer = self.bind_expr(p.outer)
+        sub = Binder(self.catalog, outer_scope=self.scope)
+        srel, scols = sub._bind_query(p.select, collect_corr=True)
+        if len(scols) != 1:
+            raise BindError("IN subquery must return one column")
+        eq = [(outer, self._out_ref(scols[0]))]
+        for o, op, i in sub.correlations:
+            if op != "=":
+                raise BindError("non-equi correlation in IN unsupported")
+            # correlation key must be in subquery output for the join;
+            # grouped subqueries add them via corr_out
+            nm = sub.corr_out.get(id(i))
+            if nm is None:
+                raise BindError("correlated IN needs grouped key output")
+            ref = ColRef("#out", nm)
+            ref.typ = i.typ
+            eq.append((o, ref))
+        return L.Join(rel, srel, "anti" if negated else "semi", on=eq)
+
+    def _bind_scalar_cmp(self, rel, outer_expr: Expr, op: str,
+                         sq: Subquery) -> L.Rel:
+        sub = Binder(self.catalog, outer_scope=self.scope)
+        srel, scols = sub._bind_query(sq.select, collect_corr=True)
+        if len(scols) < 1:
+            raise BindError("scalar subquery with no output")
+        val_ref = self._out_ref(scols[0])
+        outer_b = self.bind_expr(outer_expr)
+        if not sub.correlations:
+            # uncorrelated scalar: executor evaluates the subplan once
+            c = copy.copy(sq)
+            c.select = ("bound", srel, scols)
+            c.typ = scols[0].typ
+            return L.Filter(rel, self._mk_cmp(op, outer_b, c))
+        eq = []
+        for o, cop, i in sub.correlations:
+            if cop != "=":
+                raise BindError("non-equi correlated scalar unsupported")
+            nm = sub.corr_out.get(id(i))
+            if nm is None:
+                raise BindError("correlated scalar needs grouped key output")
+            ref = ColRef("#out", nm)
+            ref.typ = i.typ
+            eq.append((o, ref))
+        j = L.Join(rel, srel, "inner", on=eq)
+        return L.Filter(j, self._mk_cmp(op, outer_b, val_ref))
+
+    def _try_correlation(self, c: Expr):
+        if not isinstance(c, Cmp):
+            return None
+        if not (isinstance(c.left, ColRef) and isinstance(c.right, ColRef)):
+            return None
+        try:
+            li, l_outer = self.scope.resolve(c.left.table, c.left.name)
+            ri, r_outer = self.scope.resolve(c.right.table, c.right.name)
+        except BindError:
+            return None
+        if l_outer == r_outer:
+            return None
+        lref, rref = self._mk_ref(li), self._mk_ref(ri)
+        flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                "=": "=", "<>": "<>"}
+        if l_outer:
+            return (lref, c.op, rref)
+        return (rref, flip[c.op], lref)
+
+    def _mk_ref(self, info: ColInfo) -> ColRef:
+        r = ColRef(info.alias, info.name)
+        r.typ = info.typ
+        return r
+
+    # ==================================================================
+    # projection / grouping
+    # ==================================================================
+    def _expand_items(self, stmt: A.SelectStmt):
+        items = []
+        for alias, e in stmt.items:
+            if isinstance(e, Star):
+                tabs = [e.table] if e.table else list(self.scope.tables)
+                for t in tabs:
+                    for c in self.scope.tables[t]:
+                        items.append((c.name, self._mk_ref(c)))
+            else:
+                items.append((alias or self._auto_name(e), self.bind_expr(e)))
+        return items
+
+    _auto_counter = 0
+
+    def _auto_name(self, e: Expr) -> str:
+        if isinstance(e, ColRef):
+            return e.name
+        if isinstance(e, AggRef):
+            return e.func
+        Binder._auto_counter += 1
+        return f"col{Binder._auto_counter}"
+
+    def _bind_project(self, rel, stmt):
+        items = self._expand_items(stmt)
+        out_cols = [ColInfo("#out", n, e.typ) for n, e in items]
+        return L.Project(rel, items), out_cols
+
+    def _bind_groupby(self, rel, stmt):
+        keys: List[Tuple[str, Expr]] = []
+        for i, ge in enumerate(stmt.group_by):
+            b = self.bind_expr(ge)
+            name = b.name if isinstance(b, ColRef) else f"_gk{i}"
+            keys.append((name, b))
+        # correlated scalar-aggregate subquery: group by correlation keys too
+        corr_key_names: List[Tuple[str, Expr]] = []
+        for o, op, iref in self.correlations:
+            hit = None
+            for kn, ke in keys:
+                if isinstance(ke, ColRef) and ke.table == iref.table \
+                        and ke.name == iref.name:
+                    hit = kn
+                    break
+            if hit is None:
+                hit = f"_ck{len(keys)}"
+                keys.append((hit, iref))
+            self.corr_out[id(iref)] = hit
+            corr_key_names.append((hit, iref))
+
+        aggs: List[Tuple[str, str, Optional[Expr], bool]] = []
+
+        def lift(e: Expr) -> Expr:
+            if isinstance(e, Subquery):
+                # e.g. HAVING agg > (subquery): bind the subquery in place
+                return self.bind_expr(e)
+            if isinstance(e, AggRef):
+                arg = self.bind_expr(e.arg) if e.arg is not None else None
+                nm = f"_agg{len(aggs)}"
+                aggs.append((nm, e.func, arg, e.distinct))
+                r = ColRef("#grp", nm)
+                r.typ = self._agg_type(e.func, arg)
+                return r
+            if isinstance(e, ColRef) or not e.children():
+                b = self.bind_expr(e)
+                for kn, ke in keys:
+                    if self._expr_eq_ast(b, ke):
+                        r = ColRef("#grp", kn)
+                        r.typ = ke.typ
+                        return r
+                if isinstance(e, ColRef):
+                    raise BindError(f"{e!r} not in GROUP BY")
+                return b
+            b = self.bind_expr(e)
+            for kn, ke in keys:
+                if self._expr_eq_ast(b, ke):
+                    r = ColRef("#grp", kn)
+                    r.typ = ke.typ
+                    return r
+            clone = self._clone_with(e, [lift(c) for c in e.children()])
+            self._retype(clone)
+            return clone
+
+        out_items: List[Tuple[str, Expr]] = []
+        for alias, e in stmt.items:
+            if isinstance(e, Star):
+                raise BindError("SELECT * with GROUP BY unsupported")
+            nm = alias or self._auto_name(e)
+            out_items.append((nm, lift(e)))
+        # expose correlation keys as hidden outputs
+        for kn, iref in corr_key_names:
+            r = ColRef("#grp", kn)
+            r.typ = iref.typ
+            out_items.append((kn, r))
+
+        gb = L.GroupBy(rel, keys, aggs)
+        out_rel: L.Rel = gb
+        if stmt.having is not None:
+            out_rel = L.Filter(out_rel, lift(stmt.having))
+        proj = L.Project(out_rel, out_items)
+        out_cols = [ColInfo("#out", n, e.typ) for n, e in out_items]
+        return proj, out_cols
+
+    # ==================================================================
+    # expression utilities
+    # ==================================================================
+    def _expr_eq_ast(self, a: Expr, b: Expr) -> bool:
+        if type(a) is not type(b):
+            return False
+        if isinstance(a, ColRef):
+            return a.table == b.table and a.name == b.name
+        if isinstance(a, Const):
+            return a.value == b.value
+        ca, cb = a.children(), b.children()
+        if len(ca) != len(cb):
+            return False
+        sa = {k: v for k, v in a.__dict__.items()
+              if not isinstance(v, (Expr, list)) and k != "typ"}
+        sb = {k: v for k, v in b.__dict__.items()
+              if not isinstance(v, (Expr, list)) and k != "typ"}
+        if sa != sb:
+            return False
+        return all(self._expr_eq_ast(x, y) for x, y in zip(ca, cb))
+
+    def _clone_with(self, e: Expr, new_children: List[Expr]) -> Expr:
+        c = copy.copy(e)
+        if not e.children():
+            return c
+        if isinstance(e, (BinOp, Cmp)):
+            c.left, c.right = new_children
+        elif isinstance(e, BoolOp):
+            c.args = new_children
+        elif isinstance(e, Not):
+            c.arg = new_children[0]
+        elif isinstance(e, (IsNull, Like)):
+            c.arg = new_children[0]
+        elif isinstance(e, Between):
+            c.arg, c.lo, c.hi = new_children
+        elif isinstance(e, InList):
+            c.arg, c.items = new_children[0], new_children[1:]
+        elif isinstance(e, Case):
+            n = len(e.whens)
+            c.whens = [(new_children[2 * i], new_children[2 * i + 1])
+                       for i in range(n)]
+            c.default = new_children[2 * n] if e.default is not None else None
+        elif isinstance(e, Cast):
+            c.arg = new_children[0]
+        elif isinstance(e, Func):
+            c.args = new_children
+        elif isinstance(e, Subquery):
+            if e.outer is not None:
+                c.outer = new_children[0]
+        else:
+            raise BindError(f"cannot clone {type(e).__name__}")
+        return c
+
+    def _agg_type(self, func: str, arg: Optional[Expr]) -> SQLType:
+        if func in ("count", "count_star"):
+            return I64
+        if func == "avg" or func.startswith(("stddev", "var")) \
+                or func == "median":
+            return F64
+        if arg is None or arg.typ is None:
+            return I64
+        t = arg.typ
+        if func in ("min", "max"):
+            return t
+        if t.kind == Kind.DECIMAL:
+            return dec_t(18, t.scale)
+        if t.np_dtype.kind == "f":
+            return F64
+        return I64
+
+    # ==================================================================
+    # expression binding & typing
+    # ==================================================================
+    def bind_expr(self, e: Expr) -> Expr:
+        if isinstance(e, ColRef):
+            if e.table in ("#out", "#grp"):
+                return e
+            info, is_outer = self.scope.resolve(e.table, e.name)
+            if is_outer:
+                raise BindError(
+                    f"correlated reference {e!r} outside supported pattern")
+            return self._mk_ref(info)
+        if isinstance(e, Const):
+            c = copy.copy(e)
+            self._type_const(c)
+            return c
+        if isinstance(e, AggRef):
+            c = copy.copy(e)
+            if c.arg is not None:
+                c.arg = self.bind_expr(c.arg)
+            self._retype(c)
+            return c
+        if isinstance(e, Subquery):
+            c = copy.copy(e)
+            if c.outer is not None:
+                c.outer = self.bind_expr(c.outer)
+            sub = Binder(self.catalog, outer_scope=self.scope)
+            srel, scols = sub._bind_query(c.select, collect_corr=True)
+            if sub.correlations:
+                raise BindError("correlated subquery in unsupported position")
+            c.select = ("bound", srel, scols)
+            c.typ = scols[0].typ if scols else F64
+            return c
+        kids = e.children()
+        if not kids:
+            c = copy.copy(e)
+            self._retype(c)
+            return c
+        c = self._clone_with(e, [self.bind_expr(k) for k in kids])
+        self._retype(c)
+        return c
+
+    def _type_const(self, c: Const):
+        v = c.value
+        if c.ctype is not None:
+            c.typ = c.ctype
+            return
+        if v is None:
+            c.typ = None
+        elif isinstance(v, bool):
+            c.typ = BOOL
+        elif isinstance(v, int):
+            c.typ = I32 if -(2 ** 31) < v < 2 ** 31 else I64
+        elif isinstance(v, float):
+            c.typ = F64
+        elif isinstance(v, Decimal):
+            c.typ = dec_t(18, -v.as_tuple().exponent)
+        elif isinstance(v, str):
+            c.typ = varchar()
+        elif isinstance(v, datetime.date):
+            c.typ = DATE
+        elif isinstance(v, tuple):
+            c.typ = None
+        else:
+            raise BindError(f"cannot type constant {v!r}")
+
+    def _retype(self, e: Expr):
+        if isinstance(e, BinOp):
+            lt, rt = e.left.typ, e.right.typ
+            if isinstance(e.left, Const) and isinstance(e.right, Const):
+                lv, rv = e.left.value, e.right.value
+                if isinstance(lv, datetime.date) and isinstance(rv, tuple):
+                    amt, unit = rv
+                    if e.op == "-":
+                        amt = -amt
+                    nv = add_interval(lv, amt, unit)
+                    e.__class__ = Const
+                    e.__dict__.clear()
+                    e.__dict__.update(value=nv, ctype=DATE)
+                    e.typ = DATE
+                    return
+                if isinstance(lv, (int, float, Decimal)) and \
+                        isinstance(rv, (int, float, Decimal)):
+                    f = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                         "*": lambda a, b: a * b,
+                         "/": lambda a, b: a / b if not (
+                             isinstance(a, int) and isinstance(b, int))
+                         else a // b}.get(e.op)
+                    if f is not None:
+                        nv = f(lv, rv)
+                        e.__class__ = Const
+                        e.__dict__.clear()
+                        e.__dict__.update(value=nv, ctype=None)
+                        self._type_const(e)
+                        return
+            if lt is None or rt is None:
+                e.typ = lt or rt
+                return
+            if e.op == "||":
+                e.typ = varchar()
+                return
+            if lt.kind == Kind.DATE and e.op in "+-":
+                e.typ = DATE
+                return
+            if e.op == "/":
+                e.typ = (lt if lt.np_dtype.kind == "i" and
+                         rt.np_dtype.kind == "i" and
+                         lt.kind != Kind.DECIMAL and rt.kind != Kind.DECIMAL
+                         else F64)
+                return
+            if lt.np_dtype.kind == "f" or rt.np_dtype.kind == "f":
+                e.typ = F64
+                return
+            if lt.kind == Kind.DECIMAL or rt.kind == Kind.DECIMAL:
+                ls = lt.scale if lt.kind == Kind.DECIMAL else 0
+                rs = rt.scale if rt.kind == Kind.DECIMAL else 0
+                e.typ = dec_t(18, ls + rs if e.op == "*" else max(ls, rs))
+                return
+            from ..dtypes import common_numeric
+            e.typ = common_numeric(lt, rt)
+            return
+        if isinstance(e, (Cmp, BoolOp, Not, IsNull, Between, InList, Like)):
+            e.typ = BOOL
+            return
+        if isinstance(e, Case):
+            ts = [v.typ for _, v in e.whens if v.typ is not None]
+            if e.default is not None and e.default.typ is not None:
+                ts.append(e.default.typ)
+            if not ts:
+                e.typ = F64
+            elif any(t.np_dtype.kind == "f" for t in ts):
+                e.typ = F64
+            elif any(t.kind == Kind.DECIMAL for t in ts):
+                sc = max(t.scale if t.kind == Kind.DECIMAL else 0 for t in ts)
+                e.typ = dec_t(18, sc)
+            else:
+                e.typ = max(ts, key=lambda t: t.np_dtype.itemsize)
+            return
+        if isinstance(e, Cast):
+            e.typ = e.to
+            return
+        if isinstance(e, Func):
+            if e.name.startswith("extract_"):
+                e.typ = I32
+            elif e.name == "substring":
+                e.typ = varchar()
+            elif e.name in ("neg", "abs"):
+                e.typ = e.args[0].typ
+            else:
+                e.typ = e.args[0].typ if e.args else F64
+            return
+        if isinstance(e, AggRef):
+            e.typ = self._agg_type(e.func, e.arg)
+            return
+
+
+def bind_select(catalog: Catalog, sql_or_stmt) -> Tuple[L.Rel, List[ColInfo]]:
+    stmt = parse(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
+    if not isinstance(stmt, A.SelectStmt):
+        raise BindError("not a SELECT")
+    return Binder(catalog).bind(stmt)
