@@ -1,0 +1,133 @@
+"""Benchmark: TPC-H hot-path throughput on the real chip.
+
+Headline metric (BASELINE.md north star #1): scan-filter throughput in
+GB/s/chip, measured on the fused Q6 fragment (filter over 3 columns +
+masked sum) at SF-4-scale row counts. vs_baseline = value / 5.0 (the
+≥5 GB/s/chip target).
+
+Measurement method: the kernel repeats K times *on device* via lax.scan
+with per-iteration scalar parameters (so XLA cannot collapse iterations),
+and throughput comes from the slope between two K values — this cancels
+both the host↔device RPC overhead (~20 ms through the axon tunnel) and
+any loop-invariant precomputation XLA hoists out of the scan.
+
+Prints ONE JSON line on stdout; detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timed(fn, *args, reps=5):
+    import jax
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        vals.append(time.perf_counter() - t0)
+    vals.sort()
+    return vals[len(vals) // 2]
+
+
+def main():
+    import monetdb_tpu  # noqa: F401  (enables x64)
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 24_000_000
+    rng = np.random.default_rng(7)
+    shipdate = jnp.asarray(rng.integers(8035, 10561, n).astype(np.int32))
+    disc = jnp.asarray(rng.integers(0, 11, n).astype(np.int64))
+    qty = jnp.asarray(rng.integers(100, 5100, n).astype(np.int64))
+    extp = jnp.asarray((rng.integers(9000, 2_000_000, n)).astype(np.int32))
+    code = jnp.asarray(rng.integers(0, 6, n).astype(np.int32))
+    tax = jnp.asarray(rng.integers(0, 9, n).astype(np.int64))
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    # ---- Q6 scan-filter: per-iteration HBM traffic ≈ 24 B/row -------------
+    @jax.jit
+    def q6_loop(shipdate, disc, qty, extp, los, dlos):
+        def body(acc, ld):
+            lo, dlo = ld
+            m = ((shipdate >= lo) & (shipdate < 9131)
+                 & (disc >= dlo) & (disc <= 7) & (qty < 2400))
+            prod = extp * disc.astype(extp.dtype)
+            return acc + jnp.sum(jnp.where(m, prod, 0).astype(jnp.int64)), None
+        acc, _ = lax.scan(body, jnp.int64(0), (los, dlos))
+        return acc
+
+    def q6_args(k):
+        return (shipdate, disc, qty, extp,
+                jnp.asarray(8766 + np.arange(k) % 7, jnp.int32),
+                jnp.asarray(5 + np.arange(k) % 2, jnp.int64))
+
+    k1, k2 = 4, 36
+    jax.device_get(q6_loop(*q6_args(k1)))
+    jax.device_get(q6_loop(*q6_args(k2)))
+    t1 = _timed(q6_loop, *q6_args(k1))
+    t2 = _timed(q6_loop, *q6_args(k2))
+    per_iter6 = max((t2 - t1) / (k2 - k1), 1e-9)
+    gbs = 24.0 * n / per_iter6 / 1e9
+    print(f"q6 scan-filter: {per_iter6*1e3:.3f} ms/iter  {gbs:.1f} GB/s  "
+          f"{n/per_iter6/1e6:.0f} Mrows/s (t{k1}={t1*1e3:.1f}ms "
+          f"t{k2}={t2*1e3:.1f}ms)", file=sys.stderr)
+
+    # ---- Q1 grouped aggregation: 6 segmented sums over 8 groups -----------
+    @functools.partial(jax.jit, static_argnames=("domain",))
+    def q1_loop(code, shipdate, qty, extp, disc, tax, cutoffs, *, domain=8):
+        one_minus = 100 - disc
+        dp = extp.astype(jnp.int64) * one_minus
+        ch = dp * (100 + tax)
+        ones = jnp.ones_like(qty)
+
+        def body(acc, cutoff):
+            m = (code >= 0) & (shipdate <= cutoff)
+            safe = jnp.where(m, code, domain)
+
+            def seg(v):
+                return jnp.zeros(domain + 1, jnp.int64).at[safe].add(
+                    jnp.where(m, v, 0))[:domain]
+
+            parts = seg(qty) + seg(extp.astype(jnp.int64)) + seg(dp) \
+                + seg(ch) + seg(disc) + seg(ones)
+            return acc + jnp.sum(parts), None
+
+        acc, _ = lax.scan(body, jnp.int64(0), cutoffs)
+        return acc
+
+    def q1_args(k):
+        return (code, shipdate, qty, extp, disc, tax,
+                jnp.asarray(10460 + np.arange(k) % 11, jnp.int32))
+
+    jax.device_get(q1_loop(*q1_args(k1)))
+    jax.device_get(q1_loop(*q1_args(k2)))
+    t1q = _timed(q1_loop, *q1_args(k1))
+    t2q = _timed(q1_loop, *q1_args(k2))
+    per_iter1 = max((t2q - t1q) / (k2 - k1), 1e-9)
+    print(f"q1 group-aggr:  {per_iter1*1e3:.3f} ms/iter  "
+          f"{n/per_iter1/1e6:.0f} Mrows/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tpch_sf4_q6_scan_filter_throughput",
+        "value": round(gbs, 2),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(gbs / 5.0, 2),
+        "detail": {
+            "q6_ms_per_iter": round(per_iter6 * 1e3, 4),
+            "q6_mrows_per_s": round(n / per_iter6 / 1e6, 1),
+            "q1_ms_per_iter": round(per_iter1 * 1e3, 4),
+            "q1_mrows_per_s": round(n / per_iter1 / 1e6, 1),
+            "rows": n,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
