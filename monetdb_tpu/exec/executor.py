@@ -32,7 +32,7 @@ from ..dtypes import (BOOL, DATE, F64, I8, I32, I64, OID, Kind, SQLType,
 from ..plan import logical as L
 from ..plan.exprs import (AggRef, Between, BinOp, BoolOp, Case, Cast, Cmp,
                           ColRef, Const, Expr, Func, InList, IsNull, Like,
-                          Not, Star, Subquery, walk)
+                          Not, Star, Subquery, WinRef, walk)
 from ..table import Catalog
 from ..ops import aggr as A
 from ..ops import calc as C
@@ -43,6 +43,7 @@ from ..ops import project as P
 from ..ops import select as S
 from ..ops import sort as SRT
 from ..ops import strfuncs as SF
+from ..ops import window as W
 
 __all__ = ["Executor", "Frame", "Scalar", "ExecError"]
 
@@ -199,6 +200,16 @@ def _distinct_counts(ids, ext, ng2, nil_at_ext, *, seg_cap: int):
     safe = jnp.where(live & (og >= 0), og, seg_cap)
     return jnp.zeros(seg_cap + 1, jnp.int64).at[safe].add(
         live.astype(jnp.int64))[:seg_cap]
+
+
+@jax.jit
+def _unsort(vals, oids, cnt, nil):
+    """Scatter sorted-domain values back to original row positions."""
+    cap = oids.shape[0]
+    live = valid_mask(cap, cnt) & (oids >= 0)
+    out = jnp.full(cap, nil, vals.dtype)
+    pos = jnp.where(live, oids, cap)
+    return out.at[pos].set(jnp.where(live, vals, nil), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("nr", "out_cap"))
@@ -557,6 +568,8 @@ class Executor:
             return self._eval_case(e, fr)
         if isinstance(e, Subquery):
             return self._eval_subquery(e)
+        if isinstance(e, WinRef):
+            return self._eval_winref(e, fr)
         if isinstance(e, (Cmp, BoolOp, Not, IsNull, Between, InList, Like)):
             cand = self.eval_pred(e, fr)
             m = cand.as_mask(fr.cap)
@@ -598,6 +611,81 @@ class Executor:
         if col.typ.kind == Kind.STR:
             return Scalar(str(col.sdict.values[iv]), col.typ)
         return Scalar(iv, col.typ)
+
+    # window functions --------------------------------------------------------
+    def _eval_winref(self, e: WinRef, fr: Frame) -> Column:
+        """Window evaluation on the (partition, order)-sorted row domain
+        (the reference sorts, applies gdk_analytic kernels, and the result
+        rides the sorted rows — sql_rank.c; here we sort, compute, unsort)."""
+        n = fr.count
+        part_cols = []
+        for p in e.partition:
+            v = self.eval(p, fr)
+            part_cols.append(self._broadcast(v, fr) if isinstance(v, Scalar)
+                             else v)
+        order_cols, descs = [], []
+        for o, d in e.order:
+            v = self.eval(o, fr)
+            order_cols.append(self._broadcast(v, fr)
+                              if isinstance(v, Scalar) else v)
+            descs.append(d)
+        sort_cols = part_cols + order_cols
+        if sort_cols:
+            oids, cnt = SRT.argsort(
+                sort_cols, [False] * len(part_cols) + descs)
+        else:
+            oids = jnp.where(valid_mask(fr.cap, n),
+                             jax.lax.iota(jnp.int64, fr.cap), -1)
+            cnt = n
+        sp = [P.project_oids(oids, cnt, c) for c in part_cols]
+        so = [P.project_oids(oids, cnt, c) for c in order_cols]
+        pb = W.multi_boundary(sp, cnt) if sp else \
+            W.first_row_boundary(oids.shape[0], cnt)
+        ob = W.multi_boundary(so, cnt) if so else None
+
+        func = e.func
+        arg = None
+        if e.arg is not None:
+            a = self.eval(e.arg, fr)
+            a = self._broadcast(a, fr) if isinstance(a, Scalar) else a
+            arg = P.project_oids(oids, cnt, a)
+
+        if func == "row_number":
+            out = W.row_number(pb)
+        elif func == "rank":
+            out = W.rank(pb, ob if ob is not None else pb)
+        elif func == "dense_rank":
+            out = W.dense_rank(pb, ob if ob is not None else pb)
+        elif func == "percent_rank":
+            out = W.percent_rank(pb, ob if ob is not None else pb)
+        elif func == "cume_dist":
+            out = W.cume_dist(pb, ob if ob is not None else pb)
+        elif func == "ntile":
+            k = e.arg
+            kv = self.eval(k, fr).value if k is not None else 1
+            out = W.ntile(pb, int(kv))
+        elif func in ("lag", "lead"):
+            off = 1
+            if e.extra:
+                off = int(self.eval(e.extra[0], fr).value)
+            out = (W.lag if func == "lag" else W.lead)(arg, pb, offset=off)
+        elif func == "first_value":
+            out = W.first_value(arg, pb)
+        elif func == "last_value":
+            if e.frame != "full":
+                raise ExecError("last_value with running frame unsupported")
+            out = W.last_value(arg, pb)
+        elif func in ("sum", "avg", "min", "max", "count", "count_star"):
+            out = W.windowed_agg(func, arg, pb, ob, e.frame, cnt)
+        else:
+            raise ExecError(f"window function {func} unsupported")
+
+        # unsort back to the frame's row order
+        data = _unsort(out.data, oids, jnp.int64(cnt),
+                       out.typ.np_dtype.type(
+                           out.typ.nil if out.typ.np_dtype.kind != "b"
+                           else False))
+        return Column(out.typ, data, n, nonil=out.nonil, sdict=out.sdict)
 
     # arithmetic ------------------------------------------------------------
     _OPMAP = {"+": "add", "-": "sub", "*": "mul", "/": "div", "%": "mod"}

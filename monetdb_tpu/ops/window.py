@@ -28,7 +28,8 @@ from ..dtypes import I32, I64, F64
 
 __all__ = ["diff", "row_number", "rank", "dense_rank", "ntile",
            "lag", "lead", "first_value", "last_value",
-           "cume_window_sum", "percent_rank", "cume_dist"]
+           "cume_window_sum", "percent_rank", "cume_dist",
+           "multi_boundary", "windowed_agg"]
 
 
 @jax.jit
@@ -240,3 +241,174 @@ def _next_start(newval):
     rev = jnp.flip(shifted)
     scan = jax.lax.associative_scan(jnp.minimum, rev)
     return jnp.flip(scan)
+
+
+# ---------------------------------------------------------------------------
+# framed aggregates (gdk_analytic_statistics.c: GDKanalytical{sum,avg,min,...}
+# over ROWS/RANGE frames, with prefix scans replacing the segment tree for
+# unbounded-preceding frames)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _multi_boundary(datas, count):
+    cap = datas[0].shape[0]
+    first = jax.lax.iota(jnp.int32, cap) == 0
+    b = first
+    for x in datas:
+        b = b | (x != jnp.roll(x, 1))
+    return b & valid_mask(cap, count)
+
+
+def multi_boundary(cols, count: int) -> Column:
+    """True at each row whose (col tuple) differs from the previous row —
+    the n-ary GDKanalyticaldiff chain (gdk_analytic_func.c)."""
+    from ..dtypes import BOOL
+    if not cols:
+        cap = 1
+        raise ValueError("multi_boundary needs ≥1 column")
+    b = _multi_boundary(tuple(c.data for c in cols), jnp.int64(count))
+    return Column(BOOL, b, count, nonil=True)
+
+
+def first_row_boundary(cap: int, count: int) -> Column:
+    """Single-partition boundary: True only at row 0."""
+    from ..dtypes import BOOL
+    b = (jax.lax.iota(jnp.int32, cap) == 0) & valid_mask(cap, count)
+    return Column(BOOL, b, count, nonil=True)
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _seg_scan(v, bound, *, op: str):
+    """Segmented inclusive scan: restart at each True boundary."""
+    def combine(a, b):
+        ab, av = a
+        bb, bv = b
+        if op == "sum":
+            nv = jnp.where(bb, bv, av + bv)
+        elif op == "min":
+            nv = jnp.where(bb, bv, jnp.minimum(av, bv))
+        else:
+            nv = jnp.where(bb, bv, jnp.maximum(av, bv))
+        return ab | bb, nv
+    _, out = jax.lax.associative_scan(combine, (bound, v))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("op", "cap"))
+def _part_reduce(v, pid, live, *, op: str, cap: int):
+    """Full-partition reduce: scatter into per-partition slots, gather back."""
+    safe = jnp.where(live, pid, cap)
+    if op == "sum":
+        acc = jnp.zeros(cap + 1, v.dtype).at[safe].add(
+            jnp.where(live, v, 0))
+    elif op == "min":
+        big = v.dtype.type(jnp.inf) if v.dtype.kind == "f" else \
+            jnp.iinfo(v.dtype).max
+        acc = jnp.full(cap + 1, big, v.dtype).at[safe].min(
+            jnp.where(live, v, big))
+    else:
+        small = v.dtype.type(-jnp.inf) if v.dtype.kind == "f" else \
+            jnp.iinfo(v.dtype).min
+        acc = jnp.full(cap + 1, small, v.dtype).at[safe].max(
+            jnp.where(live, v, small))
+    return acc[jnp.clip(pid, 0, cap)]
+
+
+def windowed_agg(func: str, col: Optional[Column], part_bound: Column,
+                 order_bound: Optional[Column], frame: str,
+                 count: int) -> Column:
+    """sum/count/avg/min/max/count_star over UNBOUNDED-PRECEDING frames.
+
+    frame 'rows'  → through the current row;
+          'range' → through the current row's last order-peer;
+          'full'  → whole partition.
+    Nil handling follows SQL aggregates: nils are skipped; an all-nil
+    (or empty) frame yields nil. Inputs live on the (partition, order)
+    pre-sorted row domain; the caller unsorts the result.
+    """
+    from ..dtypes import decimal, Kind
+    bound = part_bound.data
+    cap = part_bound.cap
+    live = valid_mask(cap, count)
+
+    if col is not None:
+        x = col.data
+        is_f = x.dtype.kind == "f"
+        nilm = (jnp.isnan(x) if is_f
+                else x == jnp.iinfo(x.dtype).min) if not col.nonil else \
+            jnp.zeros(cap, jnp.bool_)
+        acc_dtype = jnp.float64 if is_f else jnp.int64
+        xv = jnp.where(nilm | ~live, acc_dtype(0) if not is_f else
+                       jnp.float64(0), x.astype(acc_dtype))
+        ones = jnp.where(nilm | ~live, jnp.int64(0), jnp.int64(1))
+    else:
+        is_f = False
+        acc_dtype = jnp.int64
+        xv = jnp.where(live, jnp.int64(1), jnp.int64(0))
+        ones = xv
+
+    if frame == "full":
+        pid = jnp.cumsum(bound.astype(jnp.int64)) - 1
+        sums = _part_reduce(xv, pid, live, op="sum", cap=cap)
+        cnts = _part_reduce(ones, pid, live, op="sum", cap=cap)
+        if func in ("min", "max"):
+            vals = _part_reduce(
+                jnp.where((nilm | ~live), _mm_identity(acc_dtype, func),
+                          xv), pid, live, op=func, cap=cap)
+    else:
+        sums = _seg_scan(xv, bound, op="sum")
+        cnts = _seg_scan(ones, bound, op="sum")
+        if func in ("min", "max"):
+            vals = _seg_scan(
+                jnp.where((nilm | ~live), _mm_identity(acc_dtype, func), xv),
+                bound, op=func)
+        if frame == "range" and order_bound is not None:
+            peer_last = _next_start(bound | order_bound.data) - 1
+            idx = jnp.clip(peer_last, 0, cap - 1)
+            sums = sums[idx]
+            cnts = cnts[idx]
+            if func in ("min", "max"):
+                vals = vals[idx]
+
+    nil64 = jnp.int64(np.iinfo(np.int64).min)
+    if func in ("count", "count_star"):
+        out = jnp.where(live, cnts, nil64)
+        return Column(I64, out, count, nonil=True)
+    if func == "avg":
+        scale = col.typ.scale if col.typ.kind == Kind.DECIMAL else 0
+        f = sums.astype(jnp.float64)
+        if scale:
+            f = f / (10.0 ** scale)
+        a = f / jnp.maximum(cnts, 1)
+        out = jnp.where(live & (cnts > 0), a, jnp.nan)
+        return Column(F64, out, count, nonil=False)
+    if func == "sum":
+        empty = cnts == 0
+        if is_f:
+            out = jnp.where(live & ~empty, sums, jnp.nan)
+            return Column(F64, out, count, nonil=False)
+        out = jnp.where(live & ~empty, sums, nil64)
+        typ = decimal(18, col.typ.scale) if col.typ.kind == Kind.DECIMAL \
+            else I64
+        return Column(typ, out, count, nonil=False)
+    if func in ("min", "max"):
+        empty = cnts == 0
+        if is_f:
+            out = jnp.where(live & ~empty, vals, jnp.nan)
+            return Column(F64 if col.typ.np_dtype.kind == "f" else col.typ,
+                          out, count, nonil=False)
+        out = jnp.where(live & ~empty, vals, nil64)
+        res = out.astype(col.typ.np_dtype) if col.typ.np_dtype != out.dtype \
+            else out
+        # narrow nil: int64 min truncates to the narrow type's min (= nil)
+        return Column(col.typ, res, count, nonil=False, sdict=col.sdict)
+    raise ValueError(func)
+
+
+def _mm_identity(dtype, func):
+    dtype = jnp.dtype(dtype)
+    if dtype.kind == "f":
+        return jnp.float64(jnp.inf if func == "min" else -jnp.inf)
+    return jnp.int64(np.iinfo(np.int64).max if func == "min"
+                     else np.iinfo(np.int64).min + 1)

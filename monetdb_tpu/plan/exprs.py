@@ -11,7 +11,7 @@ from ..dtypes import SQLType
 
 __all__ = ["Expr", "ColRef", "Const", "BinOp", "Cmp", "BoolOp", "Not",
            "IsNull", "Between", "InList", "Like", "Case", "Cast", "Func",
-           "AggRef", "Subquery", "Star"]
+           "AggRef", "WinRef", "Subquery", "Star"]
 
 
 @dataclasses.dataclass
@@ -160,6 +160,29 @@ class AggRef(Expr):
 
     def children(self):
         return [self.arg] if self.arg is not None else []
+
+
+@dataclasses.dataclass
+class WinRef(Expr):
+    """Window function application (reference: sql_rank.c codegen targets).
+
+    frame: 'rows'  = ROWS UNBOUNDED PRECEDING..CURRENT ROW
+           'range' = RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included,
+                     the SQL default when ORDER BY is present)
+           'full'  = whole partition (the default without ORDER BY)
+    """
+    func: str                          # row_number rank ... sum avg min max count
+    arg: Optional[Expr]
+    partition: List[Expr]
+    order: List[Tuple[Expr, bool]]     # (expr, descending)
+    frame: str = "full"
+    extra: List[Any] = dataclasses.field(default_factory=list)  # ntile n, lag k
+
+    def children(self):
+        out = [self.arg] if self.arg is not None else []
+        out += self.partition
+        out += [e for e, _ in self.order]
+        return out
 
 
 @dataclasses.dataclass

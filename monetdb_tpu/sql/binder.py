@@ -22,7 +22,7 @@ from ..dtypes import (BOOL, DATE, F64, I32, I64, Kind, SQLType,
 from ..plan import logical as L
 from ..plan.exprs import (AggRef, Between, BinOp, BoolOp, Case, Cast, Cmp,
                           ColRef, Const, Expr, Func, InList, IsNull, Like,
-                          Not, Star, Subquery, walk)
+                          Not, Star, Subquery, WinRef, walk)
 from ..table import Catalog
 from . import ast as A
 from .parser import parse
@@ -685,6 +685,15 @@ class Binder:
                 c.arg = self.bind_expr(c.arg)
             self._retype(c)
             return c
+        if isinstance(e, WinRef):
+            c = copy.copy(e)
+            c.arg = self.bind_expr(c.arg) if c.arg is not None else None
+            c.partition = [self.bind_expr(p) for p in c.partition]
+            c.order = [(self.bind_expr(o), d) for o, d in c.order]
+            c.extra = [self.bind_expr(x) if isinstance(x, Expr) else x
+                       for x in c.extra]
+            self._retype(c)
+            return c
         if isinstance(e, Subquery):
             c = copy.copy(e)
             if c.outer is not None:
@@ -816,6 +825,18 @@ class Binder:
             return
         if isinstance(e, AggRef):
             e.typ = self._agg_type(e.func, e.arg)
+            return
+        if isinstance(e, WinRef):
+            if e.func in ("row_number", "rank", "dense_rank", "ntile",
+                          "count", "count_star"):
+                e.typ = I64
+            elif e.func in ("percent_rank", "cume_dist", "avg"):
+                e.typ = F64
+            elif e.func in ("lag", "lead", "first_value", "last_value",
+                            "min", "max"):
+                e.typ = e.arg.typ
+            else:
+                e.typ = self._agg_type(e.func, e.arg)
             return
 
 

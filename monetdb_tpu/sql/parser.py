@@ -443,6 +443,10 @@ class Parser:
             return Const(datetime.date.today(), DATE)
         raise SQLSyntaxError(f"unexpected keyword {v!r}")
 
+    WINDOW_FUNCS = frozenset({
+        "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+        "ntile", "lag", "lead", "first_value", "last_value"})
+
     def parse_call(self, name: str) -> Expr:
         self.expect_punct("(")
         if name in AGG_FUNCS:
@@ -450,12 +454,14 @@ class Parser:
             if name == "count" and self.at_op("*"):
                 self.next()
                 self.expect_punct(")")
+                if self.at_kw("over"):
+                    return self.parse_window("count_star", None)
                 return AggRef("count_star", None)
-            if name == "count" and self.peek().kind == "op" and \
-                    self.peek().value == "*":
-                pass
             arg = self.parse_expr()
             self.expect_punct(")")
+            if self.at_kw("over"):
+                f = "count_star" if isinstance(arg, Star) else name
+                return self.parse_window(f, None if f == "count_star" else arg)
             if isinstance(arg, Star):
                 return AggRef("count_star", None)
             return AggRef(name, arg, distinct=distinct)
@@ -465,7 +471,73 @@ class Parser:
             while self.eat_punct(","):
                 args.append(self.parse_expr())
         self.expect_punct(")")
+        if name in self.WINDOW_FUNCS or self.at_kw("over"):
+            arg = args[0] if args else None
+            extra = args[1:]
+            return self.parse_window(name, arg, extra)
         return Func(name, args)
+
+    def parse_window(self, func: str, arg, extra=None) -> Expr:
+        """OVER ([PARTITION BY ...] [ORDER BY ...] [frame]) — the window
+        spec grammar of the reference's sql_parser.y window_specification."""
+        from ..plan.exprs import WinRef
+        self.expect_kw("over")
+        self.expect_punct("(")
+        partition = []
+        order = []
+        frame = None
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            partition.append(self.parse_expr())
+            while self.eat_punct(","):
+                partition.append(self.parse_expr())
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                desc = bool(self.eat_kw("desc"))
+                if not desc:
+                    self.eat_kw("asc")
+                order.append((e, desc))
+                if not self.eat_punct(","):
+                    break
+        if self.at_kw("rows") or self.at_kw("range"):
+            unit = self.next().value          # rows | range
+            lo_unbounded = hi_current = hi_unbounded = False
+            if self.eat_kw("between"):
+                if self.eat_kw("unbounded"):
+                    self.expect_kw("preceding")
+                    lo_unbounded = True
+                elif self.eat_kw("current"):
+                    self.expect_kw("row")
+                self.expect_kw("and")
+                if self.eat_kw("unbounded"):
+                    self.expect_kw("following")
+                    hi_unbounded = True
+                elif self.eat_kw("current"):
+                    self.expect_kw("row")
+                    hi_current = True
+            else:
+                if self.eat_kw("unbounded"):
+                    self.expect_kw("preceding")
+                    lo_unbounded = True
+                elif self.eat_kw("current"):
+                    self.expect_kw("row")
+                hi_current = True
+            if not lo_unbounded:
+                raise SQLSyntaxError("only UNBOUNDED PRECEDING frame starts "
+                                     "are supported")
+            if hi_unbounded:
+                frame = "full"
+            elif hi_current or not lo_unbounded:
+                frame = unit              # 'rows' or 'range' ..current row
+        self.expect_punct(")")
+        if frame is None:
+            frame = "range" if order else "full"
+        w = WinRef(func, arg, partition, order, frame)
+        if extra:
+            w.extra = extra
+        return w
 
     def parse_type(self) -> SQLType:
         t = self.next().value
