@@ -106,13 +106,19 @@ def main():
         return (code, shipdate, qty, extp, disc, tax,
                 jnp.asarray(10460 + np.arange(k) % 11, jnp.int32))
 
-    jax.device_get(q1_loop(*q1_args(k1)))
-    jax.device_get(q1_loop(*q1_args(k2)))
-    t1q = _timed(q1_loop, *q1_args(k1))
-    t2q = _timed(q1_loop, *q1_args(k2))
-    per_iter1 = max((t2q - t1q) / (k2 - k1), 1e-9)
-    print(f"q1 group-aggr:  {per_iter1*1e3:.3f} ms/iter  "
-          f"{n/per_iter1/1e6:.0f} Mrows/s", file=sys.stderr)
+    per_iter1 = None
+    try:
+        j1, j2 = 2, 10
+        jax.device_get(q1_loop(*q1_args(j1)))
+        jax.device_get(q1_loop(*q1_args(j2)))
+        t1q = _timed(q1_loop, *q1_args(j1), reps=3)
+        t2q = _timed(q1_loop, *q1_args(j2), reps=3)
+        per_iter1 = max((t2q - t1q) / (j2 - j1), 1e-9)
+        print(f"q1 group-aggr:  {per_iter1*1e3:.3f} ms/iter  "
+              f"{n/per_iter1/1e6:.0f} Mrows/s", file=sys.stderr)
+    except Exception as ex:  # keep the headline metric if q1 fails
+        print(f"q1 group-aggr failed: {type(ex).__name__}: {str(ex)[:160]}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "tpch_sf4_q6_scan_filter_throughput",
@@ -122,8 +128,10 @@ def main():
         "detail": {
             "q6_ms_per_iter": round(per_iter6 * 1e3, 4),
             "q6_mrows_per_s": round(n / per_iter6 / 1e6, 1),
-            "q1_ms_per_iter": round(per_iter1 * 1e3, 4),
-            "q1_mrows_per_s": round(n / per_iter1 / 1e6, 1),
+            "q1_ms_per_iter": (round(per_iter1 * 1e3, 4)
+                               if per_iter1 else None),
+            "q1_mrows_per_s": (round(n / per_iter1 / 1e6, 1)
+                               if per_iter1 else None),
             "rows": n,
         },
     }))

@@ -26,6 +26,7 @@ class Result:
     names: List[str]
     types: List[SQLType]
     rows: List[tuple]
+    trace: Optional[list] = None   # profiler events when trace=True
 
     def __len__(self):
         return len(self.rows)
@@ -67,11 +68,26 @@ class Engine:
     def plan(self, sql: str):
         return bind_select(self.catalog, sql)
 
-    def query(self, sql: str) -> Result:
-        rel, out_cols = bind_select(self.catalog, sql)
-        frame = Executor(self.catalog).run(rel)
+    def query(self, sql: str, trace: bool = False) -> Result:
+        return self.query_stmt(sql, trace=trace)
+
+    def query_stmt(self, sql_or_stmt, trace: bool = False) -> Result:
+        """TRACE mode mirrors the reference's SQLsetTrace
+        (sql/backends/monet5/sql_execute.c:61): per-operator events with
+        timings, row counts and the chosen kernel algorithm."""
+        events = None
+        rel, out_cols = bind_select(self.catalog, sql_or_stmt)
+        if trace:
+            from .obs import PROFILER
+            PROFILER.start()
+        try:
+            frame = Executor(self.catalog).run(rel)
+        finally:
+            if trace:
+                from .obs import PROFILER
+                events = PROFILER.stop()
         names = [c.name for c in out_cols]
         cols = [frame.get("#out", c.name) for c in out_cols]
         decoded = [_decode_column(c) for c in cols]
         rows = [tuple(d[i] for d in decoded) for i in range(frame.count)]
-        return Result(names, [c.typ for c in out_cols], rows)
+        return Result(names, [c.typ for c in out_cols], rows, trace=events)

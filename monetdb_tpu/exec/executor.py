@@ -276,7 +276,13 @@ class Executor:
         m = getattr(self, "_exec_" + type(rel).__name__.lower(), None)
         if m is None:
             raise ExecError(f"no executor for {type(rel).__name__}")
-        return m(rel)
+        from ..obs import PROFILER
+        if not PROFILER.enabled:
+            return m(rel)
+        with PROFILER.op(type(rel).__name__, label=rel._label()):
+            out = m(rel)
+        PROFILER.events[-1]["rows"] = out.count
+        return out
 
     def _exec_scan(self, r: L.Scan) -> Frame:
         t = self.catalog.get(r.table)

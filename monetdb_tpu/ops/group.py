@@ -186,6 +186,8 @@ def group(col: Column, cand: Optional[Cand] = None,
     D = _dense_domain(col)
     prev_n = prev.ngroups if prev is not None else 1
     if D is not None and D * prev_n <= _DENSE_DOMAIN_MAX:
+        from ..obs import set_algorithm
+        set_algorithm("group:dense")
         codes, D = _codes(col)
         if prev is not None:
             comb = jnp.where(prev.ids >= 0,
@@ -209,6 +211,8 @@ def group(col: Column, cand: Optional[Cand] = None,
         return res
 
     # general sort path
+    from ..obs import set_algorithm
+    set_algorithm("group:sort")
     prev_ids = prev.ids if prev is not None else jnp.zeros(col.cap, jnp.int32)
     if prev is not None:
         pm = prev.ids >= 0

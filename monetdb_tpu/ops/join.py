@@ -143,13 +143,16 @@ def join(l: Column, r: Column, lcand: Optional[Cand] = None,
     # nil left keys never match unless nil_matches; treated in _probe_counts
     r_all = rcand is None or rcand.is_all()
 
+    from ..obs import set_algorithm
     if _dense_pk(r) and r_all and not nil_matches:
         # fetchjoin (gdk/gdk_join.c:3893)
+        set_algorithm("join:fetch")
         pos, cnt = _fetch_probe(lk, l_live, jnp.int64(int(r.minval)),
                                 jnp.int64(r.count))
         rs_oids = None
         lo = pos
     else:
+        set_algorithm("join:sortmerge")
         r_oids, n_r, rkeys = _prep_side(r, rcand)
         rk, _r_live = _gather_keys(rkeys, r_oids, jnp.int64(n_r), _I64_MAX)
         if not nil_matches:

@@ -1,0 +1,168 @@
+"""Session: the full SQL surface over a Database — queries, DDL, DML,
+transactions, COPY INTO. The condensation of the reference's SQL scenario +
+update plans (sql/backends/monet5/sql_scenario.c SQLengine; rel_updates.c
+insert/update/delete plans lower to sql.append/sql.update/sql.delete — here
+they lower to Database.insert/update/delete on storage oids selected by the
+same query machinery)."""
+
+from __future__ import annotations
+
+import csv
+import datetime
+from decimal import Decimal as PyDecimal
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .dtypes import Kind, SQLType
+from .engine import Engine, Result
+from .sql import ast as A
+from .sql.binder import BindError, bind_select
+from .sql.parser import parse
+from .plan.exprs import ColRef, Const, Star
+from .storage.columns import to_physical_np
+from .storage.database import Database
+
+__all__ = ["Session"]
+
+
+class Session:
+    def __init__(self, db: Database):
+        self.db = db
+
+    # -- entry ----------------------------------------------------------------
+    def sql(self, text: str) -> Union[Result, int, None]:
+        stmt = parse(text)
+        if isinstance(stmt, A.SelectStmt):
+            return Engine(self.db.catalog()).query(text)
+        if isinstance(stmt, A.CreateTable):
+            self.db.create_table(stmt.name,
+                                 [(c, t) for c, t, _nn in stmt.columns])
+            return None
+        if isinstance(stmt, A.DropTable):
+            self.db.drop_table(stmt.name)
+            return None
+        if isinstance(stmt, A.TxnStmt):
+            getattr(self.db, stmt.kind)()
+            return None
+        if isinstance(stmt, A.InsertValues):
+            return self._insert_values(stmt)
+        if isinstance(stmt, A.InsertSelect):
+            return self._insert_select(stmt)
+        if isinstance(stmt, A.Delete):
+            return self._delete(stmt)
+        if isinstance(stmt, A.Update):
+            return self._update(stmt)
+        if isinstance(stmt, A.CopyFrom):
+            return self._copy(stmt)
+        raise BindError(f"unsupported statement {type(stmt).__name__}")
+
+    def query(self, text: str) -> Result:
+        return Engine(self.db.catalog()).query(text)
+
+    # -- INSERT ----------------------------------------------------------------
+    def _const_value(self, e):
+        from .plan.exprs import Func
+        if isinstance(e, Const):
+            return e.value
+        if isinstance(e, Func) and e.name == "neg":
+            return -self._const_value(e.args[0])
+        raise BindError("INSERT VALUES must be constants")
+
+    def _insert_values(self, stmt: A.InsertValues) -> int:
+        td = self.db.tables[stmt.table.lower()]
+        names = [c.lower() for c in (stmt.columns or td.order)]
+        rows = [[self._const_value(e) for e in r] for r in stmt.rows]
+        arrays: Dict[str, np.ndarray] = {}
+        for j, c in enumerate(names):
+            vals = [r[j] for r in rows]
+            arrays[c] = to_physical_np(vals, td.types[c])
+        for c in td.order:
+            if c not in arrays:
+                arrays[c] = to_physical_np([None] * len(rows), td.types[c])
+        return self.db.insert(stmt.table, arrays)
+
+    def _insert_select(self, stmt: A.InsertSelect) -> int:
+        td = self.db.tables[stmt.table.lower()]
+        res = Engine(self.db.catalog()).query_stmt(stmt.select)
+        names = [c.lower() for c in (stmt.columns or td.order)]
+        if len(names) != len(res.names):
+            raise BindError("INSERT SELECT arity mismatch")
+        arrays = {}
+        for j, c in enumerate(names):
+            arrays[c] = to_physical_np([r[j] for r in res.rows], td.types[c])
+        for c in td.order:
+            if c not in arrays:
+                arrays[c] = to_physical_np([None] * len(res.rows),
+                                           td.types[c])
+        return self.db.insert(stmt.table, arrays)
+
+    # -- DELETE / UPDATE (oid selection runs through the query engine) --------
+    def _select_oids(self, table: str, where,
+                     extra_items=None) -> Result:
+        items = [(None, ColRef(None, "__rowid__"))]
+        items += extra_items or []
+        sel = A.SelectStmt(items=items,
+                           sources=[A.TableSource(table, table)],
+                           where=where)
+        return Engine(self.db.catalog()).query_stmt(sel)
+
+    def _delete(self, stmt: A.Delete) -> int:
+        res = self._select_oids(stmt.table, stmt.where)
+        oids = np.array([r[0] for r in res.rows], np.int64)
+        if not len(oids):
+            return 0
+        return self.db.delete(stmt.table, oids)
+
+    def _update(self, stmt: A.Update) -> int:
+        td = self.db.tables[stmt.table.lower()]
+        extra = [(f"_set{i}", e) for i, (_c, e) in enumerate(stmt.sets)]
+        res = self._select_oids(stmt.table, stmt.where, extra)
+        if not res.rows:
+            return 0
+        oids = np.array([r[0] for r in res.rows], np.int64)
+        for i, (c, _e) in enumerate(stmt.sets):
+            vals = to_physical_np([r[i + 1] for r in res.rows],
+                                  td.types[c.lower()])
+            self.db.update(stmt.table, c, oids, vals)
+        return len(oids)
+
+    # -- COPY INTO (tablet.c analog; host-side parse for now) -----------------
+    def _copy(self, stmt: A.CopyFrom) -> int:
+        td = self.db.tables[stmt.table.lower()]
+        cols: List[List] = [[] for _ in td.order]
+        limit = stmt.records
+        with open(stmt.path, newline="") as f:
+            rd = csv.reader(f, delimiter=stmt.delimiter)
+            for i, row in enumerate(rd):
+                if limit is not None and i >= limit:
+                    break
+                # MonetDB dumps may carry a trailing delimiter
+                if len(row) == len(td.order) + 1 and row[-1] == "":
+                    row = row[:-1]
+                for j, v in enumerate(row):
+                    cols[j].append(self._parse_field(v, td.types[td.order[j]]))
+        arrays = {c: to_physical_np(vals, td.types[c])
+                  for c, vals in zip(td.order, cols)}
+        n = len(cols[0]) if cols else 0
+        if n == 0:
+            return 0
+        return self.db.insert(stmt.table, arrays)
+
+    @staticmethod
+    def _parse_field(v: str, t: SQLType):
+        if v == "" or v.upper() == "NULL":
+            return None if t.kind != Kind.STR else v
+        if t.kind == Kind.STR:
+            return v
+        if t.kind == Kind.DATE:
+            return datetime.date.fromisoformat(v)
+        if t.kind == Kind.TIMESTAMP:
+            return datetime.datetime.fromisoformat(v)
+        if t.kind == Kind.DECIMAL:
+            return PyDecimal(v)
+        if t.np_dtype.kind == "f":
+            return float(v)
+        if t.kind == Kind.BOOL:
+            return v.lower() in ("true", "t", "1")
+        return int(v)

@@ -73,3 +73,28 @@ class CopyFrom:
     path: str
     delimiter: str = "|"
     records: Optional[int] = None
+
+
+@dataclasses.dataclass
+class InsertSelect:
+    table: str
+    select: "SelectStmt"
+    columns: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class Delete:
+    table: str
+    where: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class Update:
+    table: str
+    sets: List[Tuple[str, Expr]] = dataclasses.field(default_factory=list)
+    where: Optional[Expr] = None
+
+
+@dataclasses.dataclass
+class TxnStmt:
+    kind: str          # begin / commit / rollback

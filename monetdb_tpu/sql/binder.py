@@ -499,6 +499,8 @@ class Binder:
                 tabs = [e.table] if e.table else list(self.scope.tables)
                 for t in tabs:
                     for c in self.scope.tables[t]:
+                        if c.name.startswith("__"):
+                            continue   # hidden columns (rowid)
                         items.append((c.name, self._mk_ref(c)))
             else:
                 items.append((alias or self._auto_name(e), self.bind_expr(e)))

@@ -35,6 +35,8 @@ KEYWORDS = {
     "delimiters", "records", "primary", "key", "foreign", "references",
     "with", "view", "partition", "over", "rows", "range", "unbounded",
     "preceding", "following", "current", "row", "for", "precision",
+    "delete", "update", "set", "begin", "start", "transaction", "commit",
+    "rollback",
 }
 
 _TWO_CHAR = {"<>", "<=", ">=", "!=", "||"}

@@ -13,8 +13,9 @@ from ..dtypes import (BOOL, DATE, F64, I32, I64, TIMESTAMP, SQLType,
 from ..plan.exprs import (Between, BinOp, BoolOp, Case, Cast, ColRef, Cmp,
                           Const, Expr, Func, InList, IsNull, Like, Not, Star,
                           Subquery, AggRef)
-from .ast import (CopyFrom, CreateTable, DropTable, InsertValues, JoinSource,
-                  SelectStmt, SubquerySource, TableSource)
+from .ast import (CopyFrom, CreateTable, Delete, DropTable, InsertSelect,
+                  InsertValues, JoinSource, SelectStmt, SubquerySource,
+                  TableSource, TxnStmt, Update)
 from .lexer import SQLSyntaxError, Token, tokenize
 
 __all__ = ["parse", "parse_expr", "SQLSyntaxError"]
@@ -85,6 +86,37 @@ class Parser:
             return self.parse_insert()
         if self.at_kw("copy"):
             return self.parse_copy()
+        if self.at_kw("delete"):
+            self.next()
+            self.expect_kw("from")
+            name = self.next().value
+            where = self.parse_expr() if self.eat_kw("where") else None
+            return Delete(name, where)
+        if self.at_kw("update"):
+            self.next()
+            name = self.next().value
+            self.expect_kw("set")
+            sets = []
+            while True:
+                c = self.next().value
+                if not self.at_op("="):
+                    raise SQLSyntaxError("expected = in UPDATE SET")
+                self.next()
+                sets.append((c, self.parse_expr()))
+                if not self.eat_punct(","):
+                    break
+            where = self.parse_expr() if self.eat_kw("where") else None
+            return Update(name, sets, where)
+        if self.at_kw("start") or self.at_kw("begin"):
+            self.next()
+            self.eat_kw("transaction")
+            return TxnStmt("begin")
+        if self.at_kw("commit"):
+            self.next()
+            return TxnStmt("commit")
+        if self.at_kw("rollback"):
+            self.next()
+            return TxnStmt("rollback")
         raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
 
     def parse_select(self) -> SelectStmt:
@@ -632,6 +664,8 @@ class Parser:
                 if not self.eat_punct(","):
                     break
             self.expect_punct(")")
+        if self.at_kw("select"):
+            return InsertSelect(name, self.parse_select(), columns)
         self.expect_kw("values")
         rows = []
         while True:

@@ -1,0 +1,106 @@
+"""Physical column ↔ device column conversion with property derivation.
+
+The reference maintains COLrec properties incrementally in BATappend
+(gdk/gdk_batop.c:674); here properties (sorted/key/nonil/min/max) are
+derived per materialization of a storage version — they drive the kernel
+strategy picks in ops.* exactly as in BATselect/BATjoin.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..column import Column, StrDict
+from ..dtypes import (BOOL, DATE, F32, F64, I8, I16, I32, I64, TIMESTAMP,
+                      Kind, SQLType, decimal, varchar)
+
+__all__ = ["type_tag", "tag_type", "make_device_column", "to_physical_np"]
+
+
+def type_tag(t: SQLType) -> str:
+    if t.kind == Kind.DECIMAL:
+        return f"dec:{t.precision}:{t.scale}"
+    if t.kind == Kind.STR:
+        return "str"
+    if t.kind == Kind.DATE:
+        return "date"
+    if t.kind == Kind.TIMESTAMP:
+        return "timestamp"
+    if t.kind == Kind.BOOL:
+        return "bool"
+    return {"int8": "i8", "int16": "i16", "int32": "i32", "int64": "i64",
+            "float32": "f32", "float64": "f64"}[t.np_dtype.name]
+
+
+def tag_type(tag: str) -> SQLType:
+    if tag.startswith("dec:"):
+        _, p, s = tag.split(":")
+        return decimal(int(p), int(s))
+    return {"str": varchar(), "date": DATE, "timestamp": TIMESTAMP,
+            "bool": BOOL, "i8": I8, "i16": I16, "i32": I32, "i64": I64,
+            "f32": F32, "f64": F64}[tag]
+
+
+def make_device_column(arr: np.ndarray, typ: SQLType,
+                       dict_values: Optional[np.ndarray] = None) -> Column:
+    """Physical numpy array (+ dictionary for strings) → device Column with
+    derived properties."""
+    if typ.kind == Kind.STR:
+        col = Column.from_numpy(arr.astype(np.int32), typ,
+                                sdict=StrDict(dict_values))
+        return col
+    arr = arr.astype(typ.np_dtype, copy=False)
+    col = Column.from_numpy(arr, typ)
+    n = len(arr)
+    if n and typ.np_dtype.kind in "iu":
+        from ..dtypes import is_nil_np
+        nilm = is_nil_np(arr, typ)
+        if not nilm.any():
+            vals = arr
+            col.minval, col.maxval = int(vals.min()), int(vals.max())
+            d = np.diff(vals)
+            col.sorted = bool((d >= 0).all())
+            col.revsorted = bool((d <= 0).all())
+            if col.sorted and n > 1 and (d > 0).all():
+                col.key = True
+            elif n == 1:
+                col.key = True
+            elif int(col.maxval) - int(col.minval) + 1 == n:
+                col.key = bool(len(np.unique(vals)) == n)
+    return col
+
+
+def to_physical_np(values, typ: SQLType) -> np.ndarray:
+    """Logical python/numpy values → physical array (scaled ints, epoch
+    days/µs, raw strings stay strings for dictionary merge upstream)."""
+    import datetime
+    from decimal import Decimal as PyDecimal
+
+    if typ.kind == Kind.STR:
+        return np.array(["" if v is None else str(v) for v in values],
+                        dtype=str)
+    out = np.empty(len(values), typ.np_dtype)
+    nil = typ.nil
+    for i, v in enumerate(values):
+        if v is None:
+            out[i] = nil
+        elif typ.kind == Kind.DECIMAL:
+            if isinstance(v, PyDecimal):
+                out[i] = int(v.scaleb(typ.scale).to_integral_value())
+            else:
+                out[i] = int(round(float(v) * 10 ** typ.scale))
+        elif typ.kind == Kind.DATE:
+            if isinstance(v, datetime.date):
+                out[i] = (v - datetime.date(1970, 1, 1)).days
+            else:
+                out[i] = int(v)
+        elif typ.kind == Kind.TIMESTAMP:
+            if isinstance(v, datetime.datetime):
+                out[i] = int(v.timestamp() * 1_000_000)
+            else:
+                out[i] = int(v)
+        else:
+            out[i] = v
+    return out

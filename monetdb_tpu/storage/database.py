@@ -1,0 +1,359 @@
+"""Database: durable tables with WAL + atomic-manifest checkpointing and
+MVCC-lite delta visibility.
+
+Reference mapping:
+  * manifest.json + os.replace       ⟷ BBP.dir + BACKUP/ rename commit
+                                        (gdk/gdk_bbp.c:12-66, BBPsync :3860)
+  * Wal (storage/wal.py)             ⟷ gdk_logger WAL (replay on open)
+  * TableData deleted-mask + in-place
+    numpy bases + txn undo copies    ⟷ sql_delta {inserts, deletes, updates}
+                                        (sql/storage/bat/bat_storage.h:19-56)
+  * checkpoint()                     ⟷ store_apply_deltas → TMsubcommit →
+                                        BBPsync (store.c:2356)
+  * snapshot()                       ⟷ store_hot_snapshot → tar (store.c:2903)
+  * table() device materialization   ⟷ sql.bind/sql.tid delta read path
+                                        (backends/monet5/sql.c:2088+)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..column import StrDict
+from ..dtypes import Kind, SQLType
+from ..table import Catalog, Table
+from .columns import make_device_column, tag_type, type_tag
+from .wal import (REC_COMMIT, REC_CREATE, REC_DELETE, REC_DROP, REC_INSERT,
+                  REC_UPDATE, Wal)
+
+__all__ = ["Database", "TableData"]
+
+
+class TableData:
+    """Host-side authoritative state of one table (physical domain)."""
+
+    def __init__(self, name: str, schema: List[Tuple[str, SQLType]]):
+        self.name = name
+        self.types: Dict[str, SQLType] = {c: t for c, t in schema}
+        self.order = [c for c, _t in schema]
+        self.cols: Dict[str, np.ndarray] = {}
+        self.dicts: Dict[str, np.ndarray] = {}
+        for c, t in schema:
+            if t.kind == Kind.STR:
+                self.cols[c] = np.empty(0, np.int32)
+                self.dicts[c] = np.empty(0, dtype=str)
+            else:
+                self.cols[c] = np.empty(0, t.np_dtype)
+        self.deleted = np.empty(0, np.bool_)
+        self.version = 0
+
+    @property
+    def count(self) -> int:
+        return len(self.deleted)
+
+    def copy(self) -> "TableData":
+        td = TableData.__new__(TableData)
+        td.name = self.name
+        td.types = dict(self.types)
+        td.order = list(self.order)
+        td.cols = {c: a.copy() for c, a in self.cols.items()}
+        td.dicts = {c: a.copy() for c, a in self.dicts.items()}
+        td.deleted = self.deleted.copy()
+        td.version = self.version
+        return td
+
+    # -- mutations (physical domain; strings arrive as raw str arrays) -------
+    def append(self, arrays: Dict[str, np.ndarray]) -> None:
+        n = len(next(iter(arrays.values())))
+        for c in self.order:
+            t = self.types[c]
+            a = arrays[c]
+            if t.kind == Kind.STR:
+                self._append_strings(c, a.astype(str))
+            else:
+                self.cols[c] = np.concatenate(
+                    [self.cols[c], a.astype(t.np_dtype, copy=False)])
+        self.deleted = np.concatenate([self.deleted, np.zeros(n, np.bool_)])
+        self.version += 1
+
+    def _append_strings(self, c: str, new: np.ndarray) -> None:
+        """Order-preserving dictionary maintenance: merge, remap old codes
+        (the engine-wide invariant that code order == string order; the
+        reference's dict.c rebuilds on overflow the same way)."""
+        old_dict = self.dicts[c]
+        merged = np.unique(np.concatenate([old_dict, new])) if len(new) else \
+            old_dict
+        if len(merged) != len(old_dict) or not np.array_equal(merged, old_dict):
+            remap = np.searchsorted(merged, old_dict).astype(np.int32)
+            old_codes = self.cols[c]
+            self.cols[c] = np.where(old_codes >= 0, remap[np.clip(
+                old_codes, 0, None)], old_codes).astype(np.int32)
+            self.dicts[c] = merged
+        codes = np.searchsorted(self.dicts[c], new).astype(np.int32)
+        self.cols[c] = np.concatenate([self.cols[c], codes])
+
+    def delete_oids(self, oids: np.ndarray) -> None:
+        self.deleted[oids] = True
+        self.version += 1
+
+    def update_col(self, c: str, oids: np.ndarray, vals: np.ndarray) -> None:
+        t = self.types[c]
+        if t.kind == Kind.STR:
+            vals = vals.astype(str)
+            merged = np.unique(np.concatenate([self.dicts[c], vals]))
+            if not np.array_equal(merged, self.dicts[c]):
+                remap = np.searchsorted(merged, self.dicts[c]).astype(np.int32)
+                oc = self.cols[c]
+                self.cols[c] = np.where(oc >= 0, remap[np.clip(oc, 0, None)],
+                                        oc).astype(np.int32)
+                self.dicts[c] = merged
+            self.cols[c][oids] = np.searchsorted(self.dicts[c], vals)
+        else:
+            self.cols[c][oids] = vals.astype(t.np_dtype, copy=False)
+        self.version += 1
+
+
+class Database:
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.tables: Dict[str, TableData] = {}
+        self._device: Dict[str, Tuple[int, Table, np.ndarray]] = {}
+        self._txn_undo: Optional[Dict[str, TableData]] = None
+        self._txn_recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
+        self._next_txn = 1
+        self.wal: Optional[Wal] = None
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
+            os.makedirs(os.path.join(path, "data"), exist_ok=True)
+            self._load_manifest()
+            self._replay_wal()
+            self.wal = Wal(os.path.join(path, "wal.log"))
+
+    # ======================================================================
+    # durability
+    # ======================================================================
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _load_manifest(self) -> None:
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            man = json.load(f)
+        for tname, tinfo in man["tables"].items():
+            schema = [(c, tag_type(tag)) for c, tag in tinfo["schema"]]
+            td = TableData(tname, schema)
+            for c, _t in schema:
+                td.cols[c] = np.load(os.path.join(
+                    self.path, "data", f"{tname}.{c}.npy"))
+                dp = os.path.join(self.path, "data", f"{tname}.{c}.dict.npy")
+                if os.path.exists(dp):
+                    td.dicts[c] = np.load(dp)
+            td.deleted = np.load(os.path.join(
+                self.path, "data", f"{tname}.__deleted__.npy"))
+            self.tables[tname] = td
+
+    def _replay_wal(self) -> None:
+        wp = os.path.join(self.path, "wal.log")
+        for rtype, _txn, meta, arrays in Wal.replay(wp):
+            self._apply(rtype, meta, arrays)
+
+    def _apply(self, rtype: int, meta: dict,
+               arrays: Dict[str, np.ndarray]) -> None:
+        if rtype == REC_CREATE:
+            schema = [(c, tag_type(tag)) for c, tag in meta["schema"]]
+            self.tables[meta["table"]] = TableData(meta["table"], schema)
+        elif rtype == REC_DROP:
+            self.tables.pop(meta["table"], None)
+            self._device.pop(meta["table"], None)
+        elif rtype == REC_INSERT:
+            self.tables[meta["table"]].append(arrays)
+        elif rtype == REC_DELETE:
+            self.tables[meta["table"]].delete_oids(arrays["oids"])
+        elif rtype == REC_UPDATE:
+            self.tables[meta["table"]].update_col(
+                meta["col"], arrays["oids"], arrays["vals"])
+
+    def checkpoint(self) -> None:
+        """store_apply_deltas + BBPsync: write column files, atomically swap
+        the manifest, truncate the WAL."""
+        if self.path is None:
+            return
+        man = {"version": 1, "tables": {}}
+        for tname, td in self.tables.items():
+            for c in td.order:
+                np.save(os.path.join(self.path, "data", f"{tname}.{c}.npy"),
+                        td.cols[c])
+                if td.types[c].kind == Kind.STR:
+                    np.save(os.path.join(self.path, "data",
+                                         f"{tname}.{c}.dict.npy"),
+                            td.dicts[c])
+            np.save(os.path.join(self.path, "data",
+                                 f"{tname}.__deleted__.npy"), td.deleted)
+            man["tables"][tname] = {
+                "schema": [[c, type_tag(td.types[c])] for c in td.order],
+                "count": td.count,
+            }
+        tmp = self._manifest_path() + ".new"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())   # the atomic commit point
+        if self.wal is not None:
+            self.wal.truncate()
+
+    def snapshot(self, tar_path: str) -> None:
+        """Hot snapshot: consistent tar of the db dir (store.c:2903)."""
+        self.checkpoint()
+        with tarfile.open(tar_path, "w") as tar:
+            tar.add(self._manifest_path(), arcname="manifest.json")
+            tar.add(os.path.join(self.path, "data"), arcname="data")
+
+    @staticmethod
+    def restore(tar_path: str, dest: str) -> "Database":
+        os.makedirs(dest, exist_ok=True)
+        with tarfile.open(tar_path) as tar:
+            tar.extractall(dest, filter="data")
+        return Database(dest)
+
+    # ======================================================================
+    # transactions (sql_trans_create/commit/rollback, store.c:3889+)
+    # ======================================================================
+    def begin(self) -> None:
+        if self._txn_undo is not None:
+            raise RuntimeError("nested transactions unsupported")
+        self._txn_undo = {}
+        self._txn_recs = []
+
+    def _undo_save(self, tname: str) -> None:
+        if self._txn_undo is not None and tname not in self._txn_undo:
+            self._txn_undo[tname] = self.tables[tname].copy() \
+                if tname in self.tables else None
+
+    def commit(self) -> None:
+        if self._txn_undo is None:
+            raise RuntimeError("no transaction")
+        txn = self._next_txn
+        self._next_txn += 1
+        if self.wal is not None:
+            for rtype, meta, arrays in self._txn_recs:
+                self.wal.append(rtype, txn, meta, arrays, flush=False)
+            self.wal.commit(txn)
+        self._txn_undo = None
+        self._txn_recs = []
+
+    def rollback(self) -> None:
+        if self._txn_undo is None:
+            raise RuntimeError("no transaction")
+        for tname, saved in self._txn_undo.items():
+            if saved is None:
+                self.tables.pop(tname, None)
+            else:
+                self.tables[tname] = saved
+            self._device.pop(tname, None)
+        self._txn_undo = None
+        self._txn_recs = []
+
+    def _log(self, rtype: int, meta: dict,
+             arrays: Optional[Dict[str, np.ndarray]] = None) -> None:
+        arrays = arrays or {}
+        if self._txn_undo is not None:
+            self._txn_recs.append((rtype, meta, arrays))
+        elif self.wal is not None:
+            txn = self._next_txn
+            self._next_txn += 1
+            self.wal.append(rtype, txn, meta, arrays, flush=False)
+            self.wal.commit(txn)
+
+    # ======================================================================
+    # DDL / DML (physical domain)
+    # ======================================================================
+    def create_table(self, name: str,
+                     schema: List[Tuple[str, SQLType]]) -> None:
+        name = name.lower()
+        if name in self.tables:
+            raise ValueError(f"table {name} exists")
+        self._undo_save(name)
+        self.tables[name] = TableData(name, [(c.lower(), t)
+                                             for c, t in schema])
+        self._log(REC_CREATE, {"table": name, "schema": [
+            [c.lower(), type_tag(t)] for c, t in schema]})
+
+    def drop_table(self, name: str) -> None:
+        name = name.lower()
+        self._undo_save(name)
+        self.tables.pop(name, None)
+        self._device.pop(name, None)
+        self._log(REC_DROP, {"table": name})
+
+    def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
+        name = name.lower()
+        self._undo_save(name)
+        td = self.tables[name]
+        arrays = {c.lower(): v for c, v in arrays.items()}
+        td.append(arrays)
+        self._log(REC_INSERT, {"table": name}, arrays)
+        self._device.pop(name, None)
+        return len(next(iter(arrays.values())))
+
+    def delete(self, name: str, oids: np.ndarray) -> int:
+        name = name.lower()
+        self._undo_save(name)
+        self.tables[name].delete_oids(oids)
+        self._log(REC_DELETE, {"table": name},
+                  {"oids": oids.astype(np.int64)})
+        self._device.pop(name, None)
+        return len(oids)
+
+    def update(self, name: str, col: str, oids: np.ndarray,
+               vals: np.ndarray) -> int:
+        name = name.lower()
+        self._undo_save(name)
+        self.tables[name].update_col(col.lower(), oids, vals)
+        self._log(REC_UPDATE, {"table": name, "col": col.lower()},
+                  {"oids": oids.astype(np.int64), "vals": vals})
+        self._device.pop(name, None)
+        return len(oids)
+
+    # ======================================================================
+    # device materialization (the sql.bind/tid delta read path)
+    # ======================================================================
+    def table(self, name: str) -> Tuple[Table, np.ndarray]:
+        """Device Table of visible rows + vis_oids (device row → storage oid
+        mapping, the tid candidate list)."""
+        name = name.lower()
+        td = self.tables[name]
+        cached = self._device.get(name)
+        if cached is not None and cached[0] == td.version:
+            return cached[1], cached[2]
+        vis = ~td.deleted
+        vis_oids = np.nonzero(vis)[0].astype(np.int64)
+        cols = {}
+        for c in td.order:
+            t = td.types[c]
+            arr = td.cols[c][vis]
+            cols[c] = make_device_column(
+                arr, t, td.dicts.get(c) if t.kind == Kind.STR else None)
+        # hidden rowid (the tid candidate): device row → storage oid
+        from ..dtypes import I64 as _I64
+        cols["__rowid__"] = make_device_column(vis_oids, _I64)
+        tbl = Table.from_dict(name, cols)
+        self._device[name] = (td.version, tbl, vis_oids)
+        return tbl, vis_oids
+
+    def catalog(self) -> Catalog:
+        cat = Catalog()
+        for name in self.tables:
+            cat.add(self.table(name)[0])
+        return cat
+
+    def close(self) -> None:
+        if self.wal is not None:
+            self.wal.close()
