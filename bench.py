@@ -87,13 +87,17 @@ def main():
         ch = dp * (100 + tax)
         ones = jnp.ones_like(qty)
 
+        slots = jax.lax.iota(jnp.int32, domain)[None, :]
+
         def body(acc, cutoff):
             m = (code >= 0) & (shipdate <= cutoff)
-            safe = jnp.where(m, code, domain)
+            # one-hot reduction: scatter-add to a tiny domain crashes the
+            # v5e worker (s64 scatter); a fused masked broadcast-reduce is
+            # the roofline-friendly form for dense group domains
+            oh = m[:, None] & (code[:, None] == slots)
 
             def seg(v):
-                return jnp.zeros(domain + 1, jnp.int64).at[safe].add(
-                    jnp.where(m, v, 0))[:domain]
+                return jnp.sum(jnp.where(oh, v[:, None], 0), axis=0)
 
             parts = seg(qty) + seg(extp.astype(jnp.int64)) + seg(dp) \
                 + seg(ch) + seg(disc) + seg(ones)

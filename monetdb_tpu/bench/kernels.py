@@ -37,11 +37,13 @@ def q1_step(code, shipdate, qty, extp, disc, tax, cutoff, *, domain: int = 8):
     one_plus = 100 + tax
     dp = extp * one_minus
     ch = dp * one_plus
-    safe = jnp.where(m, code.astype(jnp.int32), domain)
+    # one-hot masked reduction per dense-domain slot: the TPU-safe segmented
+    # sum for small domains (s64 scatter-add faults the v5e worker)
+    oh = m[:, None] & (code[:, None] == jax.lax.iota(jnp.int32, domain)[None])
 
     def seg(v):
-        return jnp.zeros(domain + 1, jnp.int64).at[safe].add(
-            jnp.where(m, v, 0).astype(jnp.int64))[:domain]
+        return jnp.sum(jnp.where(oh, v.astype(jnp.int64)[:, None], 0),
+                       axis=0)
 
     return (seg(qty), seg(extp), seg(dp), seg(ch), seg(disc),
             seg(jnp.ones_like(qty)))

@@ -53,9 +53,9 @@ def two_phase_sum(mesh: Mesh, vals: jax.Array, keys: jax.Array,
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)), out_specs=P())
     def run(v, k, m):
-        safe = jnp.where(m, k.astype(jnp.int32), domain)
-        part = jnp.zeros(domain + 1, v.dtype).at[safe].add(
-            jnp.where(m, v, 0))[:domain]
+        oh = m[:, None] & (k.astype(jnp.int32)[:, None]
+                           == jax.lax.iota(jnp.int32, domain)[None])
+        part = jnp.sum(jnp.where(oh, v[:, None], v.dtype.type(0)), axis=0)
         return jax.lax.psum(part, AXIS)
 
     return run(vals, keys, mask)
@@ -104,11 +104,12 @@ def sharded_q1(mesh: Mesh, domain: int = 8):
         one_plus = 100 + tax
         dp = extp * one_minus          # scale 4
         ch = dp * one_plus             # scale 6
-        safe = jnp.where(m, code.astype(jnp.int32), domain)
+        oh = m[:, None] & (code[:, None]
+                           == jax.lax.iota(jnp.int32, domain)[None])
 
         def seg(v):
-            return jnp.zeros(domain + 1, jnp.int64).at[safe].add(
-                jnp.where(m, v, 0).astype(jnp.int64))[:domain]
+            return jnp.sum(jnp.where(oh, v.astype(jnp.int64)[:, None], 0),
+                           axis=0)
 
         parts = (seg(qty), seg(extp), seg(dp), seg(ch), seg(disc),
                  seg(jnp.ones_like(qty)))

@@ -1,0 +1,161 @@
+"""sqllogictest runner — compatible with the reference's extended dialect
+(testing/sqllogictest.py: statement ok/error, query <typesig> <sortmode>
+[label], expected values or "N values hashing to <md5>").
+
+Record grammar:
+    statement ok
+    <sql>
+
+    statement error
+    <sql>
+
+    query <T|I|R...> [nosort|rowsort|valuesort] [label]
+    <sql>
+    ----
+    <expected values, one per line, row-major>
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+from decimal import Decimal
+from typing import List, Optional
+
+__all__ = ["SqlLogicRunner", "SqlLogicError"]
+
+
+class SqlLogicError(AssertionError):
+    pass
+
+
+def _fmt(v, t: str) -> str:
+    """Value formatting per type char (sqllogictest.py:492 conventions)."""
+    if v is None:
+        return "NULL"
+    if t == "I":
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        return str(int(v))
+    if t == "R":
+        return "%.3f" % float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)
+
+
+class SqlLogicRunner:
+    def __init__(self, session):
+        self.session = session
+        self.n_run = 0
+
+    def run_file(self, path: str) -> int:
+        with open(path) as f:
+            text = f.read()
+        return self.run_text(text, path)
+
+    def run_text(self, text: str, name: str = "<string>") -> int:
+        lines = text.split("\n")
+        i = 0
+        n = len(lines)
+        while i < n:
+            line = lines[i].strip()
+            if not line or line.startswith("#"):
+                i += 1
+                continue
+            if line.startswith("statement"):
+                expect_err = line.split()[1] == "error"
+                i += 1
+                sql, i = self._read_sql(lines, i)
+                self._statement(sql, expect_err, name, i)
+            elif line.startswith("query"):
+                parts = line.split()
+                typesig = parts[1]
+                sortmode = parts[2] if len(parts) > 2 else "nosort"
+                i += 1
+                sql, i = self._read_sql(lines, i, stop="----")
+                expected, i = self._read_expected(lines, i)
+                self._query(sql, typesig, sortmode, expected, name, i)
+            elif line.startswith(("hash-threshold", "halt", "mode",
+                                  "onlyif", "skipif")):
+                i += 1
+                continue
+            else:
+                raise SqlLogicError(f"{name}:{i+1}: bad record {line!r}")
+        return self.n_run
+
+    def _read_sql(self, lines, i, stop=None):
+        sql_lines: List[str] = []
+        while i < len(lines):
+            ln = lines[i]
+            if ln.strip() == "" or (stop and ln.strip() == stop):
+                if stop and i < len(lines) and lines[i].strip() == stop:
+                    i += 1
+                else:
+                    i += 1
+                break
+            sql_lines.append(ln)
+            i += 1
+        return "\n".join(sql_lines), i
+
+    def _read_expected(self, lines, i):
+        vals: List[str] = []
+        while i < len(lines) and lines[i].strip() != "":
+            vals.append(lines[i].rstrip("\n"))
+            i += 1
+        return vals, i
+
+    def _statement(self, sql: str, expect_err: bool, name, lineno):
+        self.n_run += 1
+        try:
+            self.session.sql(sql)
+        except Exception as ex:
+            if expect_err:
+                return
+            raise SqlLogicError(
+                f"{name}:{lineno}: statement failed: {ex}\n{sql}") from ex
+        if expect_err:
+            raise SqlLogicError(
+                f"{name}:{lineno}: statement succeeded, error expected\n{sql}")
+
+    def _query(self, sql: str, typesig: str, sortmode: str,
+               expected: List[str], name, lineno):
+        self.n_run += 1
+        res = self.session.sql(sql)
+        ncols = len(typesig)
+        got: List[str] = []
+        for row in res.rows:
+            if len(row) != ncols:
+                raise SqlLogicError(
+                    f"{name}:{lineno}: {len(row)} cols, typesig {typesig}")
+            for v, t in zip(row, typesig):
+                got.append(_fmt(v, t))
+        if sortmode == "rowsort":
+            rows = [got[k:k + ncols] for k in range(0, len(got), ncols)]
+            rows.sort()
+            got = [v for r in rows for v in r]
+        elif sortmode == "valuesort":
+            got.sort()
+        if (len(expected) == 1 and "values hashing to" in expected[0]):
+            want_n, want_md5 = self._parse_hash(expected[0])
+            md5 = hashlib.md5(("\n".join(got) + "\n").encode()).hexdigest()
+            if len(got) != want_n or md5 != want_md5:
+                raise SqlLogicError(
+                    f"{name}:{lineno}: hash mismatch ({len(got)} values, "
+                    f"{md5})\n{sql}")
+            return
+        if got != [e.strip() for e in expected]:
+            diff = "\n".join(
+                f"  got={g!r} want={w!r}" for g, w in
+                list(zip(got + ["<missing>"] * len(expected),
+                         [e.strip() for e in expected] +
+                         ["<missing>"] * len(got)))[:10])
+            raise SqlLogicError(
+                f"{name}:{lineno}: result mismatch\n{sql}\n{diff}")
+
+    @staticmethod
+    def _parse_hash(line: str):
+        parts = line.split()
+        return int(parts[0]), parts[-1]
