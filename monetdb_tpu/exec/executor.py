@@ -203,6 +203,63 @@ def _distinct_counts(ids, ext, ng2, nil_at_ext, *, seg_cap: int):
 
 
 @jax.jit
+def _eq_nil_as_value(a, b):
+    """Equality with NULL == NULL (set-operation matching semantics)."""
+    if a.dtype.kind == "f":
+        na, nb = jnp.isnan(a), jnp.isnan(b)
+    else:
+        nil = jnp.iinfo(a.dtype).min
+        na, nb = a == nil, b == nil
+    return (a == b) | (na & nb)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _concat_vals(a, na, b, nb, nil, *, out_cap: int):
+    out = jnp.full(out_cap, nil, a.dtype)
+    ia = jax.lax.iota(jnp.int64, a.shape[0])
+    pa = jnp.where(ia < na, ia, out_cap)
+    out = out.at[pa].set(a, mode="drop")
+    ib = jax.lax.iota(jnp.int64, b.shape[0])
+    pb = jnp.where(ib < nb, ib + na, out_cap)
+    return out.at[pb].set(b, mode="drop")
+
+
+def _concat_cols(a: Column, b: Column, na: int, nb: int) -> Column:
+    """Vertical concatenation (BATappend analog) with dictionary merge for
+    strings and scale alignment for decimals."""
+    n = na + nb
+    out_cap = capacity_for(n)
+    if a.typ.kind == Kind.STR or b.typ.kind == Kind.STR:
+        merged = np.unique(np.concatenate([a.sdict.values, b.sdict.values]))
+        def remap(col):
+            m = np.searchsorted(merged, col.sdict.values).astype(np.int32)
+            mj = jnp.asarray(m)
+            ok = col.data >= 0
+            return jnp.where(ok, mj[jnp.where(ok, col.data, 0)], col.data)
+        ad, bd = remap(a), remap(b)
+        data = _concat_vals(ad, jnp.int64(na), bd, jnp.int64(nb),
+                            a.typ.np_dtype.type(a.typ.nil), out_cap=out_cap)
+        return Column(a.typ, data, n, nonil=a.nonil and b.nonil,
+                      sdict=StrDict(merged))
+    sa = a.typ.scale if a.typ.kind == Kind.DECIMAL else 0
+    sb = b.typ.scale if b.typ.kind == Kind.DECIMAL else 0
+    if sa < sb:
+        a = _upscale_col(a, sb - sa)
+    elif sb < sa:
+        b = _upscale_col(b, sa - sb)
+    typ = a.typ if a.typ.np_dtype.itemsize >= b.typ.np_dtype.itemsize \
+        else b.typ
+    if a.typ.np_dtype != typ.np_dtype:
+        a = C.convert(a, typ)       # nil-sentinel-correct widening
+    if b.typ.np_dtype != typ.np_dtype:
+        b = C.convert(b, typ)
+    ad, bd = a.data, b.data
+    data = _concat_vals(ad, jnp.int64(na), bd, jnp.int64(nb),
+                        typ.np_dtype.type(typ.nil), out_cap=out_cap)
+    return Column(typ, data, n, nonil=a.nonil and b.nonil)
+
+
+@jax.jit
 def _unsort(vals, oids, cnt, nil):
     """Scatter sorted-domain values back to original row positions."""
     cap = oids.shape[0]
@@ -352,7 +409,50 @@ class Executor:
         return fr.gather(g.extents, g.ngroups)
 
     def _exec_setop(self, r: L.SetOp) -> Frame:
-        raise ExecError("set operations land with the sqllogictest milestone")
+        """UNION [ALL] / EXCEPT / INTERSECT. Set semantics follow SQL:
+        UNION/EXCEPT/INTERSECT deduplicate and treat NULLs as equal
+        (the reference lowers these to BATunique + BATdiff/BATintersect,
+        gdk/gdk_unique.c, gdk_join.c:4378/4395)."""
+        lf = self.exec_rel(r.left)
+        rf = self.exec_rel(r.right)
+        lcols = list(lf.cols.items())
+        rcols = list(rf.cols.items())
+        if len(lcols) != len(rcols):
+            raise ExecError("set operands differ in arity")
+        if r.kind in ("union", "union_all"):
+            n = lf.count + rf.count
+            out = {}
+            for (lk, lc), (_rk, rc) in zip(lcols, rcols):
+                out[lk] = _concat_cols(lc, rc, lf.count, rf.count)
+            frame = Frame(out, n)
+            if r.kind == "union":
+                g = G.group_multi(list(frame.cols.values()))
+                frame = frame.gather(g.extents, g.ngroups)
+            return frame
+        # except / intersect: dedupe left, then anti/semi match on all cols
+        g = G.group_multi([c for _k, c in lcols])
+        lf = lf.gather(g.extents, g.ngroups)
+        lcols = list(lf.cols.items())
+        l0, r0 = self._align_join_keys(lcols[0][1], rcols[0][1])
+        r1, r2, total = J.join(l0, r0, nil_matches=True, how="left")
+        for (_lk, lc), (_rk, rc) in zip(lcols[1:], rcols[1:]):
+            lc, rc = self._align_join_keys(lc, rc)
+            lp = P.project_oids(r1, total, lc)
+            rp = P.project_oids(r2, total, rc)
+            eq = _eq_nil_as_value(lp.data, rp.data)
+            c = S.materialize(Cand.from_mask(eq, total), lp.cap)
+            r1 = P.project_oids(c.oids, c.oid_count,
+                                Column(OID, r1, total)).data
+            r2 = P.project_oids(c.oids, c.oid_count,
+                                Column(OID, r2, total)).data
+            total = c.oid_count
+        m = _matched_mask(r1, jnp.int64(total), cap=lf.cap)
+        cand = Cand.from_mask(m, lf.count)
+        if r.kind == "except":
+            cand = S.cand_not(cand, lf.cap)
+        elif r.kind != "intersect":
+            raise ExecError(f"set op {r.kind}")
+        return self._apply_cand(lf, cand)
 
     # -- group by -------------------------------------------------------------
     def _exec_groupby(self, r: L.GroupBy) -> Frame:
@@ -411,6 +511,14 @@ class Executor:
             return A.group_min(col, g)
         if func == "max":
             return A.group_max(col, g)
+        if func == "prod":
+            return A.group_prod(col, g)
+        if func in ("stddev_samp", "stddev_pop"):
+            return A.group_stdev(col, g, sample=func.endswith("samp"))
+        if func in ("var_samp", "var_pop"):
+            return A.group_var(col, g, sample=func.endswith("samp"))
+        if func == "median":
+            return A.group_median(col, g)
         raise ExecError(f"aggregate {func} unsupported")
 
     # -- joins ----------------------------------------------------------------
@@ -794,7 +902,68 @@ class Executor:
                 nv = -v.value if e.name == "neg" else abs(v.value)
                 return Scalar(nv, v.typ)
             return C.unop(e.name, v)
+        if e.name in ("upper", "ucase", "lower", "lcase", "trim", "ltrim",
+                      "rtrim"):
+            col = self.eval(e.args[0], fr)
+            fn = {"upper": SF.upper, "ucase": SF.upper, "lower": SF.lower,
+                  "lcase": SF.lower, "trim": SF.trim, "ltrim": SF.ltrim,
+                  "rtrim": SF.rtrim}[e.name]
+            return fn(col)
+        if e.name in ("length", "char_length", "character_length"):
+            return SF.length(self.eval(e.args[0], fr))
+        if e.name == "replace":
+            col = self.eval(e.args[0], fr)
+            old = self.eval(e.args[1], fr).value
+            new = self.eval(e.args[2], fr).value
+            return SF.replace(col, str(old), str(new))
+        if e.name in ("locate", "position"):
+            # locate(sub, s) (MonetDB modules/atoms/str.c convention)
+            sub = self.eval(e.args[0], fr).value
+            col = self.eval(e.args[1], fr)
+            return SF.position(col, str(sub))
+        if e.name in ("lpad", "rpad"):
+            col = self.eval(e.args[0], fr)
+            k = int(self.eval(e.args[1], fr).value)
+            fill = " "
+            if len(e.args) > 2:
+                fill = str(self.eval(e.args[2], fr).value)
+            fn = SF.lpad if e.name == "lpad" else SF.rpad
+            return fn(col, k, fill)
+        if e.name == "concat":
+            a = self.eval(e.args[0], fr)
+            b = self.eval(e.args[1], fr)
+            if isinstance(a, Column) and isinstance(b, Scalar):
+                return SF.concat(a, str(b.value))
+            raise ExecError("concat shape unsupported")
+        if e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos", "tan",
+                      "floor", "ceil", "ceiling", "power", "mod"):
+            return self._eval_math(e, fr)
         raise ExecError(f"function {e.name} unsupported")
+
+    def _eval_math(self, e: Func, fr: Frame):
+        """mmath/batmmath parity (modules/kernel/batmmath.c): float math
+        over f64 with nil (NaN) propagation for free."""
+        a = self.eval(e.args[0], fr)
+        if isinstance(a, Scalar):
+            a = self._broadcast(a, fr)
+        x = _to_f64_col(a).data
+        nm = e.name
+        if nm == "power":
+            b = self.eval(e.args[1], fr)
+            p = _to_f64_scalar(b) if isinstance(b, Scalar) else \
+                _to_f64_col(b).data
+            out = x ** p
+        elif nm == "mod":
+            b = self.eval(e.args[1], fr)
+            return self._binop_dispatch("mod", a, b, None, fr)
+        else:
+            fn = {"sqrt": jnp.sqrt, "ln": jnp.log, "log10": jnp.log10,
+                  "exp": jnp.exp, "sin": jnp.sin, "cos": jnp.cos,
+                  "tan": jnp.tan, "floor": jnp.floor,
+                  "ceil": jnp.ceil, "ceiling": jnp.ceil}[nm]
+            out = fn(x)
+        out = jnp.where(valid_mask(a.cap, a.count), out, jnp.nan)
+        return Column(F64, out, a.count, nonil=False)
 
     def _eval_cast(self, e: Cast, fr: Frame):
         v = self.eval(e.arg, fr)

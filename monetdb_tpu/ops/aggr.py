@@ -262,3 +262,83 @@ def scalar_min(col, cand=None):
 
 def scalar_max(col, cand=None):
     return group_max(col, _one_group(col, cand))
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates (gdk_aggr.c: BATgroupvariance/stdev :~2800,
+# BATgroupmedian/quantile :4233) — two-pass moments and sort-based quantiles
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap", "sample"))
+def _var_kernel(x, ids, count, *, seg_cap: int, sample: bool):
+    cap = ids.shape[0]
+    live = valid_mask(cap, count) & (ids >= 0)
+    nilm = _nilmask(x)
+    use = live & ~nilm
+    xf = jnp.where(use, x.astype(jnp.float64), 0.0)
+    sid = jnp.where(use, ids.astype(jnp.int64), seg_cap)
+    s1 = jnp.zeros(seg_cap + 1, jnp.float64).at[sid].add(xf)[:seg_cap]
+    s2 = jnp.zeros(seg_cap + 1, jnp.float64).at[sid].add(xf * xf)[:seg_cap]
+    n = jnp.zeros(seg_cap + 1, jnp.int64).at[sid].add(
+        use.astype(jnp.int64))[:seg_cap]
+    denom = jnp.maximum(n - 1, 1) if sample else jnp.maximum(n, 1)
+    var = (s2 - s1 * s1 / jnp.maximum(n, 1)) / denom
+    var = jnp.maximum(var, 0.0)  # fp guard
+    bad = (n <= 1) if sample else (n == 0)
+    return jnp.where(bad, jnp.nan, var), n
+
+
+def group_var(col: Column, g: GroupResult, sample: bool = True,
+              skip_nils: bool = True) -> Column:
+    """BATgroupvariance; scale-aware for decimals (divides by 10^2s)."""
+    var, _ = _var_kernel(col.data, g.ids, jnp.int64(g.base_count),
+                         seg_cap=g.seg_cap, sample=sample)
+    if col.typ.kind == Kind.DECIMAL and col.typ.scale:
+        var = var / (10.0 ** (2 * col.typ.scale))
+    return Column(F64, var, g.ngroups, nonil=False)
+
+
+def group_stdev(col: Column, g: GroupResult, sample: bool = True,
+                skip_nils: bool = True) -> Column:
+    v = group_var(col, g, sample, skip_nils)
+    return Column(F64, jnp.sqrt(v.data), g.ngroups, nonil=False)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap",))
+def _quantile_kernel(x, ids, count, q, *, seg_cap: int):
+    """Sort (gid, value) then gather the interpolated q-position per group."""
+    cap = ids.shape[0]
+    live = valid_mask(cap, count) & (ids >= 0)
+    nilm = _nilmask(x)
+    use = live & ~nilm
+    gid = jnp.where(use, ids.astype(jnp.int64), seg_cap)
+    xf = x.astype(jnp.float64)
+    key = jnp.where(use, xf, jnp.inf)
+    g_s, v_s = jax.lax.sort((gid, key), num_keys=2)
+    # group start offsets + counts
+    n = jnp.zeros(seg_cap + 1, jnp.int64).at[gid].add(
+        use.astype(jnp.int64))[:seg_cap]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                              jnp.cumsum(n)])[:seg_cap]
+    pos = q * jnp.maximum(n - 1, 0).astype(jnp.float64)
+    lo = jnp.floor(pos).astype(jnp.int64)
+    hi = jnp.ceil(pos).astype(jnp.int64)
+    frac = pos - lo.astype(jnp.float64)
+    vlo = v_s[jnp.clip(starts + lo, 0, cap - 1)]
+    vhi = v_s[jnp.clip(starts + hi, 0, cap - 1)]
+    out = vlo + (vhi - vlo) * frac
+    return jnp.where(n == 0, jnp.nan, out)
+
+
+def group_quantile(col: Column, g: GroupResult, q: float) -> Column:
+    """BATgroupquantile_avg (gdk/gdk_aggr.c:4233): interpolated quantile."""
+    out = _quantile_kernel(col.data, g.ids, jnp.int64(g.base_count),
+                           jnp.float64(q), seg_cap=g.seg_cap)
+    if col.typ.kind == Kind.DECIMAL and col.typ.scale:
+        out = out / (10.0 ** col.typ.scale)
+    return Column(F64, out, g.ngroups, nonil=False)
+
+
+def group_median(col: Column, g: GroupResult) -> Column:
+    return group_quantile(col, g, 0.5)

@@ -120,3 +120,70 @@ def concat(a: Column, b) -> Column:
         return map_dict(a, lambda v: v + b)
     raise NotImplementedError("column||column concat lands with the full "
                               "batstr parity milestone")
+
+
+def map_dict_int(col: Column, fn) -> Column:
+    """Per-distinct-value host function returning ints → device gather
+    (length/position family, reference gdk/gdk_string.c str_length etc.)."""
+    from ..dtypes import I32
+    import numpy as np_
+    lut = np_.fromiter((int(fn(v)) for v in col.sdict.values),
+                       count=len(col.sdict), dtype=np_.int32)
+    lutj = jnp.asarray(lut)
+    codes = col.data
+    ok = codes >= 0
+    nil = np_.int32(np_.iinfo(np_.int32).min)
+    out = jnp.where(ok, lutj[jnp.where(ok, codes, 0)], nil)
+    from ..column import valid_mask as _vm
+    out = jnp.where(_vm(col.cap, col.count), out, nil)
+    return Column(I32, out, col.count, nonil=col.nonil)
+
+
+# scalar string library over dictionaries (batstr.c parity set)
+def upper(col):
+    return map_dict(col, str.upper)
+
+
+def lower(col):
+    return map_dict(col, str.lower)
+
+
+def trim(col):
+    return map_dict(col, str.strip)
+
+
+def ltrim(col):
+    return map_dict(col, str.lstrip)
+
+
+def rtrim(col):
+    return map_dict(col, str.rstrip)
+
+
+def length(col):
+    return map_dict_int(col, len)
+
+
+def replace(col, old: str, new: str):
+    return map_dict(col, lambda v: v.replace(old, new))
+
+
+def position(col, sub: str):
+    """SQL POSITION(sub IN s): 1-based, 0 when absent."""
+    return map_dict_int(col, lambda v: v.find(sub) + 1)
+
+
+def left_str(col, k: int):
+    return map_dict(col, lambda v: v[:max(k, 0)])
+
+
+def right_str(col, k: int):
+    return map_dict(col, lambda v: v[-k:] if k > 0 else "")
+
+
+def lpad(col, k: int, fill: str = " "):
+    return map_dict(col, lambda v: v.rjust(k, fill)[:k])
+
+
+def rpad(col, k: int, fill: str = " "):
+    return map_dict(col, lambda v: v.ljust(k, fill)[:k])

@@ -818,8 +818,18 @@ class Binder:
         if isinstance(e, Func):
             if e.name.startswith("extract_"):
                 e.typ = I32
-            elif e.name == "substring":
+            elif e.name in ("substring", "upper", "ucase", "lower", "lcase",
+                            "trim", "ltrim", "rtrim", "replace", "lpad",
+                            "rpad", "concat"):
                 e.typ = varchar()
+            elif e.name in ("length", "char_length", "character_length",
+                            "locate", "position"):
+                e.typ = I32
+            elif e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos",
+                            "tan", "power"):
+                e.typ = F64
+            elif e.name in ("floor", "ceil", "ceiling"):
+                e.typ = F64
             elif e.name in ("neg", "abs"):
                 e.typ = e.args[0].typ
             else:

@@ -79,8 +79,10 @@ def to_physical_np(values, typ: SQLType) -> np.ndarray:
     from decimal import Decimal as PyDecimal
 
     if typ.kind == Kind.STR:
-        return np.array(["" if v is None else str(v) for v in values],
-                        dtype=str)
+        # object array preserving None: the dictionary encoder maps None to
+        # the nil code (int32 min), matching str_nil in the reference
+        return np.array([None if v is None else str(v) for v in values],
+                        dtype=object)
     out = np.empty(len(values), typ.np_dtype)
     nil = typ.nil
     for i, v in enumerate(values):

@@ -74,27 +74,36 @@ class TableData:
             t = self.types[c]
             a = arrays[c]
             if t.kind == Kind.STR:
-                self._append_strings(c, a.astype(str))
+                self._append_strings(c, a)
             else:
                 self.cols[c] = np.concatenate(
                     [self.cols[c], a.astype(t.np_dtype, copy=False)])
         self.deleted = np.concatenate([self.deleted, np.zeros(n, np.bool_)])
         self.version += 1
 
+    _NIL_CODE = np.int32(np.iinfo(np.int32).min)
+
     def _append_strings(self, c: str, new: np.ndarray) -> None:
         """Order-preserving dictionary maintenance: merge, remap old codes
         (the engine-wide invariant that code order == string order; the
-        reference's dict.c rebuilds on overflow the same way)."""
+        reference's dict.c rebuilds on overflow the same way). None entries
+        (SQL NULL) get the nil code and never enter the dictionary."""
+        new = np.asarray(new, dtype=object)
+        isnil = np.array([v is None for v in new], dtype=bool)
+        vals = new[~isnil].astype(str) if (~isnil).any() else \
+            np.empty(0, dtype=str)
         old_dict = self.dicts[c]
-        merged = np.unique(np.concatenate([old_dict, new])) if len(new) else \
-            old_dict
-        if len(merged) != len(old_dict) or not np.array_equal(merged, old_dict):
+        merged = np.unique(np.concatenate([old_dict, vals])) if len(vals) \
+            else old_dict
+        if not np.array_equal(merged, old_dict):
             remap = np.searchsorted(merged, old_dict).astype(np.int32)
             old_codes = self.cols[c]
             self.cols[c] = np.where(old_codes >= 0, remap[np.clip(
                 old_codes, 0, None)], old_codes).astype(np.int32)
             self.dicts[c] = merged
-        codes = np.searchsorted(self.dicts[c], new).astype(np.int32)
+        codes = np.full(len(new), self._NIL_CODE, np.int32)
+        if len(vals):
+            codes[~isnil] = np.searchsorted(self.dicts[c], vals)
         self.cols[c] = np.concatenate([self.cols[c], codes])
 
     def delete_oids(self, oids: np.ndarray) -> None:
@@ -104,15 +113,21 @@ class TableData:
     def update_col(self, c: str, oids: np.ndarray, vals: np.ndarray) -> None:
         t = self.types[c]
         if t.kind == Kind.STR:
-            vals = vals.astype(str)
-            merged = np.unique(np.concatenate([self.dicts[c], vals]))
+            vals = np.asarray(vals, dtype=object)
+            isnil = np.array([v is None for v in vals], dtype=bool)
+            nn = vals[~isnil].astype(str) if (~isnil).any() else \
+                np.empty(0, dtype=str)
+            merged = np.unique(np.concatenate([self.dicts[c], nn]))
             if not np.array_equal(merged, self.dicts[c]):
                 remap = np.searchsorted(merged, self.dicts[c]).astype(np.int32)
                 oc = self.cols[c]
                 self.cols[c] = np.where(oc >= 0, remap[np.clip(oc, 0, None)],
                                         oc).astype(np.int32)
                 self.dicts[c] = merged
-            self.cols[c][oids] = np.searchsorted(self.dicts[c], vals)
+            codes = np.full(len(vals), self._NIL_CODE, np.int32)
+            if len(nn):
+                codes[~isnil] = np.searchsorted(self.dicts[c], nn)
+            self.cols[c][oids] = codes
         else:
             self.cols[c][oids] = vals.astype(t.np_dtype, copy=False)
         self.version += 1
@@ -166,6 +181,7 @@ class Database:
 
     def _apply(self, rtype: int, meta: dict,
                arrays: Dict[str, np.ndarray]) -> None:
+        arrays = self._wal_decode(arrays)
         if rtype == REC_CREATE:
             schema = [(c, tag_type(tag)) for c, tag in meta["schema"]]
             self.tables[meta["table"]] = TableData(meta["table"], schema)
@@ -261,9 +277,39 @@ class Database:
         self._txn_undo = None
         self._txn_recs = []
 
+    @staticmethod
+    def _wal_encode(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Object string arrays (with None) → '<U' values + nil-mask pairs
+        (npz can't hold object arrays without pickling)."""
+        out = {}
+        for k, a in arrays.items():
+            if a.dtype == object:
+                isnil = np.array([v is None for v in a], dtype=bool)
+                out[k + "@s"] = np.array(
+                    ["" if v is None else str(v) for v in a], dtype=str)
+                out[k + "@nil"] = isnil
+            else:
+                out[k] = a
+        return out
+
+    @staticmethod
+    def _wal_decode(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, a in arrays.items():
+            if k.endswith("@s"):
+                base = k[:-2]
+                nil = arrays[base + "@nil"]
+                obj = np.empty(len(a), dtype=object)
+                for i, (v, isnil) in enumerate(zip(a, nil)):
+                    obj[i] = None if isnil else str(v)
+                out[base] = obj
+            elif not k.endswith("@nil"):
+                out[k] = a
+        return out
+
     def _log(self, rtype: int, meta: dict,
              arrays: Optional[Dict[str, np.ndarray]] = None) -> None:
-        arrays = arrays or {}
+        arrays = self._wal_encode(arrays or {})
         if self._txn_undo is not None:
             self._txn_recs.append((rtype, meta, arrays))
         elif self.wal is not None:
