@@ -127,8 +127,28 @@ class Session:
             self.db.update(stmt.table, c, oids, vals)
         return len(oids)
 
-    # -- COPY INTO (tablet.c analog; host-side parse for now) -----------------
+    # -- COPY INTO (tablet.c analog: native parallel parser with Python
+    # fallback) ----------------------------------------------------------------
     def _copy(self, stmt: A.CopyFrom) -> int:
+        td = self.db.tables[stmt.table.lower()]
+        from .storage import csv_native
+        native_ok = all(td.types[c].kind in (Kind.INT, Kind.DECIMAL,
+                                             Kind.DATE, Kind.STR)
+                        or td.types[c].np_dtype.kind == "f"
+                        for c in td.order)
+        if native_ok and csv_native.native_available():
+            with open(stmt.path, "rb") as f:
+                data = f.read()
+            schema = [(c, td.types[c]) for c in td.order]
+            arrays = csv_native.parse_csv(data, stmt.delimiter, schema,
+                                          stmt.records)
+            n = len(next(iter(arrays.values()))) if arrays else 0
+            if n == 0:
+                return 0
+            return self.db.insert(stmt.table, arrays)
+        return self._copy_python(stmt)
+
+    def _copy_python(self, stmt: A.CopyFrom) -> int:
         td = self.db.tables[stmt.table.lower()]
         cols: List[List] = [[] for _ in td.order]
         limit = stmt.records
