@@ -72,11 +72,14 @@ class Engine:
         return self.query_stmt(sql, trace=trace)
 
     def query_stmt(self, sql_or_stmt, trace: bool = False) -> Result:
+        rel, out_cols = bind_select(self.catalog, sql_or_stmt)
+        return self.execute_plan(rel, out_cols, trace=trace)
+
+    def execute_plan(self, rel, out_cols, trace: bool = False) -> Result:
         """TRACE mode mirrors the reference's SQLsetTrace
         (sql/backends/monet5/sql_execute.c:61): per-operator events with
         timings, row counts and the chosen kernel algorithm."""
         events = None
-        rel, out_cols = bind_select(self.catalog, sql_or_stmt)
         if trace:
             from .obs import PROFILER
             PROFILER.start()

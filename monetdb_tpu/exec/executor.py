@@ -403,6 +403,34 @@ class Executor:
         c = S.materialize(Cand.dense(fr.count, lo, hi), fr.cap)
         return fr.gather(c.oids, c.oid_count)
 
+    def _exec_sample(self, r: L.Sample) -> Frame:
+        """BATsample (gdk/gdk_sample.c): uniform without replacement,
+        deterministic under SEED."""
+        fr = self.exec_rel(r.child)
+        n = min(r.n, fr.count)
+        rng = np.random.default_rng(r.seed if r.seed is not None else 0xC0FFEE)
+        picks = np.sort(rng.choice(fr.count, size=n, replace=False)) \
+            if fr.count else np.empty(0, np.int64)
+        cap = capacity_for(n)
+        oids = np.full(cap, -1, np.int64)
+        oids[:n] = picks
+        return fr.gather(jnp.asarray(oids), n)
+
+    def _exec_series(self, r: L.Series) -> Frame:
+        """generate_series(start, stop[, step]) — stop-exclusive lazy series
+        (reference backends/monet5/generator/generator.c)."""
+        step = r.step or 1
+        n = max(0, -(-(r.stop - r.start) // step)) if step != 0 else 0
+        cap = capacity_for(n)
+        vals = jax.lax.iota(jnp.int64, cap) * step + r.start
+        nil = jnp.int64(np.iinfo(np.int64).min)
+        vals = jnp.where(valid_mask(cap, n), vals, nil)
+        col = Column(I64, vals, n, nonil=True, sorted=step > 0,
+                     revsorted=step < 0, key=True)
+        col.minval, col.maxval = (r.start, r.start + (n - 1) * step) \
+            if n and step > 0 else (None, None)
+        return Frame({(r.alias, "value"): col}, n)
+
     def _exec_distinct(self, r: L.Distinct) -> Frame:
         fr = self.exec_rel(r.child)
         g = G.group_multi(list(fr.cols.values()))

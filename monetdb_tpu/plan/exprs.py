@@ -11,7 +11,7 @@ from ..dtypes import SQLType
 
 __all__ = ["Expr", "ColRef", "Const", "BinOp", "Cmp", "BoolOp", "Not",
            "IsNull", "Between", "InList", "Like", "Case", "Cast", "Func",
-           "AggRef", "WinRef", "Subquery", "Star"]
+           "AggRef", "WinRef", "Subquery", "Param", "Star"]
 
 
 @dataclasses.dataclass
@@ -196,6 +196,13 @@ class Subquery(Expr):
 
     def children(self):
         return [self.outer] if self.outer is not None else []
+
+
+@dataclasses.dataclass
+class Param(Expr):
+    """Prepared-statement placeholder '?' (reference: sql_parser.y
+    param markers, bound at EXECUTE time)."""
+    index: int
 
 
 @dataclasses.dataclass

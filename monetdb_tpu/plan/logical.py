@@ -11,7 +11,7 @@ from typing import List, Optional, Tuple
 from .exprs import Expr
 
 __all__ = ["Rel", "Scan", "Filter", "Project", "Join", "GroupBy", "OrderBy",
-           "Limit", "Distinct", "SetOp", "SubPlan"]
+           "Limit", "Distinct", "SetOp", "SubPlan", "Sample", "Series"]
 
 
 @dataclasses.dataclass
@@ -148,3 +148,31 @@ class SubPlan(Rel):
 
     def _label(self):
         return f"SubPlan as {self.alias}"
+
+
+@dataclasses.dataclass
+class Sample(Rel):
+    """Uniform sample without replacement (reference BATsample,
+    gdk/gdk_sample.c; SQL `... SAMPLE n [SEED s]`)."""
+    child: Rel
+    n: int
+    seed: Optional[int] = None
+
+    def children(self):
+        return [self.child]
+
+    def _label(self):
+        return f"Sample {self.n} seed={self.seed}"
+
+
+@dataclasses.dataclass
+class Series(Rel):
+    """Lazy integer series (reference generate_series,
+    sql/backends/monet5/generator/generator.c — stop-exclusive)."""
+    start: int
+    stop: int
+    step: int
+    alias: str
+
+    def _label(self):
+        return f"Series [{self.start},{self.stop}) step {self.step}"

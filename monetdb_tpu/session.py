@@ -29,12 +29,32 @@ __all__ = ["Session"]
 class Session:
     def __init__(self, db: Database):
         self.db = db
+        # plan cache (the reference's query cache, sql/server/sql_qc.c):
+        # sql text → (schema_epoch, rel, out_cols)
+        self._plan_cache: Dict[str, tuple] = {}
 
     # -- entry ----------------------------------------------------------------
     def sql(self, text: str) -> Union[Result, int, None]:
+        head = text.lstrip().lower()
+        if head.startswith(("explain ", "plan ")):
+            body = text.lstrip().split(None, 1)[1]
+            rel, _cols = bind_select(self.db.catalog(), body)
+            lines = rel.show().split("\n")
+            from .dtypes import varchar
+            return Result(["plan"], [varchar()], [(ln,) for ln in lines])
+        if head.startswith("trace "):
+            body = text.lstrip().split(None, 1)[1]
+            res = Engine(self.db.catalog()).query(body, trace=True)
+            from .dtypes import I64, varchar
+            rows = [(e.get("usec", 0), e.get("rows", 0),
+                     e.get("algorithm", ""), e.get("label", e["op"]))
+                    for e in (res.trace or [])]
+            return Result(["usec", "rows", "algorithm", "statement"],
+                          [I64, I64, varchar(), varchar()], rows,
+                          trace=res.trace)
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
-            return Engine(self.db.catalog()).query(text)
+            return self._cached_query(text)
         if isinstance(stmt, A.CreateTable):
             self.db.create_table(stmt.name,
                                  [(c, t) for c, t, _nn in stmt.columns])
@@ -58,9 +78,23 @@ class Session:
         raise BindError(f"unsupported statement {type(stmt).__name__}")
 
     def query(self, text: str) -> Result:
-        return Engine(self.db.catalog()).query(text)
+        return self._cached_query(text)
 
-    # -- INSERT ----------------------------------------------------------------
+    def _cached_query(self, text: str) -> Result:
+        key = " ".join(text.split())
+        hit = self._plan_cache.get(key)
+        eng = Engine(self.db.catalog())
+        if hit is not None and hit[0] == self.db.schema_epoch:
+            return eng.execute_plan(hit[1], hit[2])
+        rel, out_cols = bind_select(eng.catalog, text)
+        self._plan_cache[key] = (self.db.schema_epoch, rel, out_cols)
+        return eng.execute_plan(rel, out_cols)
+
+    # -- prepared statements (sql_qc.c prepared-query entries) ----------------
+    def prepare(self, text: str) -> "Prepared":
+        return Prepared(self, text)
+
+
     def _const_value(self, e):
         from .plan.exprs import Func
         if isinstance(e, Const):
@@ -186,3 +220,66 @@ class Session:
         if t.kind == Kind.BOOL:
             return v.lower() in ("true", "t", "1")
         return int(v)
+
+
+def _substitute_params(obj, params, _seen=None):
+    """Replace Param nodes with typed Consts across a statement tree
+    (generic dataclass reflection — covers every stmt/expr shape)."""
+    import dataclasses as _dc
+    from .plan.exprs import Const, Expr, Param as _P
+
+    if _seen is None:
+        _seen = set()
+    if id(obj) in _seen:
+        return
+    _seen.add(id(obj))
+    if isinstance(obj, (list, tuple)):
+        for x in obj:
+            _substitute_params(x, params, _seen)
+        return
+    if not _dc.is_dataclass(obj):
+        return
+    for f in _dc.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, _P):
+            c = Const(params[v.index])
+            setattr(obj, f.name, c)
+        elif isinstance(v, (list, tuple)):
+            newv = []
+            changed = False
+            for x in v:
+                if isinstance(x, _P):
+                    newv.append(Const(params[x.index]))
+                    changed = True
+                else:
+                    _substitute_params(x, params, _seen)
+                    newv.append(x)
+            if changed:
+                setattr(obj, f.name, type(v)(newv))
+        elif _dc.is_dataclass(v):
+            _substitute_params(v, params, _seen)
+
+
+class Prepared:
+    """PREPARE/EXECUTE: parse once, substitute '?' parameters per run
+    (reference: prepared statements through the query cache, sql_qc.c)."""
+
+    def __init__(self, session: Session, text: str):
+        from .sql.parser import Parser
+        p = Parser(text)
+        self.stmt_template = p.parse_stmt()
+        self.n_params = p.n_params
+        self.session = session
+
+    def run(self, *params):
+        import copy
+        if len(params) != self.n_params:
+            raise BindError(f"expected {self.n_params} parameters, "
+                            f"got {len(params)}")
+        stmt = copy.deepcopy(self.stmt_template)
+        _substitute_params(stmt, list(params))
+        if isinstance(stmt, A.SelectStmt):
+            return Engine(self.session.db.catalog()).query_stmt(stmt)
+        raise BindError("only SELECT prepared statements supported")
+
+    # -- INSERT ----------------------------------------------------------------

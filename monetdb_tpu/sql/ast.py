@@ -43,10 +43,19 @@ class SelectStmt:
     order_by: List[Tuple[Expr, bool, Optional[bool]]] = \
         dataclasses.field(default_factory=list)
     limit: Optional[int] = None
+    sample: Optional[int] = None
+    sample_seed: Optional[int] = None
     offset: int = 0
     distinct: bool = False
     setops: List[Tuple[str, "SelectStmt"]] = \
         dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class TableFuncSource:
+    name: str                 # generate_series
+    args: List[Expr]
+    alias: str
 
 
 @dataclasses.dataclass

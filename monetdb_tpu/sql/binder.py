@@ -181,6 +181,8 @@ class Binder:
             rel = L.OrderBy(rel, keys)
         if stmt.limit is not None or stmt.offset:
             rel = L.Limit(rel, stmt.limit, stmt.offset)
+        if stmt.sample is not None:
+            rel = L.Sample(rel, stmt.sample, stmt.sample_seed)
         return rel, out_cols
 
     def _bind_order_key(self, e: Expr, out_cols: List[ColInfo]) -> Expr:
@@ -276,6 +278,25 @@ class Binder:
                 srel = L.Project(srel, [(nm, self._out_ref(c))
                                         for nm, c in zip(names, scols)])
             return L.SubPlan(srel, src.alias)
+        if isinstance(src, A.TableFuncSource):
+            if src.name != "generate_series":
+                raise BindError(f"unknown table function {src.name}")
+            vals = []
+            for a in src.args:
+                b = self.bind_expr(a)
+                if not isinstance(b, Const):
+                    raise BindError("generate_series needs constant args")
+                v = b.value
+                import datetime as _dt
+                if isinstance(v, _dt.date):
+                    v = date_to_days(v)
+                vals.append(int(v))
+            start = vals[0]
+            stop = vals[1] if len(vals) > 1 else 0
+            step = vals[2] if len(vals) > 2 else 1
+            self.scope.add_table(src.alias,
+                                 [ColInfo(src.alias, "value", I64)])
+            return L.Series(start, stop, step, src.alias)
         if isinstance(src, A.JoinSource):
             lrel = self._bind_source(src.left)
             rrel = self._bind_source(src.right)

@@ -36,7 +36,7 @@ KEYWORDS = {
     "with", "view", "partition", "over", "rows", "range", "unbounded",
     "preceding", "following", "current", "row", "for", "precision",
     "delete", "update", "set", "begin", "start", "transaction", "commit",
-    "rollback",
+    "rollback", "sample", "seed",
 }
 
 _TWO_CHAR = {"<>", "<=", ">=", "!=", "||"}
@@ -117,6 +117,10 @@ def tokenize(sql: str) -> List[Token]:
             continue
         if c in "+-*/%<>=":
             toks.append(Token("op", c, i))
+            i += 1
+            continue
+        if c == "?":
+            toks.append(Token("param", "?", i))
             i += 1
             continue
         if c in "(),.;":

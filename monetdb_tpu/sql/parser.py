@@ -11,8 +11,8 @@ from typing import List, Optional, Tuple
 from ..dtypes import (BOOL, DATE, F64, I32, I64, TIMESTAMP, SQLType,
                       decimal as dec_t, varchar)
 from ..plan.exprs import (Between, BinOp, BoolOp, Case, Cast, ColRef, Cmp,
-                          Const, Expr, Func, InList, IsNull, Like, Not, Star,
-                          Subquery, AggRef)
+                          Const, Expr, Func, InList, IsNull, Like, Not, Param,
+                          Star, Subquery, AggRef)
 from .ast import (CopyFrom, CreateTable, Delete, DropTable, InsertSelect,
                   InsertValues, JoinSource, SelectStmt, SubquerySource,
                   TableSource, TxnStmt, Update)
@@ -30,6 +30,7 @@ class Parser:
     def __init__(self, sql: str):
         self.toks = tokenize(sql)
         self.i = 0
+        self.n_params = 0   # '?' placeholders seen (prepared statements)
 
     # -- token helpers ------------------------------------------------------
     def peek(self, ahead=0) -> Token:
@@ -191,6 +192,10 @@ class Parser:
             stmt.limit = int(self.next().value)
         if self.eat_kw("offset"):
             stmt.offset = int(self.next().value)
+        if self.eat_kw("sample"):
+            stmt.sample = int(self.next().value)
+            if self.eat_kw("seed"):
+                stmt.sample_seed = int(self.next().value)
 
     # -- FROM clause --------------------------------------------------------
     def parse_from(self):
@@ -244,6 +249,15 @@ class Parser:
             self.expect_punct(")")
             return inner
         name = self.next().value
+        if name == "generate_series" and self.at_punct("("):
+            self.expect_punct("(")
+            args = [self.parse_expr()]
+            while self.eat_punct(","):
+                args.append(self.parse_expr())
+            self.expect_punct(")")
+            alias = self._opt_alias() or "generate_series"
+            from .ast import TableFuncSource
+            return TableFuncSource(name, args, alias)
         alias = self._opt_alias() or name
         return TableSource(name, alias)
 
@@ -380,6 +394,10 @@ class Parser:
         if t.kind == "str":
             self.next()
             return Const(t.value, varchar())
+        if t.kind == "param":
+            self.next()
+            self.n_params += 1
+            return Param(self.n_params - 1)
         if t.kind == "kw":
             return self.parse_kw_primary()
         if t.kind == "ident":

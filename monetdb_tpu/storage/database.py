@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import tarfile
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -137,6 +138,10 @@ class Database:
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self.tables: Dict[str, TableData] = {}
+        self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
+        # store lock: serializes mutations across sessions (the reference's
+        # store_lock, sql/storage/store.c)
+        self._mu = threading.RLock()
         self._device: Dict[str, Tuple[int, Table, np.ndarray]] = {}
         self._txn_undo: Optional[Dict[str, TableData]] = None
         self._txn_recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
@@ -329,6 +334,7 @@ class Database:
         self._undo_save(name)
         self.tables[name] = TableData(name, [(c.lower(), t)
                                              for c, t in schema])
+        self.schema_epoch += 1
         self._log(REC_CREATE, {"table": name, "schema": [
             [c.lower(), type_tag(t)] for c, t in schema]})
 
@@ -337,6 +343,7 @@ class Database:
         self._undo_save(name)
         self.tables.pop(name, None)
         self._device.pop(name, None)
+        self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
 
     def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
@@ -403,3 +410,18 @@ class Database:
     def close(self) -> None:
         if self.wal is not None:
             self.wal.close()
+
+def _locked(fn):
+    """Serialize mutations under the store lock (store.c store_lock)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *a, **kw):
+        with self._mu:
+            return fn(self, *a, **kw)
+    return wrap
+
+
+for _m in ("create_table", "drop_table", "insert", "delete", "update",
+           "begin", "commit", "rollback", "checkpoint", "table"):
+    setattr(Database, _m, _locked(getattr(Database, _m)))

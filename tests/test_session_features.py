@@ -1,0 +1,56 @@
+"""Session-level features: EXPLAIN/PLAN/TRACE statements, prepared
+statements with ? parameters, plan cache behavior."""
+
+import datetime
+from decimal import Decimal
+
+from monetdb_tpu.session import Session
+from monetdb_tpu.storage import Database
+
+
+def mk():
+    s = Session(Database())
+    s.sql("create table t (a int, b decimal(8,2), c varchar(10))")
+    s.sql("insert into t values (1, 1.50, 'x'), (2, 2.50, 'y'), "
+          "(3, 3.50, 'x')")
+    return s
+
+
+def test_explain():
+    s = mk()
+    r = s.sql("explain select a from t where b > 2.00 order by a")
+    text = "\n".join(row[0] for row in r.rows)
+    assert "Scan t" in text and "Filter" in text and "OrderBy" in text
+
+
+def test_trace():
+    s = mk()
+    r = s.sql("trace select c, sum(b) from t group by c")
+    assert r.names == ["usec", "rows", "algorithm", "statement"]
+    assert any("GroupBy" in row[3] for row in r.rows)
+    assert any(row[2].startswith("group:") for row in r.rows)
+
+
+def test_prepared():
+    s = mk()
+    p = s.prepare("select a, b from t where a >= ? and c = ? order by a")
+    assert p.n_params == 2
+    r = p.run(2, "x")
+    assert r.rows == [(3, Decimal("3.50"))]
+    r = p.run(1, "y")
+    assert r.rows == [(2, Decimal("2.50"))]
+
+
+def test_plan_cache_invalidation():
+    s = mk()
+    q = "select count(*) from t"
+    assert s.sql(q).rows == [(3,)]
+    assert len(s._plan_cache) == 1
+    s.sql(q)
+    assert len(s._plan_cache) == 1     # cache hit, no regrow
+    # data change: cached plan still valid
+    s.sql("insert into t values (4, 9.99, 'z')")
+    assert s.sql(q).rows == [(4,)]
+    # schema change invalidates (epoch bump)
+    s.sql("create table u (x int)")
+    assert s.sql(q).rows == [(4,)]
