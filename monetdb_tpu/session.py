@@ -62,6 +62,14 @@ class Session:
         if isinstance(stmt, A.DropTable):
             self.db.drop_table(stmt.name)
             return None
+        if isinstance(stmt, A.CreateView):
+            # validate the view body binds against the current catalog
+            bind_select(self.db.catalog(), stmt.select_sql)
+            self.db.create_view(stmt.name, stmt.select_sql)
+            return None
+        if isinstance(stmt, A.DropView):
+            self.db.drop_view(stmt.name)
+            return None
         if isinstance(stmt, A.TxnStmt):
             getattr(self.db, stmt.kind)()
             return None

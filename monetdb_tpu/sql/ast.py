@@ -70,6 +70,17 @@ class DropTable:
 
 
 @dataclasses.dataclass
+class CreateView:
+    name: str
+    select_sql: str
+
+
+@dataclasses.dataclass
+class DropView:
+    name: str
+
+
+@dataclasses.dataclass
 class InsertValues:
     table: str
     rows: List[List[Expr]]

@@ -258,6 +258,13 @@ class Binder:
     # ==================================================================
     def _bind_source(self, src) -> L.Rel:
         if isinstance(src, A.TableSource):
+            vsql = self.catalog.views.get(src.name.lower())
+            if vsql is not None:
+                sub = Binder(self.catalog)
+                srel, scols = sub.bind(parse(vsql))
+                cols = [ColInfo(src.alias, c.name, c.typ) for c in scols]
+                self.scope.add_table(src.alias, cols)
+                return L.SubPlan(srel, src.alias)
             if src.name not in self.catalog:
                 raise BindError(f"unknown table {src.name}")
             t = self.catalog.get(src.name)

@@ -28,6 +28,7 @@ _CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 
 class Parser:
     def __init__(self, sql: str):
+        self.sql_text = sql
         self.toks = tokenize(sql)
         self.i = 0
         self.n_params = 0   # '?' placeholders seen (prepared statements)
@@ -81,6 +82,9 @@ class Parser:
             return self.parse_create()
         if self.at_kw("drop"):
             self.next()
+            if self.eat_kw("view"):
+                from .ast import DropView
+                return DropView(self.next().value)
             self.expect_kw("table")
             return DropTable(self.next().value)
         if self.at_kw("insert"):
@@ -629,6 +633,13 @@ class Parser:
     # -- DDL / DML ----------------------------------------------------------
     def parse_create(self):
         self.expect_kw("create")
+        if self.eat_kw("view"):
+            from .ast import CreateView
+            name = self.next().value
+            self.expect_kw("as")
+            start = self.toks[self.i].pos
+            self.parse_select()          # validate syntax; keep raw text
+            return CreateView(name, self.sql_text[start:].strip())
         self.expect_kw("table")
         name = self.next().value
         self.expect_punct("(")

@@ -29,8 +29,8 @@ from ..column import StrDict
 from ..dtypes import Kind, SQLType
 from ..table import Catalog, Table
 from .columns import make_device_column, tag_type, type_tag
-from .wal import (REC_COMMIT, REC_CREATE, REC_DELETE, REC_DROP, REC_INSERT,
-                  REC_UPDATE, Wal)
+from .wal import (REC_COMMIT, REC_CREATE, REC_CREATE_VIEW, REC_DELETE,
+                  REC_DROP, REC_DROP_VIEW, REC_INSERT, REC_UPDATE, Wal)
 
 __all__ = ["Database", "TableData"]
 
@@ -138,6 +138,9 @@ class Database:
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self.tables: Dict[str, TableData] = {}
+        # view name → SQL text (inlined at bind time, the reference's
+        # rel_semantic view expansion over sys._tables type=1 entries)
+        self.views: Dict[str, str] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -178,6 +181,7 @@ class Database:
             td.deleted = np.load(os.path.join(
                 self.path, "data", f"{tname}.__deleted__.npy"))
             self.tables[tname] = td
+        self.views = dict(man.get("views", {}))
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -200,13 +204,17 @@ class Database:
         elif rtype == REC_UPDATE:
             self.tables[meta["table"]].update_col(
                 meta["col"], arrays["oids"], arrays["vals"])
+        elif rtype == REC_CREATE_VIEW:
+            self.views[meta["view"]] = meta["sql"]
+        elif rtype == REC_DROP_VIEW:
+            self.views.pop(meta["view"], None)
 
     def checkpoint(self) -> None:
         """store_apply_deltas + BBPsync: write column files, atomically swap
         the manifest, truncate the WAL."""
         if self.path is None:
             return
-        man = {"version": 1, "tables": {}}
+        man = {"version": 1, "tables": {}, "views": dict(self.views)}
         for tname, td in self.tables.items():
             for c in td.order:
                 np.save(os.path.join(self.path, "data", f"{tname}.{c}.npy"),
@@ -346,6 +354,22 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
 
+    def create_view(self, name: str, sql: str) -> None:
+        name = name.lower()
+        if name in self.tables or name in self.views:
+            raise ValueError(f"name {name} exists")
+        self.views[name] = sql
+        self.schema_epoch += 1
+        self._log(REC_CREATE_VIEW, {"view": name, "sql": sql})
+
+    def drop_view(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.views:
+            raise ValueError(f"unknown view {name}")
+        del self.views[name]
+        self.schema_epoch += 1
+        self._log(REC_DROP_VIEW, {"view": name})
+
     def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
         name = name.lower()
         self._undo_save(name)
@@ -405,6 +429,7 @@ class Database:
         cat = Catalog()
         for name in self.tables:
             cat.add(self.table(name)[0])
+        cat.views = dict(self.views)
         return cat
 
     def close(self) -> None:

@@ -63,6 +63,9 @@ class Catalog:
 
     def __init__(self):
         self.tables: Dict[str, Table] = {}
+        # view name → SQL text (expanded at bind time, the reference's
+        # sql_rel view inlining)
+        self.views: Dict[str, str] = {}
 
     def add(self, table: Table) -> None:
         self.tables[table.name.lower()] = table

@@ -54,3 +54,32 @@ def test_plan_cache_invalidation():
     # schema change invalidates (epoch bump)
     s.sql("create table u (x int)")
     assert s.sql(q).rows == [(4,)]
+
+
+def test_views():
+    s = mk()
+    s.sql("create view v as select c, sum(b) as total from t group by c")
+    r = s.sql("select c, total from v where total > 2.00 order by c")
+    assert r.rows == [("x", Decimal("5.00")), ("y", Decimal("2.50"))]
+    # views compose with joins and aliases
+    r = s.sql("select v.c, t.a from v join t on v.c = t.c order by t.a")
+    assert [row[1] for row in r.rows] == [1, 2, 3]
+    s.sql("drop view v")
+    try:
+        s.sql("select * from v")
+        assert False, "expected bind error"
+    except Exception:
+        pass
+
+
+def test_view_persistence(tmp_path):
+    db = Database(str(tmp_path / "db"))
+    s = Session(db)
+    s.sql("create table t (a int)")
+    s.sql("insert into t values (1), (2), (3)")
+    s.sql("create view big as select a from t where a > 1")
+    db.checkpoint()
+    db.close()
+    db2 = Database(str(tmp_path / "db"))
+    r = Session(db2).sql("select count(*) from big")
+    assert r.rows == [(2,)]
