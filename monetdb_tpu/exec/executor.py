@@ -350,6 +350,33 @@ class Executor:
     def _exec_subplan(self, r: L.SubPlan) -> Frame:
         return self.exec_rel(r.child).rename(r.alias)
 
+    def _exec_remotescan(self, r: L.RemoteScan) -> Frame:
+        """Ship a SQL subquery to the owning server and re-encode the rows
+        as device columns (remote.c RMTexec analog, but with predicate
+        pushdown so only surviving rows cross the wire)."""
+        from ..server import Client
+        from ..sql.distribute import to_sql
+        rdef = self.catalog.remotes[r.table]
+        wanted = self.refs.get(r.alias) or self.refs.get(r.table) or set()
+        names = [n for n, _t in rdef.schema if n in wanted] \
+            or [rdef.schema[0][0]]
+        sql = f"select {', '.join(names)} from {r.rtable}"
+        if r.preds:
+            sql += " where " + " and ".join(to_sql(p) for p in r.preds)
+        host, port = r.addr.rsplit(":", 1)
+        cl = Client(host, int(port))
+        try:
+            res = cl.sql(sql)
+        finally:
+            cl.close()
+        types = dict(rdef.schema)
+        from ..storage.columns import column_from_pyvalues
+        cols: Dict[Tuple[str, str], Column] = {}
+        for i, n in enumerate(names):
+            cols[(r.alias, n)] = column_from_pyvalues(
+                [row[i] for row in res.rows], types[n])
+        return Frame(cols, len(res.rows))
+
     def _exec_filter(self, r: L.Filter) -> Frame:
         fr = self.exec_rel(r.child)
         cand = self.eval_pred(r.pred, fr)
@@ -966,7 +993,26 @@ class Executor:
         if e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos", "tan",
                       "floor", "ceil", "ceiling", "power", "mod"):
             return self._eval_math(e, fr)
+        u = self.catalog.udfs.get(e.name)
+        if u is not None:
+            return self._eval_udf(u, e, fr)
         raise ExecError(f"function {e.name} unsupported")
+
+    def _eval_udf(self, u, e: Func, fr: Frame):
+        """Vectorized Python UDF call (pyapi3 analog): device columns →
+        host numpy → body → device column of the declared type."""
+        from ..obs import set_algorithm
+        from ..udf import udf_from_host, udf_to_host
+        args = []
+        for a in e.args:
+            v = self.eval(a, fr)
+            if isinstance(v, Scalar):
+                args.append(v.value)
+            else:
+                args.append(udf_to_host(v, v.typ))
+        set_algorithm(f"python_udf:{u.name}")
+        res = u.fn(*args)
+        return udf_from_host(res, fr.count, u.ret_type)
 
     def _eval_math(self, e: Func, fr: Frame):
         """mmath/batmmath parity (modules/kernel/batmmath.c): float math

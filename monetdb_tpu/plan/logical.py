@@ -11,7 +11,8 @@ from typing import List, Optional, Tuple
 from .exprs import Expr
 
 __all__ = ["Rel", "Scan", "Filter", "Project", "Join", "GroupBy", "OrderBy",
-           "Limit", "Distinct", "SetOp", "SubPlan", "Sample", "Series"]
+           "Limit", "Distinct", "SetOp", "SubPlan", "Sample", "Series",
+           "MergeScan", "RemoteScan"]
 
 
 @dataclasses.dataclass
@@ -38,6 +39,35 @@ class Scan(Rel):
 
     def _label(self):
         return f"Scan {self.table} as {self.alias}"
+
+
+@dataclasses.dataclass
+class MergeScan(Rel):
+    """Scan of a partitioned merge table; expanded at plan time into a
+    pruned union of member scans (the reference's
+    merge_table_prune_and_unionize, sql/server/rel_optimizer.c:130)."""
+    table: str
+    alias: str
+
+    def _label(self):
+        return f"MergeScan {self.table} as {self.alias}"
+
+
+@dataclasses.dataclass
+class RemoteScan(Rel):
+    """Scan of a table living on another server; executed by shipping a
+    SQL subquery over the client protocol (the reference's remote tables:
+    rel_distribute.c:503 + modules/mal/remote.c RMTexec)."""
+    table: str                      # local (catalog) name
+    alias: str
+    addr: str                       # host:port
+    rtable: str                     # table name on the remote server
+    cols: Optional[List[str]] = None          # pruned select list
+    preds: List[Expr] = dataclasses.field(default_factory=list)
+
+    def _label(self):
+        w = f" where {self.preds!r}" if self.preds else ""
+        return f"RemoteScan {self.rtable}@{self.addr} as {self.alias}{w}"
 
 
 @dataclasses.dataclass

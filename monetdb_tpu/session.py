@@ -35,6 +35,17 @@ class Session:
 
     # -- entry ----------------------------------------------------------------
     def sql(self, text: str) -> Union[Result, int, None]:
+        from .sql.syscat import QUEUE
+        tag = QUEUE.start(text)
+        try:
+            out = self._sql(text)
+        except Exception:
+            QUEUE.finish(tag, "aborted")
+            raise
+        QUEUE.finish(tag)
+        return out
+
+    def _sql(self, text: str) -> Union[Result, int, None]:
         head = text.lstrip().lower()
         if head.startswith(("explain ", "plan ")):
             body = text.lstrip().split(None, 1)[1]
@@ -60,7 +71,12 @@ class Session:
                                  [(c, t) for c, t, _nn in stmt.columns])
             return None
         if isinstance(stmt, A.DropTable):
-            self.db.drop_table(stmt.name)
+            n = stmt.name.lower()
+            if n in self.db.merges or n in self.db.remotes \
+                    or n in self.db.replicas:
+                self.db.drop_dist_def(n)
+            else:
+                self.db.drop_table(stmt.name)
             return None
         if isinstance(stmt, A.CreateView):
             # validate the view body binds against the current catalog
@@ -69,6 +85,21 @@ class Session:
             return None
         if isinstance(stmt, A.DropView):
             self.db.drop_view(stmt.name)
+            return None
+        if isinstance(stmt, (A.CreateMergeTable, A.CreateRemoteTable,
+                             A.CreateReplicaTable, A.AlterAddTable,
+                             A.AlterDropTable)):
+            return self._dist_ddl(stmt)
+        if isinstance(stmt, A.CreateFunction):
+            from .udf import compile_python_udf
+            u = compile_python_udf(stmt.name,
+                                   [n.lower() for n, _t in stmt.params],
+                                   [t for _n, t in stmt.params],
+                                   stmt.ret_type, stmt.body)
+            self.db.create_function(u)
+            return None
+        if isinstance(stmt, A.DropFunction):
+            self.db.drop_function(stmt.name)
             return None
         if isinstance(stmt, A.TxnStmt):
             getattr(self.db, stmt.kind)()
@@ -103,6 +134,83 @@ class Session:
         return Prepared(self, text)
 
 
+    # -- distribution DDL (merge/remote/replica; rel_schema.c analog) ------
+    def _schema_of(self, name: str):
+        n = name.lower()
+        if n in self.db.tables:
+            td = self.db.tables[n]
+            return [(c, td.types[c]) for c in td.order]
+        for dd in (self.db.merges, self.db.remotes, self.db.replicas):
+            if n in dd:
+                return dd[n].schema
+        raise BindError(f"unknown table {name}")
+
+    def _dist_ddl(self, stmt):
+        from .sql.distribute import MergeDef, PartSpec, RemoteDef, ReplicaDef
+        from .storage.columns import type_tag
+        if isinstance(stmt, A.CreateMergeTable):
+            schema = [(c.lower(), t) for c, t, _nn in stmt.columns]
+            pc = stmt.part_col.lower() if stmt.part_col else None
+            if pc is not None and pc not in dict(schema):
+                raise BindError(f"partition column {pc} not in schema")
+            self.db.put_dist_def(MergeDef(stmt.name.lower(), schema,
+                                          stmt.part_kind, pc))
+            return None
+        if isinstance(stmt, A.CreateRemoteTable):
+            schema = [(c.lower(), t) for c, t, _nn in stmt.columns]
+            addr, _, rtable = stmt.addr.partition("/")
+            self.db.put_dist_def(RemoteDef(stmt.name.lower(), schema, addr,
+                                           rtable or stmt.name.lower()))
+            return None
+        if isinstance(stmt, A.CreateReplicaTable):
+            schema = [(c.lower(), t) for c, t, _nn in stmt.columns]
+            self.db.put_dist_def(ReplicaDef(stmt.name.lower(), schema))
+            return None
+        if isinstance(stmt, A.AlterDropTable):
+            p = stmt.parent.lower()
+            d = self.db.merges.get(p) or self.db.replicas.get(p)
+            if d is None:
+                raise BindError(f"{stmt.parent} is not a merge/replica table")
+            m = stmt.member.lower()
+            if isinstance(d, MergeDef):
+                d.members = [(n, s) for n, s in d.members if n != m]
+            else:
+                d.members = [n for n in d.members if n != m]
+            self.db.put_dist_def(d)
+            return None
+        # AlterAddTable
+        p = stmt.parent.lower()
+        m = stmt.member.lower()
+        d = self.db.merges.get(p) or self.db.replicas.get(p)
+        if d is None:
+            raise BindError(f"{stmt.parent} is not a merge/replica table")
+        mschema = self._schema_of(m)
+        want = [(n, type_tag(t)) for n, t in d.schema]
+        have = [(n, type_tag(t)) for n, t in mschema]
+        if want != have:
+            raise BindError(
+                f"member {m} schema {have} does not match {p} {want}")
+        if isinstance(d, ReplicaDef):
+            d.members = [x for x in d.members if x != m] + [m]
+            self.db.put_dist_def(d)
+            return None
+        spec = None
+        if stmt.part_range is not None:
+            lo = self._const_value(stmt.part_range[0])
+            hi = self._const_value(stmt.part_range[1])
+            spec = PartSpec(lo=lo, hi=hi)
+        elif stmt.part_values is not None:
+            spec = PartSpec(values=[self._const_value(e)
+                                    for e in stmt.part_values])
+        elif stmt.part_nulls:
+            spec = PartSpec(nulls=True)
+        if d.part_col is not None and spec is None:
+            raise BindError(
+                f"{p} is partitioned: AS PARTITION clause required")
+        d.members = [(n, s) for n, s in d.members if n != m] + [(m, spec)]
+        self.db.put_dist_def(d)
+        return None
+
     def _const_value(self, e):
         from .plan.exprs import Func
         if isinstance(e, Const):
@@ -112,32 +220,62 @@ class Session:
         raise BindError("INSERT VALUES must be constants")
 
     def _insert_values(self, stmt: A.InsertValues) -> int:
-        td = self.db.tables[stmt.table.lower()]
-        names = [c.lower() for c in (stmt.columns or td.order)]
         rows = [[self._const_value(e) for e in r] for r in stmt.rows]
+        cols = [c.lower() for c in stmt.columns] if stmt.columns else None
+        return self._insert_rows(stmt.table, cols, rows)
+
+    def _insert_select(self, stmt: A.InsertSelect) -> int:
+        res = Engine(self.db.catalog()).query_stmt(stmt.select)
+        cols = [c.lower() for c in stmt.columns] if stmt.columns else None
+        want = cols or [n for n, _t in self._schema_of(stmt.table)]
+        if len(want) != len(res.names):
+            raise BindError("INSERT SELECT arity mismatch")
+        return self._insert_rows(stmt.table, cols,
+                                 [list(r) for r in res.rows])
+
+    def _insert_rows(self, table: str, cols, rows) -> int:
+        """Insert logical-value rows, routing through merge partitions
+        (rel_propagate.c) and remote tables (shipping INSERT SQL) before
+        landing on local storage."""
+        n = table.lower()
+        mdef = self.db.merges.get(n)
+        if mdef is not None:
+            from .sql.distribute import route_partition
+            order = cols or [c for c, _t in mdef.schema]
+            if mdef.part_col is None:
+                raise BindError(
+                    f"cannot insert into unpartitioned merge table {n}")
+            pi = order.index(mdef.part_col)
+            by_member: Dict[str, list] = {}
+            for r in rows:
+                by_member.setdefault(
+                    route_partition(mdef, r[pi]), []).append(r)
+            return sum(self._insert_rows(m, cols, rs)
+                       for m, rs in by_member.items())
+        rdef = self.db.remotes.get(n)
+        if rdef is not None:
+            from .server import Client
+            from .sql.distribute import _sql_value
+            collist = f" ({', '.join(cols)})" if cols else ""
+            vals = ", ".join(
+                "(" + ", ".join(_sql_value(v) for v in r) + ")"
+                for r in rows)
+            host, port = rdef.addr.rsplit(":", 1)
+            cl = Client(host, int(port))
+            try:
+                return cl.sql(
+                    f"insert into {rdef.rtable}{collist} values {vals}")
+            finally:
+                cl.close()
+        td = self.db.tables[n]
+        names = cols or td.order
         arrays: Dict[str, np.ndarray] = {}
         for j, c in enumerate(names):
-            vals = [r[j] for r in rows]
-            arrays[c] = to_physical_np(vals, td.types[c])
+            arrays[c] = to_physical_np([r[j] for r in rows], td.types[c])
         for c in td.order:
             if c not in arrays:
                 arrays[c] = to_physical_np([None] * len(rows), td.types[c])
-        return self.db.insert(stmt.table, arrays)
-
-    def _insert_select(self, stmt: A.InsertSelect) -> int:
-        td = self.db.tables[stmt.table.lower()]
-        res = Engine(self.db.catalog()).query_stmt(stmt.select)
-        names = [c.lower() for c in (stmt.columns or td.order)]
-        if len(names) != len(res.names):
-            raise BindError("INSERT SELECT arity mismatch")
-        arrays = {}
-        for j, c in enumerate(names):
-            arrays[c] = to_physical_np([r[j] for r in res.rows], td.types[c])
-        for c in td.order:
-            if c not in arrays:
-                arrays[c] = to_physical_np([None] * len(res.rows),
-                                           td.types[c])
-        return self.db.insert(stmt.table, arrays)
+        return self.db.insert(n, arrays)
 
     # -- DELETE / UPDATE (oid selection runs through the query engine) --------
     def _select_oids(self, table: str, where,

@@ -81,6 +81,66 @@ class DropView:
 
 
 @dataclasses.dataclass
+class CreateFunction:
+    """CREATE FUNCTION f(args) RETURNS t LANGUAGE PYTHON { body }
+    (reference: sql/backends/monet5/UDF/pyapi3)."""
+    name: str
+    params: List[Tuple[str, Any]]   # (name, SQLType)
+    ret_type: Any
+    language: str
+    body: str
+
+
+@dataclasses.dataclass
+class DropFunction:
+    name: str
+
+
+@dataclasses.dataclass
+class CreateMergeTable:
+    """CREATE MERGE TABLE name (cols) [PARTITION BY RANGE|VALUES ON (col)]
+    — the reference's partitioned merge tables (sql/server/rel_schema.c,
+    CREATE MERGE TABLE ... PARTITION BY)."""
+    name: str
+    columns: List[Tuple[str, Any, bool]]
+    part_kind: Optional[str] = None        # 'range' | 'values' | None
+    part_col: Optional[str] = None
+
+
+@dataclasses.dataclass
+class CreateRemoteTable:
+    """CREATE REMOTE TABLE name (cols) ON 'host:port[/rtable]'
+    (reference: rel_schema.c remote tables AT 'mapi:monetdb://...')."""
+    name: str
+    columns: List[Tuple[str, Any, bool]]
+    addr: str
+
+
+@dataclasses.dataclass
+class CreateReplicaTable:
+    name: str
+    columns: List[Tuple[str, Any, bool]]
+
+
+@dataclasses.dataclass
+class AlterAddTable:
+    """ALTER TABLE parent ADD TABLE member
+         [AS PARTITION FROM lo TO hi | AS PARTITION IN (v,...)
+          | AS PARTITION FOR NULL VALUES]"""
+    parent: str
+    member: str
+    part_range: Optional[Tuple[Any, Any]] = None
+    part_values: Optional[List[Any]] = None
+    part_nulls: bool = False
+
+
+@dataclasses.dataclass
+class AlterDropTable:
+    parent: str
+    member: str
+
+
+@dataclasses.dataclass
 class InsertValues:
     table: str
     rows: List[List[Expr]]

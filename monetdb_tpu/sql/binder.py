@@ -176,8 +176,23 @@ class Binder:
                 raise BindError("set operands differ in arity")
             rel = L.SetOp(op, rel, rrel)
         if stmt.order_by:
-            keys = [(self._bind_order_key(e, out_cols), d, nl)
-                    for e, d, nl in stmt.order_by]
+            keys = []
+            nhidden = 0
+            for e, d, nl in stmt.order_by:
+                k = self._bind_order_key(e, out_cols)
+                if not (isinstance(k, ColRef) and k.table == "#out") \
+                        and isinstance(rel, L.Project) \
+                        and not stmt.setops and not stmt.distinct:
+                    # ORDER BY a non-projected expression: carry it as a
+                    # hidden projection column (the reference keeps such
+                    # exprs alive through rel_project the same way)
+                    hn = f"#sort{nhidden}"
+                    nhidden += 1
+                    rel.exprs.append((hn, k))
+                    hr = ColRef("#out", hn)
+                    hr.typ = k.typ
+                    k = hr
+                keys.append((k, d, nl))
             rel = L.OrderBy(rel, keys)
         if stmt.limit is not None or stmt.offset:
             rel = L.Limit(rel, stmt.limit, stmt.offset)
@@ -258,6 +273,23 @@ class Binder:
     # ==================================================================
     def _bind_source(self, src) -> L.Rel:
         if isinstance(src, A.TableSource):
+            lname = src.name.lower()
+            from .syscat import is_system_table, system_table
+            if lname not in self.catalog and is_system_table(lname):
+                self.catalog.add(system_table(self.catalog, lname))
+            ddef = (self.catalog.merges.get(lname)
+                    or self.catalog.remotes.get(lname)
+                    or self.catalog.replicas.get(lname))
+            if ddef is not None:
+                cols = [ColInfo(src.alias, n, t) for n, t in ddef.schema]
+                self.scope.add_table(src.alias, cols)
+                if lname in self.catalog.merges:
+                    return L.MergeScan(lname, src.alias)
+                if lname in self.catalog.remotes:
+                    return L.RemoteScan(lname, src.alias, ddef.addr,
+                                        ddef.rtable)
+                from .distribute import _Expander
+                return _Expander(self.catalog).replica_rel(ddef, src.alias)
             vsql = self.catalog.views.get(src.name.lower())
             if vsql is not None:
                 sub = Binder(self.catalog)
@@ -329,7 +361,7 @@ class Binder:
     # join tree (greedy, smallest-filtered-first)
     # ==================================================================
     def _rel_aliases(self, rel: L.Rel) -> Set[str]:
-        if isinstance(rel, (L.Scan, L.SubPlan)):
+        if isinstance(rel, (L.Scan, L.SubPlan, L.MergeScan, L.RemoteScan)):
             return {rel.alias}
         out: Set[str] = set()
         for c in rel.children():
@@ -860,6 +892,13 @@ class Binder:
                 e.typ = F64
             elif e.name in ("neg", "abs"):
                 e.typ = e.args[0].typ
+            elif e.name in self.catalog.udfs:
+                u = self.catalog.udfs[e.name]
+                if len(e.args) != len(u.arg_names):
+                    raise BindError(
+                        f"function {e.name} expects {len(u.arg_names)} "
+                        f"arguments, got {len(e.args)}")
+                e.typ = u.ret_type
             else:
                 e.typ = e.args[0].typ if e.args else F64
             return
@@ -884,4 +923,8 @@ def bind_select(catalog: Catalog, sql_or_stmt) -> Tuple[L.Rel, List[ColInfo]]:
     stmt = parse(sql_or_stmt) if isinstance(sql_or_stmt, str) else sql_or_stmt
     if not isinstance(stmt, A.SelectStmt):
         raise BindError("not a SELECT")
-    return Binder(catalog).bind(stmt)
+    rel, out_cols = Binder(catalog).bind(stmt)
+    if catalog.merges or catalog.remotes or catalog.replicas:
+        from .distribute import expand_distribution
+        rel = expand_distribution(rel, catalog)
+    return rel, out_cols

@@ -80,11 +80,18 @@ class Parser:
             return self.parse_select()
         if self.at_kw("create"):
             return self.parse_create()
+        if self.at_kw("alter"):
+            return self.parse_alter()
         if self.at_kw("drop"):
             self.next()
             if self.eat_kw("view"):
                 from .ast import DropView
                 return DropView(self.next().value)
+            if self.peek().kind == "ident" and \
+                    self.peek().value == "function":
+                self.next()
+                from .ast import DropFunction
+                return DropFunction(self.next().value)
             self.expect_kw("table")
             return DropTable(self.next().value)
         if self.at_kw("insert"):
@@ -253,6 +260,8 @@ class Parser:
             self.expect_punct(")")
             return inner
         name = self.next().value
+        if self.eat_punct("."):        # qualified name (sys.tables ...)
+            name = name + "." + self.next().value
         if name == "generate_series" and self.at_punct("("):
             self.expect_punct("(")
             args = [self.parse_expr()]
@@ -640,8 +649,15 @@ class Parser:
             start = self.toks[self.i].pos
             self.parse_select()          # validate syntax; keep raw text
             return CreateView(name, self.sql_text[start:].strip())
+        if self.at_kw("merge") or self.at_kw("remote") or \
+                self.at_kw("replica"):
+            return self.parse_create_distributed()
         self.expect_kw("table")
         name = self.next().value
+        cols = self.parse_column_defs()
+        return CreateTable(name, cols)
+
+    def parse_column_defs(self):
         self.expect_punct("(")
         cols = []
         while True:
@@ -679,7 +695,73 @@ class Parser:
             if not self.eat_punct(","):
                 break
         self.expect_punct(")")
-        return CreateTable(name, cols)
+        return cols
+
+    def parse_create_distributed(self):
+        from .ast import (CreateMergeTable, CreateRemoteTable,
+                          CreateReplicaTable)
+        if self.eat_kw("merge"):
+            self.expect_kw("table")
+            name = self.next().value
+            cols = self.parse_column_defs()
+            part_kind = part_col = None
+            if self.eat_kw("partition"):
+                self.expect_kw("by")
+                if self.eat_kw("range"):
+                    part_kind = "range"
+                else:
+                    self.expect_kw("values")
+                    part_kind = "values"
+                self.expect_kw("on")
+                self.expect_punct("(")
+                part_col = self.next().value
+                self.expect_punct(")")
+            return CreateMergeTable(name, cols, part_kind, part_col)
+        if self.eat_kw("remote"):
+            self.expect_kw("table")
+            name = self.next().value
+            cols = self.parse_column_defs()
+            self.expect_kw("on")
+            addr = self.next().value
+            return CreateRemoteTable(name, cols, addr)
+        self.expect_kw("replica")
+        self.expect_kw("table")
+        name = self.next().value
+        cols = self.parse_column_defs()
+        return CreateReplicaTable(name, cols)
+
+    def parse_alter(self):
+        from .ast import AlterAddTable, AlterDropTable
+        self.expect_kw("alter")
+        self.expect_kw("table")
+        parent = self.next().value
+        if self.eat_kw("drop"):
+            self.expect_kw("table")
+            return AlterDropTable(parent, self.next().value)
+        self.expect_kw("add")
+        self.expect_kw("table")
+        member = self.next().value
+        rng = vals = None
+        nulls = False
+        if self.eat_kw("as"):
+            self.expect_kw("partition")
+            if self.eat_kw("from"):
+                lo = self.parse_expr()
+                self.expect_kw("to")
+                hi = self.parse_expr()
+                rng = (lo, hi)
+            elif self.eat_kw("in"):
+                self.expect_punct("(")
+                vals = [self.parse_expr()]
+                while self.eat_punct(","):
+                    vals.append(self.parse_expr())
+                self.expect_punct(")")
+            else:
+                self.expect_kw("for")
+                self.expect_kw("null")
+                self.expect_kw("values")
+                nulls = True
+        return AlterAddTable(parent, member, rng, vals, nulls)
 
     def parse_insert(self):
         self.expect_kw("insert")
@@ -726,7 +808,51 @@ class Parser:
         return CopyFrom(name, path, delim, records)
 
 
+_CREATE_FUNC_RE = __import__("re").compile(
+    r"^\s*create\s+function\b", __import__("re").I)
+
+
+def _parse_create_function(sql: str):
+    """CREATE FUNCTION f(x int, ...) RETURNS t LANGUAGE PYTHON { body }.
+    The body is arbitrary Python, so it is split off before tokenizing
+    (the reference's parser treats { } UDF bodies the same way,
+    sql/server/sql_parser.y X_BODY)."""
+    from .ast import CreateFunction
+    i, j = sql.find("{"), sql.rfind("}")
+    if i < 0 or j < i:
+        raise SQLSyntaxError("CREATE FUNCTION requires a { body }")
+    body = sql[i + 1:j]
+    p = Parser(sql[:i])
+    p.expect_kw("create")
+    if not (p.peek().kind == "ident" and p.peek().value == "function"):
+        raise SQLSyntaxError("expected FUNCTION")
+    p.next()
+    name = p.next().value
+    params = []
+    p.expect_punct("(")
+    if not p.eat_punct(")"):
+        while True:
+            pname = p.next().value
+            params.append((pname, p.parse_type()))
+            if not p.eat_punct(","):
+                break
+        p.expect_punct(")")
+    if not (p.peek().kind == "ident" and p.peek().value == "returns"):
+        raise SQLSyntaxError("expected RETURNS")
+    p.next()
+    ret = p.parse_type()
+    if not (p.peek().kind == "ident" and p.peek().value == "language"):
+        raise SQLSyntaxError("expected LANGUAGE")
+    p.next()
+    lang = p.next().value
+    if lang not in ("python", "python3"):
+        raise SQLSyntaxError(f"unsupported UDF language {lang}")
+    return CreateFunction(name, params, ret, "python", body)
+
+
 def parse(sql: str):
+    if _CREATE_FUNC_RE.match(sql):
+        return _parse_create_function(sql)
     p = Parser(sql)
     stmt = p.parse_stmt()
     p.eat_punct(";")

@@ -1,0 +1,157 @@
+"""System catalog relations — sys.tables, sys.columns, sys.storage,
+sys.env, sys.queue, sys.querylog, sys.tracelog.
+
+Reference mapping: the bootstrap SQL schema (sql/scripts/
+{77_storage,75_storagemodel,26_sysmon,15_querylog,91_information_schema}.sql)
+over catalog BATs; sys.queue is mal_runtime.c QRYqueue via
+monetdb5/modules/mal/sysmon.c; sys.storage is gdk introspection
+(sql/backends/monet5/sql.c sql_storage). Here each relation is materialized
+at bind time from the live catalog / runtime registries into device columns.
+
+Table type codes follow the reference's sys.tables.type domain
+(sql/include/sql_catalog.h: 0=TABLE, 1=VIEW, 3=MERGE TABLE, 5=REMOTE TABLE,
+6=REPLICA TABLE).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+from ..dtypes import BOOL, F64, I32, I64, varchar
+from ..table import Catalog, Table
+
+__all__ = ["system_table", "is_system_table", "QUEUE"]
+
+_VC = varchar()
+
+
+# ======================================================================
+# sys.queue — running/recent query registry (QRYqueue, mal_runtime.c:34)
+# ======================================================================
+class QueryQueue:
+    """Global registry of queries: running + a bounded history ring."""
+
+    def __init__(self, keep: int = 256):
+        self.keep = keep
+        self._next = 1
+        self.running = {}            # tag → (sql, start_time)
+        self.finished: List[Tuple[int, str, float, float, str]] = []
+
+    def start(self, sql: str) -> int:
+        tag = self._next
+        self._next += 1
+        self.running[tag] = (sql, time.time())
+        return tag
+
+    def finish(self, tag: int, status: str = "finished") -> None:
+        ent = self.running.pop(tag, None)
+        if ent is None:
+            return
+        sql, t0 = ent
+        self.finished.append((tag, sql, t0, time.time(), status))
+        if len(self.finished) > self.keep:
+            del self.finished[:len(self.finished) - self.keep]
+
+    def rows(self):
+        now = time.time()
+        out = [(tag, sql, int(t0), int((now - t0) * 1e6), "running")
+               for tag, (sql, t0) in self.running.items()]
+        out += [(tag, sql, int(t0), int((t1 - t0) * 1e6), status)
+                for tag, sql, t0, t1, status in self.finished]
+        return sorted(out)
+
+
+QUEUE = QueryQueue()
+
+
+# ======================================================================
+# relation builders
+# ======================================================================
+def _tables_rows(cat: Catalog):
+    rows = [(n, 0, t.count) for n, t in cat.tables.items()
+            if not n.startswith("sys.")]
+    rows += [(n, 1, None) for n in cat.views]
+    rows += [(n, 3, None) for n in cat.merges]
+    rows += [(n, 5, None) for n in cat.remotes]
+    rows += [(n, 6, None) for n in cat.replicas]
+    return sorted(rows)
+
+
+def _columns_rows(cat: Catalog):
+    rows = []
+    for tname in sorted(cat.tables):
+        if tname.startswith("sys."):
+            continue
+        t = cat.get(tname)
+        for i, cname in enumerate(t.names()):
+            if cname == "__rowid__":
+                continue
+            rows.append((tname, cname, str(t.col(cname).typ), i))
+    for dd in (cat.merges, cat.remotes, cat.replicas):
+        for dname in sorted(dd):
+            for i, (cname, typ) in enumerate(dd[dname].schema):
+                rows.append((dname, cname, str(typ), i))
+    return rows
+
+
+def _storage_rows(cat: Catalog):
+    rows = []
+    for tname in sorted(cat.tables):
+        if tname.startswith("sys."):
+            continue
+        t = cat.get(tname)
+        for cname in t.names():
+            if cname == "__rowid__":
+                continue
+            c = t.col(cname)
+            nbytes = c.data.size * c.data.dtype.itemsize
+            dictsize = len(c.sdict.values) if c.sdict is not None else 0
+            rows.append((tname, cname, str(c.typ), c.count, int(nbytes),
+                         bool(c.sorted), bool(c.revsorted), bool(c.key),
+                         bool(c.nonil), dictsize))
+    return rows
+
+
+def _env_rows():
+    from .. import config
+    rows = [(k, str(config.get(k))) for k in config._defaults]
+    import jax
+    rows.append(("jax_backend", jax.default_backend()))
+    rows.append(("n_devices", str(jax.device_count())))
+    from .. import __version__ as v
+    rows.append(("version", v))
+    return sorted(rows)
+
+
+_RELATIONS = {
+    "sys.tables": (
+        [("name", _VC), ("type", I32), ("count", I64)], _tables_rows),
+    "sys.columns": (
+        [("table", _VC), ("name", _VC), ("type", _VC), ("number", I32)],
+        _columns_rows),
+    "sys.storage": (
+        [("table", _VC), ("column", _VC), ("type", _VC), ("count", I64),
+         ("bytes", I64), ("sorted", BOOL), ("revsorted", BOOL),
+         ("key", BOOL), ("nonil", BOOL), ("dictsize", I64)],
+        _storage_rows),
+    "sys.env": ([("name", _VC), ("value", _VC)], lambda cat=None: _env_rows()),
+    "sys.queue": (
+        [("tag", I64), ("query", _VC), ("started", I64), ("usec", I64),
+         ("status", _VC)], lambda cat=None: QUEUE.rows()),
+}
+_RELATIONS["sys.environment"] = _RELATIONS["sys.env"]
+
+
+def is_system_table(name: str) -> bool:
+    return name.lower() in _RELATIONS
+
+
+def system_table(cat: Catalog, name: str) -> Table:
+    from ..storage.columns import table_from_rows
+    schema, builder = _RELATIONS[name.lower()]
+    try:
+        rows = builder(cat)
+    except TypeError:
+        rows = builder()
+    return table_from_rows(name.lower(), schema, rows)

@@ -72,6 +72,32 @@ def make_device_column(arr: np.ndarray, typ: SQLType,
     return col
 
 
+def column_from_pyvalues(values, typ: SQLType) -> Column:
+    """Logical python values → device Column (dictionary-encodes strings
+    with the engine's order-preserving code invariant)."""
+    arr = to_physical_np(values, typ)
+    if typ.kind == Kind.STR:
+        isnil = np.array([v is None for v in arr], dtype=bool)
+        vals = arr[~isnil].astype(str) if (~isnil).any() \
+            else np.empty(0, dtype=str)
+        d = np.unique(vals)
+        codes = np.full(len(arr), np.iinfo(np.int32).min, np.int32)
+        if len(vals):
+            codes[~isnil] = np.searchsorted(d, vals)
+        return make_device_column(codes, typ, d)
+    return make_device_column(arr, typ)
+
+
+def table_from_rows(name: str, schema, rows):
+    """Build an in-memory device Table from row tuples (system catalog
+    relations, remote result sets)."""
+    from ..table import Table
+    cols = {}
+    for i, (cname, t) in enumerate(schema):
+        cols[cname] = column_from_pyvalues([r[i] for r in rows], t)
+    return Table.from_dict(name, cols)
+
+
 def to_physical_np(values, typ: SQLType) -> np.ndarray:
     """Logical python/numpy values → physical array (scaled ints, epoch
     days/µs, raw strings stay strings for dictionary merge upstream)."""

@@ -29,8 +29,9 @@ from ..column import StrDict
 from ..dtypes import Kind, SQLType
 from ..table import Catalog, Table
 from .columns import make_device_column, tag_type, type_tag
-from .wal import (REC_COMMIT, REC_CREATE, REC_CREATE_VIEW, REC_DELETE,
-                  REC_DROP, REC_DROP_VIEW, REC_INSERT, REC_UPDATE, Wal)
+from .wal import (REC_COMMIT, REC_CREATE, REC_CREATE_VIEW, REC_DDL,
+                  REC_DELETE, REC_DROP, REC_DROP_VIEW, REC_INSERT,
+                  REC_UPDATE, Wal)
 
 __all__ = ["Database", "TableData"]
 
@@ -141,6 +142,13 @@ class Database:
         # view name → SQL text (inlined at bind time, the reference's
         # rel_semantic view expansion over sys._tables type=1 entries)
         self.views: Dict[str, str] = {}
+        # distribution DDL (merge/remote/replica table definitions;
+        # sql/server/rel_distribute.c + rel_schema.c partitioned tables)
+        self.merges: Dict[str, object] = {}
+        self.remotes: Dict[str, object] = {}
+        self.replicas: Dict[str, object] = {}
+        # SQL-created Python UDFs (pyapi3 analog); persisted via source
+        self.udfs: Dict[str, object] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -182,6 +190,13 @@ class Database:
                 self.path, "data", f"{tname}.__deleted__.npy"))
             self.tables[tname] = td
         self.views = dict(man.get("views", {}))
+        from ..sql.distribute import def_from_json
+        for j in man.get("dist", []):
+            self._dist_dicts()[j["kind"]][j["name"].lower()] = \
+                def_from_json(j)
+        for j in man.get("udfs", []):
+            u = self._udf_from_json(j)
+            self.udfs[u.name] = u
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -208,13 +223,32 @@ class Database:
             self.views[meta["view"]] = meta["sql"]
         elif rtype == REC_DROP_VIEW:
             self.views.pop(meta["view"], None)
+        elif rtype == REC_DDL:
+            from ..sql.distribute import def_from_json
+            if meta["op"] == "put":
+                j = meta["def"]
+                self._dist_dicts()[j["kind"]][j["name"].lower()] = \
+                    def_from_json(j)
+            elif meta["op"] == "put_udf":
+                u = self._udf_from_json(meta["udf"])
+                self.udfs[u.name] = u
+            elif meta["op"] == "drop_udf":
+                self.udfs.pop(meta["name"], None)
+            else:
+                self._dist_dicts()[meta["kind"]].pop(meta["name"], None)
 
     def checkpoint(self) -> None:
         """store_apply_deltas + BBPsync: write column files, atomically swap
         the manifest, truncate the WAL."""
         if self.path is None:
             return
-        man = {"version": 1, "tables": {}, "views": dict(self.views)}
+        from ..sql.distribute import def_to_json
+        man = {"version": 1, "tables": {}, "views": dict(self.views),
+               "dist": [def_to_json(d)
+                        for dd in self._dist_dicts().values()
+                        for d in dd.values()],
+               "udfs": [self._udf_json(u) for u in self.udfs.values()
+                        if u.body is not None]}
         for tname, td in self.tables.items():
             for c in td.order:
                 np.save(os.path.join(self.path, "data", f"{tname}.{c}.npy"),
@@ -354,6 +388,68 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
 
+    # -- distribution DDL (merge/remote/replica tables) -------------------
+    def _dist_dicts(self):
+        return {"merge": self.merges, "remote": self.remotes,
+                "replica": self.replicas}
+
+    def put_dist_def(self, d) -> None:
+        """Install/replace a MergeDef/RemoteDef/ReplicaDef (also the
+        ALTER ADD/DROP TABLE commit path — the whole def is re-logged)."""
+        from ..sql.distribute import def_to_json
+        j = def_to_json(d)
+        name = d.name.lower()
+        cur = next((k for k, dd in self._dist_dicts().items()
+                    if name in dd), None)
+        if cur is None:
+            if name in self.tables or name in self.views:
+                raise ValueError(f"name {name} exists")
+        elif cur != j["kind"]:
+            raise ValueError(f"name {name} exists as {cur} table")
+        self._dist_dicts()[j["kind"]][name] = d
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "put", "def": j})
+
+    def drop_dist_def(self, name: str) -> None:
+        name = name.lower()
+        for kind, dd in self._dist_dicts().items():
+            if name in dd:
+                del dd[name]
+                self.schema_epoch += 1
+                self._log(REC_DDL, {"op": "drop", "name": name,
+                                    "kind": kind})
+                return
+        raise ValueError(f"unknown distributed table {name}")
+
+    # -- UDFs (persisted by re-compiling source at replay) ----------------
+    @staticmethod
+    def _udf_json(u) -> dict:
+        return {"name": u.name, "args": [[n, type_tag(t)] for n, t in
+                                         zip(u.arg_names, u.arg_types)],
+                "ret": type_tag(u.ret_type), "body": u.body}
+
+    @staticmethod
+    def _udf_from_json(j):
+        from ..udf import compile_python_udf
+        return compile_python_udf(
+            j["name"], [n for n, _t in j["args"]],
+            [tag_type(t) for _n, t in j["args"]],
+            tag_type(j["ret"]), j["body"])
+
+    def create_function(self, udf) -> None:
+        self.udfs[udf.name] = udf
+        self.schema_epoch += 1
+        if udf.body is not None:     # programmatic UDFs are not durable
+            self._log(REC_DDL, {"op": "put_udf", "udf": self._udf_json(udf)})
+
+    def drop_function(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.udfs:
+            raise ValueError(f"unknown function {name}")
+        del self.udfs[name]
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "drop_udf", "name": name})
+
     def create_view(self, name: str, sql: str) -> None:
         name = name.lower()
         if name in self.tables or name in self.views:
@@ -430,6 +526,10 @@ class Database:
         for name in self.tables:
             cat.add(self.table(name)[0])
         cat.views = dict(self.views)
+        cat.merges = dict(self.merges)
+        cat.remotes = dict(self.remotes)
+        cat.replicas = dict(self.replicas)
+        cat.udfs = dict(self.udfs)
         return cat
 
     def close(self) -> None:

@@ -20,7 +20,8 @@ from typing import Callable, Dict, Iterator, Optional, Tuple
 import numpy as np
 
 __all__ = ["Wal", "REC_CREATE", "REC_DROP", "REC_INSERT", "REC_DELETE",
-           "REC_UPDATE", "REC_COMMIT", "REC_CREATE_VIEW", "REC_DROP_VIEW"]
+           "REC_UPDATE", "REC_COMMIT", "REC_CREATE_VIEW", "REC_DROP_VIEW",
+           "REC_DDL"]
 
 _MAGIC = 0x4D54575A  # 'MTWZ'
 _HDR = struct.Struct("<IBQQ")
@@ -33,6 +34,7 @@ REC_UPDATE = 5
 REC_COMMIT = 6
 REC_CREATE_VIEW = 7
 REC_DROP_VIEW = 8
+REC_DDL = 9       # generic catalog DDL (merge/remote/replica defs)
 
 
 def _pack_payload(meta: dict, arrays: Dict[str, np.ndarray]) -> bytes:

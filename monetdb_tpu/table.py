@@ -66,6 +66,13 @@ class Catalog:
         # view name → SQL text (expanded at bind time, the reference's
         # sql_rel view inlining)
         self.views: Dict[str, str] = {}
+        # distribution DDL (sql/server/rel_distribute.c analog); values are
+        # sql.distribute.{MergeDef, RemoteDef, ReplicaDef}
+        self.merges: Dict[str, object] = {}
+        self.remotes: Dict[str, object] = {}
+        self.replicas: Dict[str, object] = {}
+        # registered UDFs (udf.UDF) — pyapi3 analog
+        self.udfs: Dict[str, object] = {}
 
     def add(self, table: Table) -> None:
         self.tables[table.name.lower()] = table
