@@ -18,6 +18,12 @@ import jax
 # kernels use narrower types where exactness permits.
 jax.config.update("jax_enable_x64", True)
 
+# MTPU_PLATFORM=cpu|tpu forces the backend before any array op (needed in
+# subprocesses where sitecustomize pins a remote platform; the analog of
+# the reference's --set gdk_* startup options)
+if os.environ.get("MTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MTPU_PLATFORM"])
+
 _defaults: Dict[str, Any] = {
     # raise on integer/decimal overflow like the reference's BATcalc*
     # (gdk/gdk_calc_addsub.c ON_OVERFLOW macros)

@@ -333,12 +333,20 @@ class Executor:
         m = getattr(self, "_exec_" + type(rel).__name__.lower(), None)
         if m is None:
             raise ExecError(f"no executor for {type(rel).__name__}")
+        # cooperative stop/timeout between operators (sysmon pause/stop,
+        # mal_runtime.c QRYqueue status; mal_interpreter checks per instr)
+        from ..sql.syscat import CURRENT_QUERY, QUEUE
+        QUEUE.check(CURRENT_QUERY.tag)
         from ..obs import PROFILER
         if not PROFILER.enabled:
-            return m(rel)
-        with PROFILER.op(type(rel).__name__, label=rel._label()):
             out = m(rel)
-        PROFILER.events[-1]["rows"] = out.count
+        else:
+            with PROFILER.op(type(rel).__name__, label=rel._label()):
+                out = m(rel)
+            PROFILER.events[-1]["rows"] = out.count
+        # post-check: an operator that overran the deadline (or was
+        # stopped mid-flight) aborts as soon as it returns
+        QUEUE.check(CURRENT_QUERY.tag)
         return out
 
     def _exec_scan(self, r: L.Scan) -> Frame:
@@ -364,7 +372,7 @@ class Executor:
         if r.preds:
             sql += " where " + " and ".join(to_sql(p) for p in r.preds)
         host, port = r.addr.rsplit(":", 1)
-        cl = Client(host, int(port))
+        cl = Client(host, int(port), rdef.user, rdef.password)
         try:
             res = cl.sql(sql)
         finally:
@@ -993,6 +1001,53 @@ class Executor:
         if e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos", "tan",
                       "floor", "ceil", "ceiling", "power", "mod"):
             return self._eval_math(e, fr)
+        if e.name in ("levenshtein", "editdistance", "editdistance2",
+                      "jarowinkler", "difference"):
+            a = self.eval(e.args[0], fr)
+            b = self.eval(e.args[1], fr)
+            if isinstance(a, Scalar) and isinstance(b, Column):
+                a, b = b, a      # txtsim metrics are symmetric
+            if not (isinstance(a, Column) and isinstance(b, Scalar)):
+                raise ExecError(f"{e.name} expects (column, constant)")
+            from ..obs import set_algorithm
+            set_algorithm(f"txtsim:{e.name}")
+            other = str(b.value)
+            fn = {"levenshtein": SF.levenshtein,
+                  "editdistance": SF.editdistance,
+                  "editdistance2": SF.editdistance,
+                  "jarowinkler": SF.jarowinkler,
+                  "difference": SF.difference}[e.name]
+            return fn(a, other)
+        if e.name in ("soundex", "qgramnormalize"):
+            col = self.eval(e.args[0], fr)
+            return (SF.soundex if e.name == "soundex"
+                    else SF.qgram_normalize)(col)
+        if e.name in ("json_isvalid", "json_filter", "json_text",
+                      "json_length", "json_keyarray", "json_valuearray"):
+            from ..ops import jsonfuncs as JF
+            col = self.eval(e.args[0], fr)
+            if not isinstance(col, Column):
+                raise ExecError(f"{e.name} expects a string column")
+            if e.name == "json_filter":
+                path = str(self.eval(e.args[1], fr).value)
+                return JF.filter_path(col, path)
+            if e.name == "json_text":
+                sep = " "
+                if len(e.args) > 1:
+                    sep = str(self.eval(e.args[1], fr).value)
+                return JF.text(col, sep)
+            return {"json_isvalid": JF.isvalid, "json_length": JF.length,
+                    "json_keyarray": JF.keyarray,
+                    "json_valuearray": JF.valuearray}[e.name](col)
+        if e.name == "next_value_for":
+            nsb = getattr(self.catalog, "next_sequence_block", None)
+            if nsb is None:
+                raise ExecError("no sequence store in this catalog")
+            name = str(self.eval(e.args[0], fr).value).lower()
+            inc = self.catalog.sequences[name]["inc"]
+            first = nsb(name, fr.count)
+            vals = first + jnp.arange(fr.cap, dtype=jnp.int64) * inc
+            return Column(I64, vals, fr.count)
         u = self.catalog.udfs.get(e.name)
         if u is not None:
             return self._eval_udf(u, e, fr)
@@ -1118,6 +1173,14 @@ class Executor:
             if e.value:
                 return Cand.all(fr.count)
             return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
+        # bare boolean expression (boolean column, function, CASE...):
+        # evaluate to a bool column; nil/pad rows are already False
+        v = self.eval(e, fr)
+        if isinstance(v, Scalar):
+            return Cand.all(fr.count) if v.value else \
+                Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
+        if v.typ.kind == Kind.BOOL:
+            return Cand.from_mask(v.data, fr.count)
         raise ExecError(f"cannot compile predicate {type(e).__name__}")
 
     _FLIP = {"=": "=", "<>": "<>", "<": ">", "<=": ">=", ">": "<", ">=": "<="}

@@ -187,3 +187,164 @@ def lpad(col, k: int, fill: str = " "):
 
 def rpad(col, k: int, fill: str = " "):
     return map_dict(col, lambda v: v.ljust(k, fill)[:k])
+
+
+# ======================================================================
+# text similarity (reference: monetdb5/modules/mal/txtsim.c —
+# levenshtein w/ costs, dameraulevenshtein, jarowinkler, soundex,
+# difference, qgramnormalize). Host DP over the dictionary's distinct
+# values, one device gather per call — the dict is tiny relative to the
+# column so this is bandwidth-optimal on TPU.
+# ======================================================================
+def _lev(a: str, b: str, ins: int = 1, dele: int = 1, sub: int = 1) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb * ins
+    if lb == 0:
+        return la * dele
+    prev = list(range(0, (lb + 1) * ins, ins))
+    for i in range(1, la + 1):
+        cur = [i * dele] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + dele, cur[j - 1] + ins,
+                         prev[j - 1] + (0 if ca == b[j - 1] else sub))
+        prev = cur
+    return prev[lb]
+
+
+def _damerau(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] \
+                    and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return d[la][lb]
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    jaro = (m / la + m / lb + (m - t / 2) / m) / 3
+    # winkler prefix boost (standard p=0.1, max prefix 4)
+    pfx = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        pfx += 1
+    return jaro + pfx * 0.1 * (1 - jaro)
+
+
+_SOUNDEX_CODE = {**dict.fromkeys("bfpv", "1"), **dict.fromkeys("cgjkqsxz", "2"),
+                 **dict.fromkeys("dt", "3"), "l": "4",
+                 **dict.fromkeys("mn", "5"), "r": "6"}
+
+
+def _soundex(s: str) -> str:
+    s = "".join(c for c in s.lower() if c.isalpha())
+    if not s:
+        return ""
+    out = s[0].upper()
+    prev = _SOUNDEX_CODE.get(s[0], "")
+    for c in s[1:]:
+        code = _SOUNDEX_CODE.get(c, "")
+        if code and code != prev:
+            out += code
+            if len(out) == 4:
+                break
+        if c not in "hw":
+            prev = code
+    return (out + "000")[:4]
+
+
+def _qgram_normalize(s: str) -> str:
+    """txtsim.c qgramnormalize: uppercase, strip non-alnum to single
+    spaces."""
+    out = []
+    prev_space = True
+    for c in s.upper():
+        if c.isalnum():
+            out.append(c)
+            prev_space = False
+        elif not prev_space:
+            out.append(" ")
+            prev_space = True
+    return "".join(out).strip()
+
+
+def map_dict_f64(col: Column, fn) -> Column:
+    """Per-distinct-value host float function → device gather."""
+    from ..dtypes import F64
+    lut = np.fromiter((float(fn(v)) for v in col.sdict.values),
+                      count=len(col.sdict), dtype=np.float64)
+    lutj = jnp.asarray(lut)
+    codes = col.data
+    ok = codes >= 0
+    out = jnp.where(ok, lutj[jnp.where(ok, codes, 0)], jnp.nan)
+    from ..column import valid_mask as _vm
+    out = jnp.where(_vm(col.cap, col.count), out, jnp.nan)
+    return Column(F64, out, col.count, nonil=col.nonil)
+
+
+def levenshtein(col, other: str, ins: int = 1, dele: int = 1,
+                sub: int = 1):
+    return map_dict_int(col, lambda v: _lev(v, other, ins, dele, sub))
+
+
+def editdistance(col, other: str):
+    return map_dict_int(col, lambda v: _damerau(v, other))
+
+
+def jarowinkler(col, other: str):
+    return map_dict_f64(col, lambda v: _jaro_winkler(v, other))
+
+
+def soundex(col):
+    return map_dict(col, _soundex)
+
+
+def difference(col, other: str):
+    """soundex difference: #matching soundex positions (txtsim.c)."""
+    so = _soundex(other)
+    return map_dict_int(
+        col, lambda v: sum(1 for x, y in zip(_soundex(v), so) if x == y))
+
+
+def qgram_normalize(col):
+    return map_dict(col, _qgram_normalize)

@@ -12,6 +12,13 @@ Response: {"names": [...], "types": [tags], "rows": [[...]]}   (query)
           {"affected": n}                                      (DML)
           {"ok": true}                                         (DDL/txn)
           {"error": "message"}                                 (failure)
+
+Authentication (enabled when the Database has registered users): on
+connect the server sends {"challenge": salt}; the client answers
+{"user": u, "digest": sha512(salt + sha512(password))} — the reference's
+challenge-response over hashed passwords (monetdb5/mal/mal_authorize.c
+AUTHGeneratePasswordHash, common/utils/mcrypt.c; the stored secret is the
+password hash, never the password).
 """
 
 from __future__ import annotations
@@ -77,7 +84,27 @@ def _decode_value(v, tag: str):
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
-        session = Session(self.server.db)   # session per connection
+        db = self.server.db
+        if db.users:
+            import os
+            salt = os.urandom(16).hex()
+            _send(self.request, {"challenge": salt})
+            reply = _recv(self.request)
+            if reply is None:
+                return
+            stored = db.users.get(reply.get("user", ""))
+            import hashlib
+            want = hashlib.sha512(
+                (salt + (stored or "")).encode()).hexdigest()
+            # constant-time compare (mcrypt.c does the same)
+            import hmac
+            if stored is None or not hmac.compare_digest(
+                    want, reply.get("digest", "")):
+                _send(self.request, {"error": "InvalidCredentialsException:"
+                                     " auth failed"})
+                return
+            _send(self.request, {"ok": True})
+        session = Session(db)               # session per connection
         while True:
             try:
                 msg = _recv(self.request)
@@ -135,8 +162,22 @@ class Server:
 class Client:
     """mapilib analog: blocking query API over the block stream."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, user: Optional[str] = None,
+                 password: Optional[str] = None):
         self.sock = socket.create_connection((host, port))
+        if user is not None:
+            import hashlib
+            ch = _recv(self.sock)
+            if ch is None or "challenge" not in ch:
+                raise ConnectionError("server did not issue a challenge")
+            pwhash = hashlib.sha512((password or "").encode()).hexdigest()
+            digest = hashlib.sha512(
+                (ch["challenge"] + pwhash).encode()).hexdigest()
+            _send(self.sock, {"user": user, "digest": digest})
+            resp = _recv(self.sock)
+            if resp is None or "error" in resp:
+                raise ConnectionError(
+                    (resp or {}).get("error", "auth failed"))
 
     def sql(self, text: str):
         _send(self.sock, {"sql": text})

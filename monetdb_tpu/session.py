@@ -33,15 +33,21 @@ class Session:
         # sql text → (schema_epoch, rel, out_cols)
         self._plan_cache: Dict[str, tuple] = {}
 
+    # per-session query timeout in seconds (sys.setquerytimeout analog)
+    timeout: Optional[float] = None
+
     # -- entry ----------------------------------------------------------------
     def sql(self, text: str) -> Union[Result, int, None]:
-        from .sql.syscat import QUEUE
-        tag = QUEUE.start(text)
+        from .sql.syscat import CURRENT_QUERY, QUEUE
+        tag = QUEUE.start(text, self.timeout)
+        CURRENT_QUERY.tag = tag
         try:
             out = self._sql(text)
         except Exception:
             QUEUE.finish(tag, "aborted")
             raise
+        finally:
+            CURRENT_QUERY.tag = None
         QUEUE.finish(tag)
         return out
 
@@ -67,8 +73,17 @@ class Session:
         if isinstance(stmt, A.SelectStmt):
             return self._cached_query(text)
         if isinstance(stmt, A.CreateTable):
-            self.db.create_table(stmt.name,
-                                 [(c, t) for c, t, _nn in stmt.columns])
+            self.db.create_table(
+                stmt.name, [(c, t) for c, t, _f in stmt.columns],
+                {c: f for c, _t, f in stmt.columns if isinstance(f, dict)})
+            return None
+        if isinstance(stmt, A.Call):
+            return self._call(stmt)
+        if isinstance(stmt, A.CreateSequence):
+            self.db.create_sequence(stmt.name, stmt.start, stmt.inc)
+            return None
+        if isinstance(stmt, A.DropSequence):
+            self.db.drop_sequence(stmt.name)
             return None
         if isinstance(stmt, A.DropTable):
             n = stmt.name.lower()
@@ -114,6 +129,10 @@ class Session:
             return self._update(stmt)
         if isinstance(stmt, A.CopyFrom):
             return self._copy(stmt)
+        if isinstance(stmt, A.CopyInto):
+            return self._copy_into(stmt)
+        if isinstance(stmt, A.CopyBinaryFrom):
+            return self._copy_binary(stmt)
         raise BindError(f"unsupported statement {type(stmt).__name__}")
 
     def query(self, text: str) -> Result:
@@ -133,6 +152,22 @@ class Session:
     def prepare(self, text: str) -> "Prepared":
         return Prepared(self, text)
 
+
+    # -- procedures (sysmon: sql/scripts/26_sysmon.sql) --------------------
+    def _call(self, stmt) -> None:
+        from .sql.syscat import QUEUE
+        name = stmt.name.lower()
+        args = [self._const_value(a) for a in stmt.args]
+        if name in ("sys.stop", "stop"):
+            QUEUE.stop(int(args[0]))
+            return None
+        if name in ("sys.setquerytimeout", "setquerytimeout"):
+            self.timeout = float(args[0]) or None
+            return None
+        if name in ("sys.settimeout", "settimeout"):
+            self.timeout = float(args[0]) or None
+            return None
+        raise BindError(f"unknown procedure {stmt.name}")
 
     # -- distribution DDL (merge/remote/replica; rel_schema.c analog) ------
     def _schema_of(self, name: str):
@@ -158,9 +193,15 @@ class Session:
             return None
         if isinstance(stmt, A.CreateRemoteTable):
             schema = [(c.lower(), t) for c, t, _nn in stmt.columns]
-            addr, _, rtable = stmt.addr.partition("/")
+            loc = stmt.addr
+            user = password = None
+            if "@" in loc:        # 'user:password@host:port/table'
+                creds, _, loc = loc.rpartition("@")
+                user, _, password = creds.partition(":")
+            addr, _, rtable = loc.partition("/")
             self.db.put_dist_def(RemoteDef(stmt.name.lower(), schema, addr,
-                                           rtable or stmt.name.lower()))
+                                           rtable or stmt.name.lower(),
+                                           user, password))
             return None
         if isinstance(stmt, A.CreateReplicaTable):
             schema = [(c.lower(), t) for c, t, _nn in stmt.columns]
@@ -217,6 +258,8 @@ class Session:
             return e.value
         if isinstance(e, Func) and e.name == "neg":
             return -self._const_value(e.args[0])
+        if isinstance(e, Func) and e.name == "next_value_for":
+            return self.db.next_sequence_block(e.args[0].value, 1)
         raise BindError("INSERT VALUES must be constants")
 
     def _insert_values(self, stmt: A.InsertValues) -> int:
@@ -261,21 +304,50 @@ class Session:
                 "(" + ", ".join(_sql_value(v) for v in r) + ")"
                 for r in rows)
             host, port = rdef.addr.rsplit(":", 1)
-            cl = Client(host, int(port))
+            cl = Client(host, int(port), rdef.user, rdef.password)
             try:
                 return cl.sql(
                     f"insert into {rdef.rtable}{collist} values {vals}")
             finally:
                 cl.close()
         td = self.db.tables[n]
-        names = cols or td.order
+        arity = self._row_arity(rows)
+        if cols is not None:
+            names = cols
+        elif arity == len(td.order):
+            names = td.order
+        elif arity == len(td.order) - len(td.serials):
+            # serial columns omitted: values map to the non-serial columns
+            names = [c for c in td.order if c not in td.serials]
+        else:
+            raise BindError(
+                f"INSERT arity {arity} does not match {n}({len(td.order)})")
+        if arity != len(names):
+            raise BindError(
+                f"INSERT arity {arity} does not match column list "
+                f"{len(names)}")
         arrays: Dict[str, np.ndarray] = {}
         for j, c in enumerate(names):
             arrays[c] = to_physical_np([r[j] for r in rows], td.types[c])
         for c in td.order:
-            if c not in arrays:
+            if c in arrays:
+                continue
+            if c in td.serials:
+                # auto-fill from the column's sequence (serial /
+                # auto_increment; store_sequence.c)
+                seq = self.db.sequences[td.serials[c]]
+                first = self.db.next_sequence_block(td.serials[c],
+                                                    len(rows))
+                vals = first + np.arange(len(rows), dtype=np.int64) \
+                    * seq["inc"]
+                arrays[c] = vals.astype(td.types[c].np_dtype)
+            else:
                 arrays[c] = to_physical_np([None] * len(rows), td.types[c])
         return self.db.insert(n, arrays)
+
+    @staticmethod
+    def _row_arity(rows) -> int:
+        return len(rows[0]) if rows else 0
 
     # -- DELETE / UPDATE (oid selection runs through the query engine) --------
     def _select_oids(self, table: str, where,
@@ -346,6 +418,53 @@ class Session:
                   for c, vals in zip(td.order, cols)}
         n = len(cols[0]) if cols else 0
         if n == 0:
+            return 0
+        return self.db.insert(stmt.table, arrays)
+
+    def _copy_into(self, stmt: A.CopyInto) -> int:
+        """COPY ... INTO 'file': export result rows as delimited text in
+        the reference's dump format (NULL for nils, trailing newline;
+        sql_result.c mvc_export_table)."""
+        if isinstance(stmt.source, str):
+            res = self.query(f"select * from {stmt.source}")
+        else:
+            res = Engine(self.db.catalog()).query_stmt(stmt.source)
+        with open(stmt.path, "w") as f:
+            for row in res.rows:
+                f.write(stmt.delimiter.join(
+                    "NULL" if v is None else str(v) for v in row) + "\n")
+        return len(res.rows)
+
+    def _copy_binary(self, stmt: A.CopyBinaryFrom) -> int:
+        """COPY BINARY INTO t FROM (files...): one file per column in
+        declared order; .npy arrays or raw little-endian fixed-width
+        (strings: one value per line, text)."""
+        td = self.db.tables[stmt.table.lower()]
+        if len(stmt.paths) != len(td.order):
+            raise BindError(
+                f"expected {len(td.order)} files, got {len(stmt.paths)}")
+        arrays: Dict[str, np.ndarray] = {}
+        n = None
+        for c, path in zip(td.order, stmt.paths):
+            t = td.types[c]
+            if path.endswith(".npy"):
+                arr = np.load(path)
+                if t.kind != Kind.STR:
+                    arr = arr.astype(t.np_dtype, copy=False)
+            elif t.kind == Kind.STR:
+                with open(path) as f:
+                    vals = f.read().splitlines()
+                arr = to_physical_np(
+                    [None if v == "NULL" else v for v in vals], t)
+            else:
+                arr = np.fromfile(path, dtype=t.np_dtype)
+            if n is None:
+                n = len(arr)
+            elif len(arr) != n:
+                raise BindError(
+                    f"column file {path} has {len(arr)} rows, expected {n}")
+            arrays[c] = arr
+        if not n:
             return 0
         return self.db.insert(stmt.table, arrays)
 

@@ -81,6 +81,26 @@ class DropView:
 
 
 @dataclasses.dataclass
+class Call:
+    """CALL proc(args) — sysmon procedures (sys.stop, sys.setquerytimeout;
+    sql/scripts/26_sysmon.sql)."""
+    name: str
+    args: List[Expr]
+
+
+@dataclasses.dataclass
+class CreateSequence:
+    name: str
+    start: int = 1
+    inc: int = 1
+
+
+@dataclasses.dataclass
+class DropSequence:
+    name: str
+
+
+@dataclasses.dataclass
 class CreateFunction:
     """CREATE FUNCTION f(args) RETURNS t LANGUAGE PYTHON { body }
     (reference: sql/backends/monet5/UDF/pyapi3)."""
@@ -153,6 +173,23 @@ class CopyFrom:
     path: str
     delimiter: str = "|"
     records: Optional[int] = None
+
+
+@dataclasses.dataclass
+class CopyInto:
+    """COPY <table|select> INTO 'file' — result export (msqldump/
+    mvc_export analog)."""
+    source: Any               # table name str or SelectStmt
+    path: str
+    delimiter: str = "|"
+
+
+@dataclasses.dataclass
+class CopyBinaryFrom:
+    """COPY BINARY INTO t FROM (files...) — fixed-width binary bulk load
+    (sql/backends/monet5/sql_bincopy*.c)."""
+    table: str
+    paths: List[str]
 
 
 @dataclasses.dataclass

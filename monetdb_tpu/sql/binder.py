@@ -885,6 +885,22 @@ class Binder:
             elif e.name in ("length", "char_length", "character_length",
                             "locate", "position"):
                 e.typ = I32
+            elif e.name in ("levenshtein", "editdistance", "editdistance2",
+                            "difference"):
+                e.typ = I32
+            elif e.name == "jarowinkler":
+                e.typ = F64
+            elif e.name in ("soundex", "qgramnormalize"):
+                e.typ = varchar()
+            elif e.name in ("json_filter", "json_text", "json_keyarray",
+                            "json_valuearray"):
+                e.typ = varchar()
+            elif e.name == "json_isvalid":
+                e.typ = BOOL
+            elif e.name == "json_length":
+                e.typ = I32
+            elif e.name == "next_value_for":
+                e.typ = I64
             elif e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos",
                             "tan", "power"):
                 e.typ = F64

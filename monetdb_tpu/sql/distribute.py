@@ -76,8 +76,10 @@ class MergeDef:
 class RemoteDef:
     name: str
     schema: List[Tuple[str, SQLType]]
-    addr: str                            # host:port[/rtable]
+    addr: str                            # host:port (no credentials)
     rtable: str
+    user: Optional[str] = None           # auth for the remote server
+    password: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -444,7 +446,8 @@ def def_to_json(d) -> dict:
                             for m, s in d.members]}
     if isinstance(d, RemoteDef):
         return {"kind": "remote", "name": d.name, "schema": schema,
-                "addr": d.addr, "rtable": d.rtable}
+                "addr": d.addr, "rtable": d.rtable,
+                "user": d.user, "password": d.password}
     return {"kind": "replica", "name": d.name, "schema": schema,
             "members": list(d.members)}
 
@@ -463,7 +466,8 @@ def def_from_json(j: dict):
         return MergeDef(j["name"], schema, j["part_kind"], j["part_col"],
                         members)
     if j["kind"] == "remote":
-        return RemoteDef(j["name"], schema, j["addr"], j["rtable"])
+        return RemoteDef(j["name"], schema, j["addr"], j["rtable"],
+                         j.get("user"), j.get("password"))
     return ReplicaDef(j["name"], schema, list(j["members"]))
 
 

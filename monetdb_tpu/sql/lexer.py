@@ -37,7 +37,7 @@ KEYWORDS = {
     "preceding", "following", "current", "row", "for", "precision",
     "delete", "update", "set", "begin", "start", "transaction", "commit",
     "rollback", "sample", "seed",
-    "merge", "remote", "replica", "alter", "add", "to",
+    "merge", "remote", "replica", "alter", "add", "to", "default",
 }
 
 _TWO_CHAR = {"<>", "<=", ">=", "!=", "||"}

@@ -92,8 +92,27 @@ class Parser:
                 self.next()
                 from .ast import DropFunction
                 return DropFunction(self.next().value)
+            if self.peek().kind == "ident" and \
+                    self.peek().value == "sequence":
+                self.next()
+                from .ast import DropSequence
+                return DropSequence(self.next().value)
             self.expect_kw("table")
             return DropTable(self.next().value)
+        if self.peek().kind == "ident" and self.peek().value == "call":
+            self.next()
+            name = self.next().value
+            while self.eat_punct("."):
+                name += "." + self.next().value
+            args = []
+            self.expect_punct("(")
+            if not self.eat_punct(")"):
+                args.append(self.parse_expr())
+                while self.eat_punct(","):
+                    args.append(self.parse_expr())
+                self.expect_punct(")")
+            from .ast import Call
+            return Call(name, args)
         if self.at_kw("insert"):
             return self.parse_insert()
         if self.at_kw("copy"):
@@ -385,6 +404,14 @@ class Parser:
 
     def parse_primary(self) -> Expr:
         t = self.peek()
+        if t.kind == "ident" and t.value == "next" and \
+                self.peek(1).kind == "ident" and \
+                self.peek(1).value == "value":
+            # NEXT VALUE FOR seq (store_sequence.c / sql_parser.y)
+            self.next()
+            self.next()
+            self.expect_kw("for")
+            return Func("next_value_for", [Const(self.next().value)])
         if t.kind == "punct" and t.value == "(":
             self.next()
             if self.at_kw("select"):
@@ -652,6 +679,24 @@ class Parser:
         if self.at_kw("merge") or self.at_kw("remote") or \
                 self.at_kw("replica"):
             return self.parse_create_distributed()
+        if self.peek().kind == "ident" and self.peek().value == "sequence":
+            self.next()
+            from .ast import CreateSequence
+            name = self.next().value
+            start, inc = 1, 1
+            while True:
+                if self.at_kw("start"):
+                    self.next()
+                    self.expect_kw("with")
+                    start = int(self.parse_expr().value)
+                elif self.peek().kind == "ident" and \
+                        self.peek().value == "increment":
+                    self.next()
+                    self.expect_kw("by")
+                    inc = int(self.parse_expr().value)
+                else:
+                    break
+            return CreateSequence(name, start, inc)
         self.expect_kw("table")
         name = self.next().value
         cols = self.parse_column_defs()
@@ -660,13 +705,16 @@ class Parser:
     def parse_column_defs(self):
         self.expect_punct("(")
         cols = []
+        table_pks = []
         while True:
             if self.at_kw("primary"):
                 self.next()
                 self.expect_kw("key")
                 self.expect_punct("(")
                 while not self.eat_punct(")"):
-                    self.next()
+                    t = self.next()
+                    if t.kind in ("ident", "kw"):
+                        table_pks.append(t.value)
             elif self.at_kw("foreign"):
                 self.next()
                 self.expect_kw("key")
@@ -680,21 +728,38 @@ class Parser:
                         self.next()
             else:
                 cname = self.next().value
-                ctype = self.parse_type()
-                not_null = False
+                flags = {"notnull": False, "pk": False, "serial": False}
+                if self.peek().kind == "ident" and \
+                        self.peek().value in ("serial", "bigserial"):
+                    # serial = int sequence + primary key (rel_schema.c)
+                    from ..dtypes import I32 as _I32, I64 as _I64
+                    ctype = _I32 if self.next().value == "serial" else _I64
+                    flags["serial"] = flags["pk"] = flags["notnull"] = True
+                else:
+                    ctype = self.parse_type()
                 while True:
                     if self.eat_kw("not"):
                         self.expect_kw("null")
-                        not_null = True
+                        flags["notnull"] = True
                     elif self.eat_kw("primary"):
                         self.expect_kw("key")
-                        not_null = True
+                        flags["notnull"] = flags["pk"] = True
+                    elif self.peek().kind == "ident" and \
+                            self.peek().value == "auto_increment":
+                        self.next()
+                        flags["serial"] = True
+                    elif self.eat_kw("default"):
+                        self.parse_expr()      # parsed, not yet enforced
                     else:
                         break
-                cols.append((cname, ctype, not_null))
+                cols.append((cname, ctype, flags))
             if not self.eat_punct(","):
                 break
         self.expect_punct(")")
+        for c, _t, flags in cols:
+            if c in table_pks:
+                flags["pk"] = True
+                flags["notnull"] = True
         return cols
 
     def parse_create_distributed(self):
@@ -793,9 +858,41 @@ class Parser:
     def parse_copy(self):
         self.expect_kw("copy")
         records = None
+        if self.peek().kind == "ident" and self.peek().value == "binary":
+            # COPY BINARY INTO t FROM ('f1', 'f2', ...) — fixed-width
+            # binary bulk load (reference: sql/backends/monet5/sql_bincopy*)
+            self.next()
+            self.expect_kw("into")
+            name = self.next().value
+            self.expect_kw("from")
+            paths = []
+            wrapped = self.eat_punct("(")
+            paths.append(self.next().value)
+            while self.eat_punct(","):
+                paths.append(self.next().value)
+            if wrapped:
+                self.expect_punct(")")
+            from .ast import CopyBinaryFrom
+            return CopyBinaryFrom(name, paths)
         if self.peek().kind == "num":
             records = int(self.next().value)
             self.expect_kw("records")
+        if self.at_kw("select") or self.peek().kind == "ident":
+            # COPY <table|SELECT...> INTO 'file' — result export
+            # (reference: sql/server/sql_parser.y copyto, mvc_export)
+            if self.at_kw("select"):
+                src = self.parse_select()
+            else:
+                src = self.next().value
+            self.expect_kw("into")
+            path = self.next().value
+            delim = "|"
+            if self.eat_kw("delimiters"):
+                delim = self.next().value
+                while self.eat_punct(","):
+                    self.next()
+            from .ast import CopyInto
+            return CopyInto(src, path, delim)
         self.expect_kw("into")
         name = self.next().value
         self.expect_kw("from")

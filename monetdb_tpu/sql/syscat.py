@@ -21,7 +21,8 @@ from typing import List, Optional, Tuple
 from ..dtypes import BOOL, F64, I32, I64, varchar
 from ..table import Catalog, Table
 
-__all__ = ["system_table", "is_system_table", "QUEUE"]
+__all__ = ["system_table", "is_system_table", "QUEUE", "QueryKilled",
+           "CURRENT_QUERY"]
 
 _VC = varchar()
 
@@ -29,29 +30,56 @@ _VC = varchar()
 # ======================================================================
 # sys.queue — running/recent query registry (QRYqueue, mal_runtime.c:34)
 # ======================================================================
+class QueryKilled(Exception):
+    """Raised inside the executor when a query is stopped or times out
+    (the reference's sysmon stop / querytimeout, mal_runtime.c)."""
+
+
 class QueryQueue:
-    """Global registry of queries: running + a bounded history ring."""
+    """Global registry of queries: running + a bounded history ring.
+    Supports cooperative stop and per-query deadlines — the executor
+    calls check() between operators (the reference checks its QRYqueue
+    status flag in the MAL interpreter loop the same way)."""
 
     def __init__(self, keep: int = 256):
         self.keep = keep
         self._next = 1
         self.running = {}            # tag → (sql, start_time)
+        self.deadlines = {}          # tag → abs time
+        self.stopped = set()
         self.finished: List[Tuple[int, str, float, float, str]] = []
 
-    def start(self, sql: str) -> int:
+    def start(self, sql: str, timeout: Optional[float] = None) -> int:
         tag = self._next
         self._next += 1
         self.running[tag] = (sql, time.time())
+        if timeout:
+            self.deadlines[tag] = time.time() + timeout
         return tag
 
     def finish(self, tag: int, status: str = "finished") -> None:
         ent = self.running.pop(tag, None)
+        self.deadlines.pop(tag, None)
+        self.stopped.discard(tag)
         if ent is None:
             return
         sql, t0 = ent
         self.finished.append((tag, sql, t0, time.time(), status))
         if len(self.finished) > self.keep:
             del self.finished[:len(self.finished) - self.keep]
+
+    def stop(self, tag: int) -> None:
+        if tag in self.running:
+            self.stopped.add(tag)
+
+    def check(self, tag: Optional[int]) -> None:
+        if tag is None:
+            return
+        if tag in self.stopped:
+            raise QueryKilled(f"query {tag} stopped")
+        dl = self.deadlines.get(tag)
+        if dl is not None and time.time() > dl:
+            raise QueryKilled(f"query {tag} exceeded its timeout")
 
     def rows(self):
         now = time.time()
@@ -63,6 +91,15 @@ class QueryQueue:
 
 
 QUEUE = QueryQueue()
+
+
+class _CurrentQuery(__import__("threading").local):
+    tag: Optional[int] = None
+
+
+# thread-local current query tag: the executor checks QUEUE against it
+# between operators (each session connection runs on its own thread)
+CURRENT_QUERY = _CurrentQuery()
 
 
 # ======================================================================

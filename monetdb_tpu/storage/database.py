@@ -39,10 +39,17 @@ __all__ = ["Database", "TableData"]
 class TableData:
     """Host-side authoritative state of one table (physical domain)."""
 
-    def __init__(self, name: str, schema: List[Tuple[str, SQLType]]):
+    def __init__(self, name: str, schema: List[Tuple[str, SQLType]],
+                 flags: Optional[Dict[str, dict]] = None):
         self.name = name
         self.types: Dict[str, SQLType] = {c: t for c, t in schema}
         self.order = [c for c, _t in schema]
+        flags = flags or {}
+        self.notnull = {c for c, f in flags.items() if f.get("notnull")}
+        self.pks = [c for c, _t in schema
+                    if flags.get(c, {}).get("pk")]
+        self.serials = {c: f"seq_{name}_{c}" for c, f in flags.items()
+                        if f.get("serial")}
         self.cols: Dict[str, np.ndarray] = {}
         self.dicts: Dict[str, np.ndarray] = {}
         for c, t in schema:
@@ -58,11 +65,20 @@ class TableData:
     def count(self) -> int:
         return len(self.deleted)
 
+    def flags_json(self) -> Dict[str, dict]:
+        return {c: {"notnull": c in self.notnull, "pk": c in self.pks,
+                    "serial": c in self.serials}
+                for c in self.order
+                if c in self.notnull or c in self.pks or c in self.serials}
+
     def copy(self) -> "TableData":
         td = TableData.__new__(TableData)
         td.name = self.name
         td.types = dict(self.types)
         td.order = list(self.order)
+        td.notnull = set(self.notnull)
+        td.pks = list(self.pks)
+        td.serials = dict(self.serials)
         td.cols = {c: a.copy() for c, a in self.cols.items()}
         td.dicts = {c: a.copy() for c, a in self.dicts.items()}
         td.deleted = self.deleted.copy()
@@ -149,6 +165,11 @@ class Database:
         self.replicas: Dict[str, object] = {}
         # SQL-created Python UDFs (pyapi3 analog); persisted via source
         self.udfs: Dict[str, object] = {}
+        # user → sha512(password) hex (mal_authorize.c stores password
+        # hashes, never plaintext). Empty dict = open server.
+        self.users: Dict[str, str] = {}
+        # sequences (sql/storage/store_sequence.c): name → {next, inc}
+        self.sequences: Dict[str, dict] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -179,7 +200,7 @@ class Database:
             man = json.load(f)
         for tname, tinfo in man["tables"].items():
             schema = [(c, tag_type(tag)) for c, tag in tinfo["schema"]]
-            td = TableData(tname, schema)
+            td = TableData(tname, schema, tinfo.get("flags"))
             for c, _t in schema:
                 td.cols[c] = np.load(os.path.join(
                     self.path, "data", f"{tname}.{c}.npy"))
@@ -197,6 +218,9 @@ class Database:
         for j in man.get("udfs", []):
             u = self._udf_from_json(j)
             self.udfs[u.name] = u
+        self.users = dict(man.get("users", {}))
+        self.sequences = {n: dict(s)
+                          for n, s in man.get("seqs", {}).items()}
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -208,7 +232,8 @@ class Database:
         arrays = self._wal_decode(arrays)
         if rtype == REC_CREATE:
             schema = [(c, tag_type(tag)) for c, tag in meta["schema"]]
-            self.tables[meta["table"]] = TableData(meta["table"], schema)
+            self.tables[meta["table"]] = TableData(
+                meta["table"], schema, meta.get("flags"))
         elif rtype == REC_DROP:
             self.tables.pop(meta["table"], None)
             self._device.pop(meta["table"], None)
@@ -234,6 +259,15 @@ class Database:
                 self.udfs[u.name] = u
             elif meta["op"] == "drop_udf":
                 self.udfs.pop(meta["name"], None)
+            elif meta["op"] == "put_user":
+                self.users[meta["name"]] = meta["hash"]
+            elif meta["op"] == "drop_user":
+                self.users.pop(meta["name"], None)
+            elif meta["op"] == "put_seq":
+                self.sequences[meta["name"]] = {"next": meta["next"],
+                                                "inc": meta["inc"]}
+            elif meta["op"] == "drop_seq":
+                self.sequences.pop(meta["name"], None)
             else:
                 self._dist_dicts()[meta["kind"]].pop(meta["name"], None)
 
@@ -248,7 +282,9 @@ class Database:
                         for dd in self._dist_dicts().values()
                         for d in dd.values()],
                "udfs": [self._udf_json(u) for u in self.udfs.values()
-                        if u.body is not None]}
+                        if u.body is not None],
+               "users": dict(self.users),
+               "seqs": {n: dict(s) for n, s in self.sequences.items()}}
         for tname, td in self.tables.items():
             for c in td.order:
                 np.save(os.path.join(self.path, "data", f"{tname}.{c}.npy"),
@@ -262,6 +298,7 @@ class Database:
             man["tables"][tname] = {
                 "schema": [[c, type_tag(td.types[c])] for c in td.order],
                 "count": td.count,
+                "flags": td.flags_json(),
             }
         tmp = self._manifest_path() + ".new"
         with open(tmp, "w") as f:
@@ -369,16 +406,22 @@ class Database:
     # DDL / DML (physical domain)
     # ======================================================================
     def create_table(self, name: str,
-                     schema: List[Tuple[str, SQLType]]) -> None:
+                     schema: List[Tuple[str, SQLType]],
+                     flags: Optional[Dict[str, dict]] = None) -> None:
         name = name.lower()
         if name in self.tables:
             raise ValueError(f"table {name} exists")
         self._undo_save(name)
-        self.tables[name] = TableData(name, [(c.lower(), t)
-                                             for c, t in schema])
+        flags = {c.lower(): f for c, f in (flags or {}).items()}
+        td = TableData(name, [(c.lower(), t) for c, t in schema], flags)
+        self.tables[name] = td
+        for c, seq in td.serials.items():
+            if seq not in self.sequences:
+                self.create_sequence(seq)
         self.schema_epoch += 1
         self._log(REC_CREATE, {"table": name, "schema": [
-            [c.lower(), type_tag(t)] for c, t in schema]})
+            [c.lower(), type_tag(t)] for c, t in schema],
+            "flags": flags})
 
     def drop_table(self, name: str) -> None:
         name = name.lower()
@@ -450,6 +493,50 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "drop_udf", "name": name})
 
+    # -- sequences (store_sequence.c) -------------------------------------
+    def create_sequence(self, name: str, start: int = 1,
+                        inc: int = 1) -> None:
+        name = name.lower()
+        if name in self.sequences:
+            raise ValueError(f"sequence {name} exists")
+        self.sequences[name] = {"next": int(start), "inc": int(inc)}
+        self._log(REC_DDL, {"op": "put_seq", "name": name,
+                            "next": int(start), "inc": int(inc)})
+
+    def drop_sequence(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.sequences:
+            raise ValueError(f"unknown sequence {name}")
+        del self.sequences[name]
+        self._log(REC_DDL, {"op": "drop_seq", "name": name})
+
+    def next_sequence_block(self, name: str, n: int = 1) -> int:
+        """Reserve n consecutive values; returns the first. The advanced
+        state is WAL-logged so replay never reissues values
+        (store_sequence.c sequences_lock + logger the same way)."""
+        name = name.lower()
+        seq = self.sequences.get(name)
+        if seq is None:
+            raise ValueError(f"unknown sequence {name}")
+        first = seq["next"]
+        seq["next"] = first + n * seq["inc"]
+        self._log(REC_DDL, {"op": "put_seq", "name": name,
+                            "next": seq["next"], "inc": seq["inc"]})
+        return first
+
+    # -- users (sql_user.c / mal_authorize.c) -----------------------------
+    def create_user(self, name: str, password: str) -> None:
+        import hashlib
+        self.users[name] = hashlib.sha512(password.encode()).hexdigest()
+        self._log(REC_DDL, {"op": "put_user", "name": name,
+                            "hash": self.users[name]})
+
+    def drop_user(self, name: str) -> None:
+        if name not in self.users:
+            raise ValueError(f"unknown user {name}")
+        del self.users[name]
+        self._log(REC_DDL, {"op": "drop_user", "name": name})
+
     def create_view(self, name: str, sql: str) -> None:
         name = name.lower()
         if name in self.tables or name in self.views:
@@ -466,11 +553,54 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DROP_VIEW, {"view": name})
 
+    def _check_constraints(self, td: TableData,
+                           arrays: Dict[str, np.ndarray]) -> None:
+        """NOT NULL + PRIMARY KEY enforcement (the reference checks at
+        append time too: sql/storage/bat/bat_storage.c key/null checks,
+        sql_cat.c constraint DDL)."""
+        from ..dtypes import is_nil_np
+
+        def nilmask(c: str) -> np.ndarray:
+            a = arrays[c]
+            if td.types[c].kind == Kind.STR:
+                return np.array([v is None for v in a], dtype=bool)
+            return is_nil_np(np.asarray(a, td.types[c].np_dtype),
+                             td.types[c])
+
+        for c in td.notnull:
+            if c in arrays and nilmask(c).any():
+                raise ValueError(f"NOT NULL constraint violated for "
+                                 f"{td.name}.{c}")
+        if td.pks and all(c in arrays for c in td.pks):
+            live = ~td.deleted
+
+            def keyvals(c: str):
+                new = arrays[c]
+                if td.types[c].kind == Kind.STR:
+                    old_codes = td.cols[c][live]
+                    old = [None if k < 0 else td.dicts[c][k]
+                           for k in old_codes]
+                    return list(old), [v for v in new]
+                return list(td.cols[c][live]), list(np.asarray(new))
+
+            olds, news = zip(*(keyvals(c) for c in td.pks)) if td.pks \
+                else ((), ())
+            new_keys = list(zip(*news)) if news else []
+            if len(set(new_keys)) != len(new_keys):
+                raise ValueError(
+                    f"PRIMARY KEY constraint violated for {td.name}")
+            if olds and len(olds[0]):
+                existing = set(zip(*olds))
+                if existing & set(new_keys):
+                    raise ValueError(
+                        f"PRIMARY KEY constraint violated for {td.name}")
+
     def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
         name = name.lower()
         self._undo_save(name)
         td = self.tables[name]
         arrays = {c.lower(): v for c, v in arrays.items()}
+        self._check_constraints(td, arrays)
         td.append(arrays)
         self._log(REC_INSERT, {"table": name}, arrays)
         self._device.pop(name, None)
@@ -530,6 +660,8 @@ class Database:
         cat.remotes = dict(self.remotes)
         cat.replicas = dict(self.replicas)
         cat.udfs = dict(self.udfs)
+        cat.sequences = self.sequences
+        cat.next_sequence_block = self.next_sequence_block
         return cat
 
     def close(self) -> None:

@@ -73,6 +73,10 @@ class Catalog:
         self.replicas: Dict[str, object] = {}
         # registered UDFs (udf.UDF) — pyapi3 analog
         self.udfs: Dict[str, object] = {}
+        # live sequence hooks (set by Database.catalog(); None for
+        # catalogs not backed by a store)
+        self.sequences: Dict[str, dict] = {}
+        self.next_sequence_block = None
 
     def add(self, table: Table) -> None:
         self.tables[table.name.lower()] = table

@@ -56,7 +56,8 @@ def test_create_table():
                     c varchar(25), primary key (a))""")
     assert isinstance(stmt, CreateTable)
     assert [c[0] for c in stmt.columns] == ["a", "b", "c"]
-    assert stmt.columns[0][2] is True
+    assert stmt.columns[0][2]["notnull"] is True
+    assert stmt.columns[0][2]["pk"] is True      # table-level PRIMARY KEY
 
 
 def test_copy():
