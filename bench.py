@@ -124,6 +124,25 @@ def main():
         print(f"q1 group-aggr failed: {type(ex).__name__}: {str(ex)[:160]}",
               file=sys.stderr)
 
+    # ---- whole-query engine wall times (host-driven operator pipeline,
+    # SF 0.05: measures the full SQL→plan→kernel path, not just kernels) --
+    engine_ms = {}
+    try:
+        from monetdb_tpu.bench.tpch_load import load_tpch
+        from monetdb_tpu.bench.tpch_queries import QUERIES
+        from monetdb_tpu.engine import Engine
+        eng = Engine(load_tpch(0.05))
+        for qn in (1, 6, 3):
+            sql = QUERIES[qn]
+            eng.query(sql)                      # warm (compile cache)
+            t0 = time.perf_counter()
+            eng.query(sql)
+            engine_ms[f"q{qn}"] = round((time.perf_counter() - t0) * 1e3, 1)
+        print(f"engine SF0.05 wall ms: {engine_ms}", file=sys.stderr)
+    except Exception as ex:
+        print(f"engine wall-time bench failed: {type(ex).__name__}: "
+              f"{str(ex)[:160]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "tpch_sf4_q6_scan_filter_throughput",
         "value": round(gbs, 2),
@@ -136,6 +155,7 @@ def main():
                                if per_iter1 else None),
             "q1_mrows_per_s": (round(n / per_iter1 / 1e6, 1)
                                if per_iter1 else None),
+            "engine_sf005_wall_ms": engine_ms or None,
             "rows": n,
         },
     }))

@@ -232,6 +232,8 @@ def _concat_cols(a: Column, b: Column, na: int, nb: int) -> Column:
     if a.typ.kind == Kind.STR or b.typ.kind == Kind.STR:
         merged = np.unique(np.concatenate([a.sdict.values, b.sdict.values]))
         def remap(col):
+            if len(col.sdict.values) == 0:    # all-NULL side: codes stay nil
+                return col.data
             m = np.searchsorted(merged, col.sdict.values).astype(np.int32)
             mj = jnp.asarray(m)
             ok = col.data >= 0
@@ -385,6 +387,23 @@ class Executor:
                 [row[i] for row in res.rows], types[n])
         return Frame(cols, len(res.rows))
 
+    def _exec_remotequery(self, r: L.RemoteQuery) -> Frame:
+        """Ship pre-built SQL (partial aggregates) to a remote server
+        (two-phase aggregation combine path)."""
+        from ..server import Client
+        from ..storage.columns import column_from_pyvalues
+        host, port = r.addr.rsplit(":", 1)
+        cl = Client(host, int(port), r.user, r.password)
+        try:
+            res = cl.sql(r.sql)
+        finally:
+            cl.close()
+        cols: Dict[Tuple[str, str], Column] = {}
+        for i, (n, t) in enumerate(r.schema):
+            cols[(r.key_table, n)] = column_from_pyvalues(
+                [row[i] for row in res.rows], t)
+        return Frame(cols, len(res.rows))
+
     def _exec_filter(self, r: L.Filter) -> Frame:
         fr = self.exec_rel(r.child)
         cand = self.eval_pred(r.pred, fr)
@@ -409,6 +428,11 @@ class Executor:
     def _broadcast(self, s: Scalar, fr: Frame) -> Column:
         typ = s.typ or I64
         if typ.kind == Kind.STR:
+            if s.value is None:      # NULL string: empty dict, nil codes
+                sd = StrDict(np.empty(0, dtype=str))
+                nilcode = jnp.int32(np.iinfo(np.int32).min)
+                return Column(typ, jnp.full(fr.cap, nilcode, jnp.int32),
+                              fr.count, nonil=False, sdict=sd)
             sd = StrDict(np.array([s.value]))
             data = jnp.zeros(fr.cap, jnp.int32)
             return Column(typ, data, fr.count, sdict=sd)
@@ -848,6 +872,9 @@ class Executor:
             out = (W.lag if func == "lag" else W.lead)(arg, pb, offset=off)
         elif func == "first_value":
             out = W.first_value(arg, pb)
+        elif func == "nth_value":
+            k = int(self.eval(e.extra[0], fr).value) if e.extra else 1
+            out = W.nth_value(arg, pb, k)
         elif func == "last_value":
             if e.frame != "full":
                 raise ExecError("last_value with running frame unsupported")
@@ -1267,6 +1294,13 @@ class Executor:
             hi_c = self._pred_cmp_parts(col, "<=", hi, fr)
             c = S.cand_and(lo_c, hi_c, fr.cap)
             return S.cand_not(c, fr.cap) if e.negated else c
+        if col.typ.kind == Kind.STR:
+            # order-preserving dictionary: string range → code range
+            # (dict.c's ordered-codes invariant makes this an int select)
+            vals = col.sdict.values
+            lv = int(np.searchsorted(vals, str(lo.value), "left"))
+            hv = int(np.searchsorted(vals, str(hi.value), "right")) - 1
+            return S.select(col, None, tl=lv, th=hv, anti=e.negated)
         if _is_float(lo) or _is_float(hi) or _is_float(col):
             colf = _to_f64_col(col)
             m1 = C.compare(">=", colf, _to_f64_scalar(lo))

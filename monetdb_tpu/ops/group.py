@@ -184,7 +184,8 @@ def group(col: Column, cand: Optional[Cand] = None,
     base_count = col.count
 
     D = _dense_domain(col)
-    prev_n = prev.ngroups if prev is not None else 1
+    # empty refinement input (0 prior groups) still needs domain ≥ D
+    prev_n = max(prev.ngroups, 1) if prev is not None else 1
     if D is not None and D * prev_n <= _DENSE_DOMAIN_MAX:
         from ..obs import set_algorithm
         set_algorithm("group:dense")

@@ -183,6 +183,22 @@ def last_value(col: Column, part_bound: Column) -> Column:
     return Column(col.typ, v, col.count, nonil=col.nonil, sdict=col.sdict)
 
 
+def nth_value(col: Column, part_bound: Column, n: int) -> Column:
+    """nth_value(col, n) under the default frame (unbounded preceding →
+    current row): nil before the nth row of the partition, the nth row's
+    value from there on (GDKanalytical_nth_value,
+    gdk/gdk_analytic_func.c)."""
+    start = _seg_start(part_bound.data)
+    io = jax.lax.iota(jnp.int64, col.cap)
+    rn = io - start            # 0-based row number within partition
+    idx = jnp.clip(start + (n - 1), 0, col.cap - 1)
+    v = col.data[idx]
+    nil = col.typ.nil if col.typ.np_dtype.kind != "b" else False
+    v = jnp.where(rn >= n - 1, v, col.typ.np_dtype.type(nil))
+    v = jnp.where(valid_mask(col.cap, col.count), v, col.typ.nil)
+    return Column(col.typ, v, col.count, nonil=False, sdict=col.sdict)
+
+
 def cume_window_sum(col: Column, part_bound: Column) -> Column:
     """Running sum within partition (ROWS UNBOUNDED PRECEDING..CURRENT)."""
     x = col.data.astype(jnp.float64 if col.typ.np_dtype.kind == "f"

@@ -71,6 +71,24 @@ class RemoteScan(Rel):
 
 
 @dataclasses.dataclass
+class RemoteQuery(Rel):
+    """Arbitrary SQL shipped to a remote server; the result lands as a
+    frame with the given column names/types. Used by aggregate pushdown
+    (partial GROUP BY at the data, combine locally — the reference's
+    mergetable two-phase aggregation, opt_mergetable.c:15-27, pushed over
+    the wire instead of per-thread)."""
+    sql: str
+    addr: str
+    schema: List = dataclasses.field(default_factory=list)  # (name, type)
+    key_table: str = "#grp"        # frame key namespace for the columns
+    user: Optional[str] = None
+    password: Optional[str] = None
+
+    def _label(self):
+        return f"RemoteQuery @{self.addr}: {self.sql}"
+
+
+@dataclasses.dataclass
 class Filter(Rel):
     child: Rel
     pred: Expr

@@ -488,41 +488,30 @@ class Session:
 
 
 def _substitute_params(obj, params, _seen=None):
-    """Replace Param nodes with typed Consts across a statement tree
-    (generic dataclass reflection — covers every stmt/expr shape)."""
+    """Replace Param nodes with Consts across a statement tree (generic
+    dataclass/list/tuple reflection — covers every stmt/expr shape).
+    Returns the (possibly new) object."""
     import dataclasses as _dc
-    from .plan.exprs import Const, Expr, Param as _P
+    from .plan.exprs import Const, Param as _P
 
     if _seen is None:
         _seen = set()
+    if isinstance(obj, _P):
+        return Const(params[obj.index])
     if id(obj) in _seen:
-        return
+        return obj
     _seen.add(id(obj))
-    if isinstance(obj, (list, tuple)):
-        for x in obj:
-            _substitute_params(x, params, _seen)
-        return
-    if not _dc.is_dataclass(obj):
-        return
-    for f in _dc.fields(obj):
-        v = getattr(obj, f.name)
-        if isinstance(v, _P):
-            c = Const(params[v.index])
-            setattr(obj, f.name, c)
-        elif isinstance(v, (list, tuple)):
-            newv = []
-            changed = False
-            for x in v:
-                if isinstance(x, _P):
-                    newv.append(Const(params[x.index]))
-                    changed = True
-                else:
-                    _substitute_params(x, params, _seen)
-                    newv.append(x)
-            if changed:
-                setattr(obj, f.name, type(v)(newv))
-        elif _dc.is_dataclass(v):
-            _substitute_params(v, params, _seen)
+    if isinstance(obj, list):
+        for i, x in enumerate(obj):
+            obj[i] = _substitute_params(x, params, _seen)
+        return obj
+    if isinstance(obj, tuple):
+        return tuple(_substitute_params(x, params, _seen) for x in obj)
+    if _dc.is_dataclass(obj) and not isinstance(obj, type):
+        for f in _dc.fields(obj):
+            setattr(obj, f.name,
+                    _substitute_params(getattr(obj, f.name), params, _seen))
+    return obj
 
 
 class Prepared:
@@ -545,6 +534,14 @@ class Prepared:
         _substitute_params(stmt, list(params))
         if isinstance(stmt, A.SelectStmt):
             return Engine(self.session.db.catalog()).query_stmt(stmt)
-        raise BindError("only SELECT prepared statements supported")
+        # prepared DML (the reference prepares any statement kind)
+        if isinstance(stmt, A.InsertValues):
+            return self.session._insert_values(stmt)
+        if isinstance(stmt, A.Delete):
+            return self.session._delete(stmt)
+        if isinstance(stmt, A.Update):
+            return self.session._update(stmt)
+        raise BindError(
+            f"unsupported prepared statement {type(stmt).__name__}")
 
     # -- INSERT ----------------------------------------------------------------

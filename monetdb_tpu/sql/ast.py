@@ -39,6 +39,9 @@ class SelectStmt:
     sources: List[Any]
     where: Optional[Expr] = None
     group_by: List[Expr] = dataclasses.field(default_factory=list)
+    # ROLLUP/CUBE/GROUPING SETS: list of key subsets (each a list of the
+    # group_by exprs); None = plain GROUP BY
+    grouping_sets: Optional[List[List[Expr]]] = None
     having: Optional[Expr] = None
     order_by: List[Tuple[Expr, bool, Optional[bool]]] = \
         dataclasses.field(default_factory=list)

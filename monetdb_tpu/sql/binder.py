@@ -168,7 +168,10 @@ class Binder:
     # entry
     # ==================================================================
     def bind(self, stmt: A.SelectStmt) -> Tuple[L.Rel, List[ColInfo]]:
-        rel, out_cols = self._bind_query(stmt)
+        if stmt.grouping_sets is not None:
+            rel, out_cols = self._bind_grouping_sets(stmt)
+        else:
+            rel, out_cols = self._bind_query(stmt)
         for op, rhs in stmt.setops:
             rb = Binder(self.catalog)
             rrel, rcols = rb.bind(rhs)
@@ -199,6 +202,53 @@ class Binder:
         if stmt.sample is not None:
             rel = L.Sample(rel, stmt.sample, stmt.sample_seed)
         return rel, out_cols
+
+    def _bind_grouping_sets(self, stmt: A.SelectStmt):
+        """ROLLUP/CUBE/GROUPING SETS → union_all of one GROUP BY plan per
+        key subset, with keys absent from a subset projected as typed
+        NULLs (the reference lowers these in rel_select.c the same way:
+        a union of groupings over the shared input)."""
+        import copy as _copy
+
+        def strip(var):
+            var.grouping_sets = None
+            var.order_by = []
+            var.limit = None
+            var.offset = 0
+            var.setops = []
+            var.sample = None
+            return var
+
+        # typing pass: all keys grouped → per-item output types
+        probe = strip(_copy.deepcopy(stmt))
+        _rel, probe_cols = Binder(self.catalog)._bind_query(probe)
+
+        def names_of(exprs):
+            return {(e.table, e.name) for e in exprs
+                    if isinstance(e, ColRef)}
+
+        full_names = names_of(stmt.group_by)
+        rels = []
+        out_cols = None
+        for keyset in stmt.grouping_sets:
+            var = strip(_copy.deepcopy(stmt))
+            var.group_by = _copy.deepcopy(keyset)
+            missing = full_names - names_of(keyset)
+            items = list(var.items)
+            for i, (alias, it) in enumerate(items):
+                if isinstance(it, ColRef) and \
+                        (it.table, it.name) in missing:
+                    items[i] = (alias or it.name,
+                                Cast(Const(None), probe_cols[i].typ))
+            var.items = items
+            rel, cols = Binder(self.catalog)._bind_query(var)
+            rels.append(rel)
+            if out_cols is None:
+                out_cols = cols
+        out = rels[0]
+        for r in rels[1:]:
+            out = L.SetOp("union_all", out, r)
+        return out, out_cols
 
     def _bind_order_key(self, e: Expr, out_cols: List[ColInfo]) -> Expr:
         if isinstance(e, Const) and isinstance(e.value, int) \
@@ -928,7 +978,7 @@ class Binder:
             elif e.func in ("percent_rank", "cume_dist", "avg"):
                 e.typ = F64
             elif e.func in ("lag", "lead", "first_value", "last_value",
-                            "min", "max"):
+                            "nth_value", "min", "max"):
                 e.typ = e.arg.typ
             else:
                 e.typ = self._agg_type(e.func, e.arg)

@@ -326,8 +326,111 @@ class _Expander:
                 return L.RemoteScan(m.lower(), alias, rd.addr, rd.rtable)
         raise ValueError(f"replica table {rp.name} has no reachable member")
 
+    # -- two-phase aggregate pushdown -------------------------------------
+    # (mergetable two-phase grouped aggregation, opt_mergetable.c mat_grp/
+    #  mat_cnt: per-partition partials + combine — here partials run ON the
+    #  remote servers so only group rows cross the wire)
+    _COMBINE = {"sum": "sum", "count": "sum", "count_star": "sum",
+                "min": "min", "max": "max"}
+
+    def _union_branches(self, rel):
+        if isinstance(rel, L.SetOp) and rel.kind == "union_all":
+            return self._union_branches(rel.left) + \
+                self._union_branches(rel.right)
+        return [rel]
+
+    @staticmethod
+    def _branch_remote(b):
+        """(RemoteScan, preds) if branch is Filter*/RemoteScan, else None.
+        """
+        preds = []
+        while isinstance(b, L.Filter):
+            preds.extend(_split_and(b.pred))
+            b = b.child
+        if isinstance(b, L.RemoteScan):
+            return b, preds + list(b.preds)
+        return None
+
+    def _agg_out_type(self, func: str, arg):
+        from ..dtypes import I64, F64, Kind, decimal as dec_t
+        if func in ("count", "count_star"):
+            return I64
+        t = getattr(arg, "typ", None)
+        if t is None:
+            return I64
+        if func in ("min", "max"):
+            return t
+        if t.kind == Kind.DECIMAL:
+            return dec_t(18, t.scale)
+        if t.np_dtype.kind == "f":
+            return F64
+        return I64
+
+    def push_aggregates(self, g: L.GroupBy) -> L.Rel:
+        """GroupBy over (a union of) remote branches → per-branch partial
+        GROUP BY (shipped as SQL for remote branches) + local combine."""
+        branches = self._union_branches(g.child)
+        if not any(self._branch_remote(b) for b in branches):
+            return g
+        if any(d for _n, _f, _a, d in g.aggs) or \
+                not all(f in self._COMBINE for _n, f, _a, _d in g.aggs):
+            return g
+        # build the shared partial spec
+        partial_aggs = []       # (pname, func, arg)
+        combine_aggs = []       # (orig_name, combine_func, pname)
+        for name, func, arg, _d in g.aggs:
+            pname = f"_p_{name}"
+            partial_aggs.append((pname, func, arg))
+            combine_aggs.append((name, self._COMBINE[func], pname,
+                                 self._agg_out_type(func, arg)))
+        parts = []
+        for b in branches:
+            rb = self._branch_remote(b)
+            if rb is None:
+                parts.append(L.GroupBy(
+                    b, list(g.keys),
+                    [(pn, f, a, False) for pn, f, a in partial_aggs]))
+                continue
+            rs, preds = rb
+            try:
+                sel = [f"{to_sql(e)} as {n}" for n, e in g.keys]
+                sel += [("count(*)" if f == "count_star" else
+                         f"{f}({to_sql(a)})") + f" as {pn}"
+                        for pn, f, a in partial_aggs]
+                where = " and ".join(to_sql(p) for p in preds)
+            except NotShippable:
+                return g        # keep the whole aggregate local
+            sql = f"select {', '.join(sel)} from {rs.rtable}"
+            if where:
+                sql += f" where {where}"
+            if g.keys:
+                sql += " group by " + ", ".join(n for n, _e in g.keys)
+            rdef = self.catalog.remotes[rs.table]
+            schema = [(n, e.typ) for n, e in g.keys]
+            schema += [(pn, self._agg_out_type(f, a))
+                       for pn, f, a in partial_aggs]
+            parts.append(L.RemoteQuery(sql, rs.addr, schema, "#grp",
+                                       rdef.user, rdef.password))
+        out = parts[0]
+        for p in parts[1:]:
+            out = L.SetOp("union_all", out, p)
+        keys = []
+        for n, e in g.keys:
+            r = ColRef("#grp", n)
+            r.typ = e.typ
+            keys.append((n, r))
+        aggs = []
+        for name, cfunc, pname, otyp in combine_aggs:
+            r = ColRef("#grp", pname)
+            r.typ = otyp
+            aggs.append((name, cfunc, r, False))
+        return L.GroupBy(out, keys, aggs)
+
     # -- generic recursion ------------------------------------------------
     def rw(self, rel: L.Rel) -> L.Rel:
+        if isinstance(rel, L.GroupBy):
+            rel.child = self.rw(rel.child)
+            return self.push_aggregates(rel)
         if isinstance(rel, L.Filter):
             preds = []
             base = rel

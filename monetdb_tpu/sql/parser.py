@@ -189,10 +189,59 @@ class Parser:
         if self.at_kw("group"):
             self.next()
             self.expect_kw("by")
-            while True:
-                stmt.group_by.append(self.parse_expr())
-                if not self.eat_punct(","):
-                    break
+            if self.peek().kind == "ident" and \
+                    self.peek().value in ("rollup", "cube"):
+                # GROUP BY ROLLUP(a,b) / CUBE(a,b) (sql_parser.y
+                # group_by_element; lowered to grouping sets)
+                kind = self.next().value
+                self.expect_punct("(")
+                cols = [self.parse_expr()]
+                while self.eat_punct(","):
+                    cols.append(self.parse_expr())
+                self.expect_punct(")")
+                stmt.group_by = list(cols)
+                if kind == "rollup":
+                    stmt.grouping_sets = [cols[:i]
+                                          for i in range(len(cols), -1, -1)]
+                else:
+                    import itertools
+                    stmt.grouping_sets = [
+                        [c for c, keep in zip(cols, bits) if keep]
+                        for bits in itertools.product(
+                            (True, False), repeat=len(cols))]
+            elif self.peek().kind == "ident" and \
+                    self.peek().value == "grouping":
+                self.next()
+                if not (self.peek().kind == "ident"
+                        and self.peek().value == "sets"):
+                    raise SQLSyntaxError("expected SETS after GROUPING")
+                self.next()
+                self.expect_punct("(")
+                sets = []
+                while True:
+                    self.expect_punct("(")
+                    one = []
+                    if not self.eat_punct(")"):
+                        one.append(self.parse_expr())
+                        while self.eat_punct(","):
+                            one.append(self.parse_expr())
+                        self.expect_punct(")")
+                    sets.append(one)
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+                stmt.grouping_sets = sets
+                seen = []
+                for st in sets:
+                    for e in st:
+                        if repr(e) not in [repr(x) for x in seen]:
+                            seen.append(e)
+                stmt.group_by = seen
+            else:
+                while True:
+                    stmt.group_by.append(self.parse_expr())
+                    if not self.eat_punct(","):
+                        break
         if self.eat_kw("having"):
             stmt.having = self.parse_expr()
         self._parse_order_limit(stmt)
@@ -535,7 +584,7 @@ class Parser:
 
     WINDOW_FUNCS = frozenset({
         "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
-        "ntile", "lag", "lead", "first_value", "last_value"})
+        "ntile", "lag", "lead", "first_value", "last_value", "nth_value"})
 
     def parse_call(self, name: str) -> Expr:
         self.expect_punct("(")

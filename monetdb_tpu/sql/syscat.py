@@ -178,6 +178,9 @@ _RELATIONS = {
          ("status", _VC)], lambda cat=None: QUEUE.rows()),
 }
 _RELATIONS["sys.environment"] = _RELATIONS["sys.env"]
+# information_schema facade (sql/scripts/91_information_schema.sql)
+_RELATIONS["information_schema.tables"] = _RELATIONS["sys.tables"]
+_RELATIONS["information_schema.columns"] = _RELATIONS["sys.columns"]
 
 
 def is_system_table(name: str) -> bool:

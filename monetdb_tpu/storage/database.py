@@ -201,9 +201,13 @@ class Database:
         for tname, tinfo in man["tables"].items():
             schema = [(c, tag_type(tag)) for c, tag in tinfo["schema"]]
             td = TableData(tname, schema, tinfo.get("flags"))
-            for c, _t in schema:
-                td.cols[c] = np.load(os.path.join(
+            fors = tinfo.get("for", {})
+            for c, t in schema:
+                arr = np.load(os.path.join(
                     self.path, "data", f"{tname}.{c}.npy"))
+                if c in fors:        # FOR-decompress to the declared type
+                    arr = arr.astype(t.np_dtype) + t.np_dtype.type(fors[c])
+                td.cols[c] = arr
                 dp = os.path.join(self.path, "data", f"{tname}.{c}.dict.npy")
                 if os.path.exists(dp):
                     td.dicts[c] = np.load(dp)
@@ -277,7 +281,7 @@ class Database:
         if self.path is None:
             return
         from ..sql.distribute import def_to_json
-        man = {"version": 1, "tables": {}, "views": dict(self.views),
+        man = {"version": 2, "tables": {}, "views": dict(self.views),
                "dist": [def_to_json(d)
                         for dd in self._dist_dicts().values()
                         for d in dd.values()],
@@ -286,9 +290,28 @@ class Database:
                "users": dict(self.users),
                "seqs": {n: dict(s) for n, s in self.sequences.items()}}
         for tname, td in self.tables.items():
+            fors = {}
             for c in td.order:
+                arr = td.cols[c]
+                # FOR (frame-of-reference) compression at rest: nil-free
+                # int columns whose range fits a narrower width store as
+                # base + deltas (backends/monet5/for.c; decompressed on
+                # load, so device semantics are unchanged)
+                if arr.dtype.kind == "i" and arr.dtype.itemsize > 2 \
+                        and len(arr) and td.types[c].kind != Kind.STR:
+                    from ..dtypes import is_nil_np
+                    if not is_nil_np(arr, td.types[c]).any():
+                        lo, hi = int(arr.min()), int(arr.max())
+                        span = hi - lo
+                        for nt in (np.int8, np.int16, np.int32):
+                            ii = np.iinfo(nt)
+                            if np.dtype(nt).itemsize < arr.dtype.itemsize \
+                                    and span <= int(ii.max) - 1:
+                                fors[c] = lo
+                                arr = (arr - lo).astype(nt)
+                                break
                 np.save(os.path.join(self.path, "data", f"{tname}.{c}.npy"),
-                        td.cols[c])
+                        arr)
                 if td.types[c].kind == Kind.STR:
                     np.save(os.path.join(self.path, "data",
                                          f"{tname}.{c}.dict.npy"),
@@ -299,6 +322,7 @@ class Database:
                 "schema": [[c, type_tag(td.types[c])] for c in td.order],
                 "count": td.count,
                 "flags": td.flags_json(),
+                "for": fors,
             }
         tmp = self._manifest_path() + ".new"
         with open(tmp, "w") as f:

@@ -193,3 +193,46 @@ def test_schema_mismatch_rejected():
     s.sql("create table bad (k int, v varchar(5))")
     with pytest.raises(Exception):
         s.sql("alter table m2 add table bad as partition from 0 to 9")
+
+
+def test_two_phase_aggregate_pushdown():
+    """Partial GROUP BY runs on the remote servers; only group rows cross
+    the wire (mergetable two-phase aggregation over the network)."""
+    w1 = Server(Database()).start()
+    w2 = Server(Database()).start()
+    try:
+        for w, vals in ((w1, "(1, 'a', 10), (2, 'b', 20), (3, 'a', 30)"),
+                        (w2, "(4, 'a', 40), (5, 'b', 50)")):
+            sw = Session(w.db)
+            sw.sql("create table f (k int, g varchar(2), v int)")
+            sw.sql(f"insert into f values {vals}")
+        sup = Session(Database())
+        h1, p1 = w1.address
+        h2, p2 = w2.address
+        sup.sql(f"create remote table f1 (k int, g varchar(2), v int) "
+                f"on '{h1}:{p1}/f'")
+        sup.sql(f"create remote table f2 (k int, g varchar(2), v int) "
+                f"on '{h2}:{p2}/f'")
+        sup.sql("create merge table f (k int, g varchar(2), v int)")
+        sup.sql("alter table f add table f1")
+        sup.sql("alter table f add table f2")
+        # plan shows shipped partial aggregates
+        plan = "\n".join(r[0] for r in sup.sql(
+            "explain select g, sum(v), count(*) from f group by g").rows)
+        assert "RemoteQuery" in plan and "group by" in plan
+        r = sup.sql("select g, sum(v), count(*), min(v), max(v) from f "
+                    "group by g order by g")
+        assert r.rows == [("a", 80, 3, 10, 40), ("b", 70, 2, 20, 50)]
+        # scalar aggregate (no keys) also combines
+        assert sup.sql("select sum(v), count(*) from f").rows \
+            == [(150, 5)]
+        # with a filter: predicate ships inside the partial query
+        r = sup.sql("select g, sum(v) from f where k <> 3 group by g "
+                    "order by g")
+        assert r.rows == [("a", 50), ("b", 70)]
+        # avg is not decomposed (stays correct via full rows)
+        r = sup.sql("select g, avg(v) from f group by g order by g")
+        assert r.rows[0][0] == "a" and abs(r.rows[0][1] - 80 / 3) < 1e-9
+    finally:
+        w1.stop()
+        w2.stop()

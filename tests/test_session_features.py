@@ -83,3 +83,14 @@ def test_view_persistence(tmp_path):
     db2 = Database(str(tmp_path / "db"))
     r = Session(db2).sql("select count(*) from big")
     assert r.rows == [(2,)]
+
+
+def test_prepared_dml():
+    s = mk()
+    ins = s.prepare("insert into t values (?, ?, ?)")
+    assert ins.run(9, Decimal("9.99"), "z") == 1
+    upd = s.prepare("update t set c = ? where a = ?")
+    assert upd.run("zz", 9) == 1
+    dele = s.prepare("delete from t where a = ?")
+    assert dele.run(9) == 1
+    assert s.sql("select count(*) from t").rows == [(3,)]

@@ -143,3 +143,34 @@ def test_insert_select(tmp_path):
     s.sql("create table dst (a int, b int)")
     assert s.sql("insert into dst select a, b from src where a > 1") == 1
     assert s.sql("select a, b from dst").rows == [(3, 4)]
+
+
+def test_for_compression_at_rest(tmp_path):
+    """Int columns with a narrow range store as base+deltas on disk
+    (for.c analog); values round-trip exactly."""
+    import json
+    import os
+
+    import numpy as np
+
+    from monetdb_tpu.session import Session
+    from monetdb_tpu.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    s = Session(db)
+    s.sql("create table t (big bigint, nilly int, wide bigint)")
+    s.sql("insert into t values (5000000000, 1, 0), "
+          "(5000000900, null, 9223372036854775000)")
+    db.checkpoint()
+    man = json.load(open(tmp_path / "db" / "manifest.json"))
+    fors = man["tables"]["t"]["for"]
+    assert "big" in fors            # 900 span → compressed
+    assert "nilly" not in fors      # has nil → untouched
+    assert "wide" not in fors       # span too large
+    stored = np.load(tmp_path / "db" / "data" / "t.big.npy")
+    assert stored.dtype == np.int16
+    db.close()
+    db2 = Database(str(tmp_path / "db"))
+    r = Session(db2).sql("select big from t order by big")
+    assert r.rows == [(5000000000,), (5000000900,)]
+    db2.close()

@@ -42,3 +42,9 @@ def test_sys_env_and_queue():
     qr = s.sql("select query, status from sys.queue")
     assert any("sys.queue" in q and st == "running" for q, st in qr.rows)
     assert any(st == "finished" for _q, st in qr.rows)
+
+
+def test_information_schema_alias():
+    s = mk()
+    r = s.sql("select name from information_schema.tables where type = 0")
+    assert r.rows == [("t",)]

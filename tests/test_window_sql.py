@@ -137,3 +137,16 @@ def test_window(name, engine, con):
         _check(engine, con, case[0], case[1])
     else:
         _check(engine, con, case)
+
+
+def test_nth_value():
+    s = _mk_session() if "_mk_session" in dir() else None
+    from monetdb_tpu.session import Session
+    from monetdb_tpu.storage import Database
+    s = Session(Database())
+    s.sql("create table w (g int, x int)")
+    s.sql("insert into w values (1, 10), (1, 20), (1, 30), (2, 5), (2, 7)")
+    r = s.sql("select g, x, nth_value(x, 2) over "
+              "(partition by g order by x) from w order by g, x")
+    assert r.rows == [(1, 10, None), (1, 20, 20), (1, 30, 20),
+                      (2, 5, None), (2, 7, 7)]
