@@ -31,7 +31,8 @@ import numpy as np
 __all__ = [
     "Kind", "SQLType", "nil_value", "is_nil_np",
     "BOOL", "I8", "I16", "I32", "I64", "F32", "F64",
-    "DATE", "TIMESTAMP", "OID", "decimal", "varchar", "char",
+    "DATE", "TIME", "TIMESTAMP", "MONTH_INTERVAL", "SEC_INTERVAL",
+    "OID", "decimal", "varchar", "char",
 ]
 
 
@@ -41,7 +42,9 @@ class Kind(enum.Enum):
     FLOAT = "float"
     DECIMAL = "decimal"    # scaled int
     DATE = "date"
+    TIME = "time"          # µs since midnight (reference daytime, gdk_time.c)
     TIMESTAMP = "timestamp"
+    INTERVAL = "interval"  # month_interval (i32 months) / sec_interval (i64 µs)
     STR = "str"            # dict codes
     OID = "oid"            # row id (int64, no nil in normal use)
 
@@ -122,7 +125,12 @@ I64 = SQLType(Kind.INT, np.dtype(np.int64))
 F32 = SQLType(Kind.FLOAT, np.dtype(np.float32))
 F64 = SQLType(Kind.FLOAT, np.dtype(np.float64))
 DATE = SQLType(Kind.DATE, np.dtype(np.int32))
+TIME = SQLType(Kind.TIME, np.dtype(np.int64))
 TIMESTAMP = SQLType(Kind.TIMESTAMP, np.dtype(np.int64))
+# interval types (reference sql_types.c month_interval/sec_interval):
+# MONTH_INTERVAL counts months (i32), SEC_INTERVAL counts µs (i64)
+MONTH_INTERVAL = SQLType(Kind.INTERVAL, np.dtype(np.int32))
+SEC_INTERVAL = SQLType(Kind.INTERVAL, np.dtype(np.int64))
 OID = SQLType(Kind.OID, np.dtype(np.int64))
 
 

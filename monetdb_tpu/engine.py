@@ -56,6 +56,14 @@ def _decode_column(col) -> list:
             out.append(PyDecimal(v).scaleb(-typ.scale))
         elif typ.kind == Kind.DATE:
             out.append(_EPOCH + datetime.timedelta(days=v))
+        elif typ.kind == Kind.TIMESTAMP:
+            out.append(datetime.datetime(1970, 1, 1)
+                       + datetime.timedelta(microseconds=v))
+        elif typ.kind == Kind.TIME:
+            s, us = divmod(v, 1_000_000)
+            h, rem = divmod(s, 3600)
+            m, sec = divmod(rem, 60)
+            out.append(datetime.time(int(h) % 24, int(m), int(sec), int(us)))
         else:
             out.append(v)
     return out
@@ -89,7 +97,7 @@ class Engine:
             if trace:
                 from .obs import PROFILER
                 events = PROFILER.stop()
-        names = [c.name for c in out_cols]
+        names = [getattr(c, "display", None) or c.name for c in out_cols]
         cols = [frame.get("#out", c.name) for c in out_cols]
         decoded = [_decode_column(c) for c in cols]
         rows = [tuple(d[i] for d in decoded) for i in range(frame.count)]

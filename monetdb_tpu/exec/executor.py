@@ -320,8 +320,9 @@ class Executor:
                 for _n, e in r.keys:
                     ref_expr(e)
                 for _n, _f, arg, _d in r.aggs:
-                    if arg is not None:
-                        ref_expr(arg)
+                    for a in (arg if isinstance(arg, list) else [arg]):
+                        if a is not None:
+                            ref_expr(a)
             elif isinstance(r, L.OrderBy):
                 for e, _d, _nl in r.keys:
                     ref_expr(e)
@@ -475,6 +476,15 @@ class Executor:
         oids[:n] = picks
         return fr.gather(jnp.asarray(oids), n)
 
+    def _exec_values(self, r: L.Values) -> Frame:
+        """VALUES table constructor → literal device columns."""
+        from ..storage.columns import column_from_pyvalues
+        n = len(r.cols[0]) if r.cols else 0
+        cols = {}
+        for name, typ, vals in zip(r.names, r.types, r.cols):
+            cols[(r.alias, name)] = column_from_pyvalues(vals, typ)
+        return Frame(cols, n)
+
     def _exec_series(self, r: L.Series) -> Frame:
         """generate_series(start, stop[, step]) — stop-exclusive lazy series
         (reference backends/monet5/generator/generator.c)."""
@@ -562,16 +572,22 @@ class Executor:
         for name, kc in key_cols:
             out[("#grp", name)] = P.project_oids(g.extents, g.ngroups, kc)
         for name, func, arg, distinct in r.aggs:
-            ac = None
+            ac = ac2 = None
+            if isinstance(arg, list):
+                arg, arg2 = arg
+                ac2 = self.eval(arg2, fr)
+                if isinstance(ac2, Scalar) and func not in (
+                        "quantile", "group_concat", "listagg"):
+                    ac2 = self._broadcast(ac2, fr)
             if arg is not None:
                 ac = self.eval(arg, fr)
                 if isinstance(ac, Scalar):
                     ac = self._broadcast(ac, fr)
-            out[("#grp", name)] = self._agg(func, ac, g, distinct, fr)
+            out[("#grp", name)] = self._agg(func, ac, g, distinct, fr, ac2)
         return Frame(out, g.ngroups)
 
     def _agg(self, func: str, col: Optional[Column], g: G.GroupResult,
-             distinct: bool, fr: Frame) -> Column:
+             distinct: bool, fr: Frame, col2=None) -> Column:
         if distinct:
             if func != "count":
                 raise ExecError(f"distinct {func} unsupported")
@@ -606,6 +622,19 @@ class Executor:
             return A.group_var(col, g, sample=func.endswith("samp"))
         if func == "median":
             return A.group_median(col, g)
+        if func == "quantile":
+            if not isinstance(col2, Scalar):
+                raise ExecError("quantile requires a constant fraction")
+            q = float(col2.value) / (10.0 ** col2.scale) \
+                if not col2.is_float() else float(col2.value)
+            return A.group_quantile(col, g, q)
+        if func == "corr":
+            return A.group_corr(col, col2, g)
+        if func in ("covar_samp", "covar_pop"):
+            return A.group_covar(col, col2, g, sample=func.endswith("samp"))
+        if func in ("group_concat", "listagg"):
+            sep = "," if col2 is None else str(col2.value)
+            return A.group_concat_host(col, g, sep)
         raise ExecError(f"aggregate {func} unsupported")
 
     # -- joins ----------------------------------------------------------------
@@ -676,19 +705,37 @@ class Executor:
         return best
 
     def _exec_join(self, j: L.Join) -> Frame:
+        if j.kind == "right":
+            # RIGHT JOIN = LEFT JOIN with sides swapped (key sides resolve
+            # dynamically in _key_cols; the reference swaps in rel_select.c)
+            j = L.Join(j.right, j.left, "left", on=j.on, extra=j.extra)
         lf = self.exec_rel(j.left)
         rf = self.exec_rel(j.right)
         kind = j.kind
 
         if kind == "cross" or not j.on:
+            # no equi keys: nested-loop pairs + residual filter. For plain
+            # cross/inner that's the result; outer/semi/anti kinds fall
+            # through to the same completion logic as the keyed path
+            # (thetajoin analog, gdk/gdk_join.c:3699)
             total = lf.count * rf.count
             out_cap = capacity_for(total)
             nr = max(rf.count, 1)
             r1, r2 = _cross_pairs(jnp.int64(total), nr=nr, out_cap=out_cap)
             frame = lf.gather(r1, total).merged(rf.gather(r2, total), total)
             if j.extra is not None:
-                frame = self._apply_cand(frame, self.eval_pred(j.extra, frame))
-            return frame
+                cand = self.eval_pred(j.extra, frame)
+                if not cand.is_all():
+                    c = S.materialize(cand, frame.cap)
+                    r1 = P.project_oids(c.oids, c.oid_count,
+                                        Column(OID, r1, total)).data
+                    r2 = P.project_oids(c.oids, c.oid_count,
+                                        Column(OID, r2, total)).data
+                    total = c.oid_count
+            if kind in ("cross", "inner"):
+                return lf.gather(r1, total).merged(rf.gather(r2, total),
+                                                   total)
+            return self._join_complete(kind, lf, rf, r1, r2, total)
 
         cols = self._key_cols(j, lf, rf)
         prim = self._pick_primary(cols)
@@ -728,6 +775,12 @@ class Executor:
 
         if kind == "inner":
             return lf.gather(r1, total).merged(rf.gather(r2, total), total)
+        return self._join_complete(kind, lf, rf, r1, r2, total)
+
+    def _join_complete(self, kind, lf: Frame, rf: Frame, r1, r2,
+                       total: int) -> Frame:
+        """Turn matched (r1, r2) pair lists into the requested join kind
+        (semi/anti/left/full completion over the left/right frames)."""
         if kind == "semi":
             out_cap = capacity_for(min(total, lf.count))
             oids, n = _unique_sorted(r1, jnp.int64(total), out_cap=out_cap)
@@ -749,6 +802,32 @@ class Executor:
                                jnp.int64(un.oid_count), out_cap=out_cap)
             return lf.gather(r1a, n_all).merged(
                 rf.gather(r2a, n_all, right_nil=True), n_all)
+        if kind == "full":
+            # FULL OUTER (BATouterjoin both-sided): left-outer pairs plus
+            # unmatched right rows with NIL left
+            lm = _matched_mask(r1, jnp.int64(total), cap=lf.cap)
+            lun = S.materialize(
+                S.cand_not(Cand.from_mask(lm, lf.count), lf.cap), lf.cap)
+            rm = _matched_mask(r2, jnp.int64(total), cap=rf.cap)
+            run = S.materialize(
+                S.cand_not(Cand.from_mask(rm, rf.count), rf.cap), rf.cap)
+            n_all = total + lun.oid_count + run.oid_count
+            out_cap = capacity_for(n_all)
+            n1 = total + lun.oid_count
+            r1a = _concat_live(r1, jnp.int64(total), lun.oids,
+                               jnp.int64(lun.oid_count),
+                               out_cap=capacity_for(n1))
+            r2a = _concat_live(r2, jnp.int64(total),
+                               jnp.full(lun.oids.shape[0], jnp.int64(-1)),
+                               jnp.int64(lun.oid_count),
+                               out_cap=capacity_for(n1))
+            r1b = _concat_live(r1a, jnp.int64(n1),
+                               jnp.full(run.oids.shape[0], jnp.int64(-1)),
+                               jnp.int64(run.oid_count), out_cap=out_cap)
+            r2b = _concat_live(r2a, jnp.int64(n1), run.oids,
+                               jnp.int64(run.oid_count), out_cap=out_cap)
+            return lf.gather(r1b, n_all, right_nil=True).merged(
+                rf.gather(r2b, n_all, right_nil=True), n_all)
         raise ExecError(f"join kind {kind} unsupported")
 
     # ======================================================================
@@ -785,12 +864,24 @@ class Executor:
         if isinstance(v, PyDecimal):
             scale = typ.scale if typ is not None else 0
             return Scalar(int(v.scaleb(scale).to_integral_value()), typ)
+        if isinstance(v, datetime.datetime):
+            from ..dtypes import TIMESTAMP as _TS
+            us = int((v - datetime.datetime(1970, 1, 1)).total_seconds()
+                     * 1_000_000)
+            return Scalar(us, typ or _TS)
         if isinstance(v, datetime.date):
             return Scalar((v - datetime.date(1970, 1, 1)).days, typ or DATE)
+        if isinstance(v, datetime.time):
+            from ..dtypes import TIME as _TIME
+            us = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+                + v.microsecond
+            return Scalar(us, typ or _TIME)
         if isinstance(v, bool):
             return Scalar(bool(v), typ or BOOL)
         if isinstance(v, (int, float, str)):
             return Scalar(v, typ)
+        if isinstance(v, tuple):
+            return Scalar(v, None)    # interval pseudo-const
         raise ExecError(f"cannot lower constant {v!r}")
 
     def _eval_subquery(self, e: Subquery) -> Scalar:
@@ -897,6 +988,19 @@ class Executor:
     def _eval_binop(self, e: BinOp, fr: Frame):
         a = self.eval(e.left, fr)
         b = self.eval(e.right, fr)
+        # column ± interval (mtime addition operators over DATE/TIMESTAMP)
+        if isinstance(b, Scalar) and isinstance(b.value, tuple):
+            amt, unit = b.value
+            if e.op == "-":
+                amt = -amt
+            if isinstance(a, Scalar):
+                raise ExecError("scalar ± interval should fold in binder")
+            return DT.add_interval_col(a, int(amt), unit)
+        if isinstance(a, Scalar) and isinstance(a.value, tuple) \
+                and e.op == "+":
+            amt, unit = a.value
+            if isinstance(b, Column):
+                return DT.add_interval_col(b, int(amt), unit)
         if e.op == "||":
             if isinstance(a, Column) and isinstance(b, Scalar):
                 return SF.concat(a, b.value)
@@ -975,10 +1079,34 @@ class Executor:
         return Scalar(v, dec_t(18, s) if s else I64)
 
     # functions ---------------------------------------------------------------
+    _DATE_FUNCS = frozenset({
+        "year", "month", "day", "dayofmonth", "quarter", "dayofweek",
+        "weekday", "dayofyear", "weekofyear", "week", "hour", "minute",
+        "second", "century", "decade", "epoch"})
+
     def _eval_func(self, e: Func, fr: Frame):
         if e.name.startswith("extract_"):
             col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
             return DT.extract(e.name[len("extract_"):], col)
+        if e.name in self._DATE_FUNCS:
+            col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
+            return DT.extract(e.name, col)
+        if e.name == "date_trunc":
+            field = str(self.eval(e.args[0], fr).value)
+            col = self.eval(e.args[1], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
+            return DT.date_trunc(field, col)
+        if e.name in ("coalesce", "ifnull", "nvl"):
+            return self._eval_coalesce(e, fr)
+        if e.name == "nullif":
+            return self._eval_nullif(e, fr)
+        if e.name in ("greatest", "least", "sql_max", "sql_min"):
+            return self._eval_greatest(e, fr)
         if e.name == "substring":
             col = self.eval(e.args[0], fr)
             start = self.eval(e.args[1], fr).value
@@ -1138,35 +1266,171 @@ class Executor:
         return C.convert(v, to, scale_up=max(0, ts - fs),
                          scale_down=max(0, fs - ts))
 
-    def _eval_case(self, e: Case, fr: Frame):
-        out_typ = e.typ or F64
+    def _coerce_val(self, v, out_typ):
+        """Coerce a Column/Scalar to the target numeric/temporal type
+        (decimal scale alignment, float promotion)."""
         out_scale = out_typ.scale if out_typ.kind == Kind.DECIMAL else 0
-
-        def coerce(v):
-            if isinstance(v, Scalar):
-                if v.value is None or out_typ.np_dtype.kind == "f":
-                    return Scalar(_to_f64_scalar(v) if v.value is not None
-                                  else None, out_typ)
-                return Scalar(int(v.value) * 10 ** (out_scale - v.scale),
-                              out_typ)
-            vs = v.typ.scale if v.typ.kind == Kind.DECIMAL else 0
+        if isinstance(v, Scalar):
+            if v.value is None:
+                return Scalar(None, out_typ)
             if out_typ.np_dtype.kind == "f":
-                return _to_f64_col(v)
-            if vs < out_scale:
-                return _upscale_col(v, out_scale - vs)
+                return Scalar(_to_f64_scalar(v), out_typ)
+            if out_typ.kind == Kind.STR:
+                return v
+            return Scalar(int(v.value) * 10 ** (out_scale - v.scale), out_typ)
+        if out_typ.kind == Kind.STR:
             return v
+        vs = v.typ.scale if v.typ.kind == Kind.DECIMAL else 0
+        if out_typ.np_dtype.kind == "f":
+            return _to_f64_col(v)
+        if vs < out_scale:
+            return _upscale_col(v, out_scale - vs)
+        return v
 
-        result = coerce(self.eval(e.default, fr)) if e.default is not None \
-            else Scalar(None, out_typ)
-        for cond, val in reversed(e.whens):
-            cnd = self.eval_pred(cond, fr)
+    def _unify_strings(self, vals):
+        """Remap string Columns/Scalars onto one merged order-preserving
+        dictionary so code-space comparisons/selects stay valid (the
+        engine's global-dictionary invariant, dict.c analog)."""
+        pieces = []
+        for v in vals:
+            if isinstance(v, Column) and v.sdict is not None:
+                pieces.append(np.asarray(v.sdict.values, dtype=str))
+            elif isinstance(v, Scalar) and v.value is not None:
+                pieces.append(np.array([str(v.value)]))
+        merged = np.unique(np.concatenate(pieces)) if pieces \
+            else np.empty(0, dtype=str)
+        sd = StrDict(merged)
+        out = []
+        for v in vals:
+            if isinstance(v, Column):
+                if v.sdict is None or len(v.sdict.values) == 0:
+                    out.append(Column(v.typ, v.data, v.count, nonil=False,
+                                      sdict=sd))
+                    continue
+                m = np.searchsorted(merged, v.sdict.values).astype(np.int32)
+                mj = jnp.asarray(m)
+                ok = v.data >= 0
+                nd = jnp.where(ok, mj[jnp.where(ok, v.data, 0)], v.data)
+                out.append(Column(v.typ, nd, v.count, nonil=v.nonil,
+                                  sdict=sd))
+            else:
+                if v.value is None:
+                    out.append(Scalar(None, v.typ))
+                else:
+                    out.append(Scalar(int(np.searchsorted(
+                        merged, str(v.value))), v.typ))
+        return out, sd
+
+    def _fold_conditional(self, conds, vals, default, out_typ, fr: Frame):
+        """Shared CASE/COALESCE folding: right-to-left ifthenelse chain."""
+        sd = None
+        if out_typ.kind == Kind.STR:
+            unified, sd = self._unify_strings(vals + [default])
+            vals, default = unified[:-1], unified[-1]
+        else:
+            vals = [self._coerce_val(v, out_typ) for v in vals]
+            default = self._coerce_val(default, out_typ)
+        result = default
+        for cnd, v in zip(reversed(conds), reversed(vals)):
             cm = Column(BOOL, cnd.as_mask(fr.cap), fr.count, nonil=True)
-            v = coerce(self.eval(val, fr))
             av = v if isinstance(v, Column) else (
                 out_typ.nil if v.value is None else v.value)
             bv = result if isinstance(result, Column) else (
                 out_typ.nil if result.value is None else result.value)
             result = C.ifthenelse(cm, av, bv, out_typ)
+            if sd is not None:
+                result.sdict = sd
+        return result
+
+    def _eval_case(self, e: Case, fr: Frame):
+        out_typ = e.typ or F64
+        conds = [self.eval_pred(c, fr) for c, _ in e.whens]
+        vals = [self.eval(v, fr) for _, v in e.whens]
+        default = self.eval(e.default, fr) if e.default is not None \
+            else Scalar(None, out_typ)
+        return self._fold_conditional(conds, vals, default, out_typ, fr)
+
+    def _eval_coalesce(self, e: Func, fr: Frame):
+        out_typ = e.typ
+        vals = [self.eval(a, fr) for a in e.args]
+        if out_typ is None:
+            return Scalar(None, None)
+        if all(isinstance(v, Scalar) for v in vals):
+            for v in vals:
+                if v.value is not None:
+                    return self._coerce_val(v, out_typ)
+            return Scalar(None, out_typ)
+        sd = None
+        if out_typ.kind == Kind.STR:
+            vals, sd = self._unify_strings(vals)
+        else:
+            vals = [self._coerce_val(v, out_typ) for v in vals]
+        result = vals[-1]
+        for v in reversed(vals[:-1]):
+            if isinstance(v, Scalar):
+                if v.value is not None:
+                    result = v        # non-null scalar shadows the rest
+                continue
+            cm = C.isnil(v)
+            fb = result if isinstance(result, Column) else (
+                out_typ.nil if result.value is None else result.value)
+            result = C.ifthenelse(cm, fb, v, out_typ)
+            if sd is not None:
+                result.sdict = sd
+        if isinstance(result, Scalar):
+            return result
+        return result
+
+    def _eval_nullif(self, e: Func, fr: Frame):
+        """NULLIF(a, b) = CASE WHEN a = b THEN NULL ELSE a END."""
+        c = Cmp("=", e.args[0], e.args[1])
+        c.typ = BOOL
+        cand = self.eval_pred(c, fr)
+        a = self.eval(e.args[0], fr)
+        out_typ = e.typ or (a.typ if isinstance(a, (Column, Scalar)) else None)
+        if isinstance(a, Scalar):
+            a = self._broadcast(a, fr)
+        cm = Column(BOOL, cand.as_mask(fr.cap), fr.count, nonil=True)
+        out = C.ifthenelse(cm, out_typ.nil, a, out_typ)
+        out.sdict = a.sdict
+        return out
+
+    def _eval_greatest(self, e: Func, fr: Frame):
+        """GREATEST/LEAST (reference sql_max/sql_min, rel_exps) with nil
+        propagation; strings compare via order-preserving merged codes."""
+        op = "max" if e.name in ("greatest", "sql_max") else "min"
+        out_typ = e.typ
+        vals = [self.eval(a, fr) for a in e.args]
+        if all(isinstance(v, Scalar) for v in vals):
+            if any(v.value is None for v in vals):
+                return Scalar(None, out_typ)
+            coerced = [self._coerce_val(v, out_typ) for v in vals]
+            if out_typ is not None and out_typ.kind == Kind.STR:
+                vv = [str(v.value) for v in vals]
+                return Scalar(max(vv) if op == "max" else min(vv), out_typ)
+            f = max if op == "max" else min
+            return Scalar(f(v.value for v in coerced), out_typ)
+        sd = None
+        if out_typ.kind == Kind.STR:
+            vals, sd = self._unify_strings(vals)
+        else:
+            vals = [self._coerce_val(v, out_typ) for v in vals]
+        cols = []
+        for v in vals:
+            if isinstance(v, Scalar):
+                if sd is not None:   # unified string scalar = physical code
+                    code = jnp.int32(np.iinfo(np.int32).min
+                                     if v.value is None else int(v.value))
+                    v = Column(out_typ, jnp.full(fr.cap, code), fr.count,
+                               nonil=v.value is not None, sdict=sd)
+                else:
+                    v = self._broadcast(v, fr)
+            cols.append(v)
+        result = cols[0]
+        for v in cols[1:]:
+            result = C.binop(op, result, v, out_typ=out_typ)
+        if sd is not None:
+            result.sdict = sd
         return result
 
     # ======================================================================
@@ -1190,7 +1454,9 @@ class Executor:
             return self._pred_inlist(e, fr)
         if isinstance(e, Like):
             col = self.eval(e.arg, fr)
-            return SF.like_cand(col, e.pattern, e.negated, e.escape)
+            return SF.like_cand(col, e.pattern, e.negated, e.escape,
+                                caseless=getattr(e, "caseless", False),
+                                regex=getattr(e, "regex", False))
         if isinstance(e, IsNull):
             col = self.eval(e.arg, fr)
             m = C.isnil(col)

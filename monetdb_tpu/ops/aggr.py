@@ -342,3 +342,82 @@ def group_quantile(col: Column, g: GroupResult, q: float) -> Column:
 
 def group_median(col: Column, g: GroupResult) -> Column:
     return group_quantile(col, g, 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cap", "sample", "want"))
+def _covar_kernel(x, y, ids, count, *, seg_cap: int, sample: bool,
+                  want: str):
+    """Per-group covariance/correlation moments (BATgroupcovariance/
+    BATgroupcorrelation, gdk/gdk_aggr.c ~2900): rows where either side is
+    nil are skipped, matching the reference's pairwise nil rule."""
+    cap = ids.shape[0]
+    live = valid_mask(cap, count) & (ids >= 0)
+    use = live & ~_nilmask(x) & ~_nilmask(y)
+    xf = jnp.where(use, x.astype(jnp.float64), 0.0)
+    yf = jnp.where(use, y.astype(jnp.float64), 0.0)
+    sid = jnp.where(use, ids.astype(jnp.int64), seg_cap)
+
+    def seg(v):
+        return jnp.zeros(seg_cap + 1, jnp.float64).at[sid].add(v)[:seg_cap]
+
+    n = jnp.zeros(seg_cap + 1, jnp.int64).at[sid].add(
+        use.astype(jnp.int64))[:seg_cap]
+    nf = jnp.maximum(n, 1).astype(jnp.float64)
+    sx, sy = seg(xf), seg(yf)
+    sxy = seg(xf * yf)
+    cov_n = sxy - sx * sy / nf
+    if want == "covar":
+        denom = jnp.maximum(n - 1, 1) if sample else n
+        out = cov_n / jnp.maximum(denom, 1).astype(jnp.float64)
+        bad = (n <= 1) if sample else (n == 0)
+        return jnp.where(bad, jnp.nan, out)
+    sxx = seg(xf * xf) - sx * sx / nf
+    syy = seg(yf * yf) - sy * sy / nf
+    denom = jnp.sqrt(jnp.maximum(sxx * syy, 0.0))
+    out = cov_n / jnp.where(denom == 0, 1.0, denom)
+    return jnp.where((n == 0) | (denom == 0), jnp.nan, out)
+
+
+def group_covar(col: Column, col2: Column, g: GroupResult,
+                sample: bool = True) -> Column:
+    """BATgroupcovariance_{sample,population} (gdk/gdk_aggr.c)."""
+    out = _covar_kernel(col.data, col2.data, g.ids, jnp.int64(g.base_count),
+                        seg_cap=g.seg_cap, sample=sample, want="covar")
+    s = (col.typ.scale if col.typ.kind == Kind.DECIMAL else 0) + \
+        (col2.typ.scale if col2.typ.kind == Kind.DECIMAL else 0)
+    if s:
+        out = out / (10.0 ** s)
+    return Column(F64, out, g.ngroups, nonil=False)
+
+
+def group_corr(col: Column, col2: Column, g: GroupResult) -> Column:
+    """BATgroupcorrelation — scale-invariant, no decimal adjustment."""
+    out = _covar_kernel(col.data, col2.data, g.ids, jnp.int64(g.base_count),
+                        seg_cap=g.seg_cap, sample=True, want="corr")
+    return Column(F64, out, g.ngroups, nonil=False)
+
+
+def group_concat_host(col: Column, g: GroupResult, sep: str = ",") -> Column:
+    """GROUP_CONCAT / LISTAGG (reference sql_aggr_str concat aggregate) —
+    host-side over decoded strings (string building is inherently
+    sequential; the group ids and codes come off-device in one transfer)."""
+    ids = np.asarray(g.ids)
+    n = int(g.base_count)
+    ng = int(g.ngroups)
+    if col.sdict is not None:
+        codes = np.asarray(col.data[:n])
+        vals = [None if c < 0 else str(col.sdict.values[c]) for c in codes]
+    else:
+        from ..dtypes import is_nil_np
+        raw = np.asarray(col.data[:n])
+        nil = is_nil_np(raw, col.typ)
+        vals = [None if nil[i] else str(raw[i]) for i in range(n)]
+    parts: list = [[] for _ in range(ng)]
+    for i in range(n):
+        gid = ids[i]
+        if gid >= 0 and vals[i] is not None:
+            parts[gid].append(vals[i])
+    out = [sep.join(p) if p else None for p in parts]
+    from ..storage.columns import column_from_pyvalues
+    from ..dtypes import varchar
+    return column_from_pyvalues(out, varchar())

@@ -69,12 +69,19 @@ def lut_cand(col: Column, lut: np.ndarray,
 
 def like_cand(col: Column, pattern: str, negated: bool = False,
               escape: Optional[str] = None,
-              cand: Optional[Cand] = None) -> Cand:
-    """LIKE predicate: host regex over the dictionary, device gather.
+              cand: Optional[Cand] = None, caseless: bool = False,
+              regex: bool = False) -> Cand:
+    """LIKE/ILIKE predicate: host regex over the dictionary, device gather.
     NOT LIKE excludes nils (SQL three-valued logic), which the code>=0
-    test in the gather already enforces."""
-    rx = like_regex(pattern, escape)
-    lut = col.sdict.match_mask(lambda v: rx.match(v) is not None)
+    test in the gather already enforces. caseless = ILIKE; regex = raw
+    PCRE-style pattern (modules/mal/pcre.c likematch/rematch)."""
+    flags = re.DOTALL | (re.IGNORECASE if caseless else 0)
+    if regex:
+        rx = re.compile(pattern, flags)
+        lut = col.sdict.match_mask(lambda v: rx.search(v) is not None)
+    else:
+        rx = re.compile(like_regex(pattern, escape).pattern, flags)
+        lut = col.sdict.match_mask(lambda v: rx.match(v) is not None)
     if negated:
         lut = ~lut
     return lut_cand(col, lut, cand)

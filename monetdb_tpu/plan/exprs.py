@@ -113,6 +113,8 @@ class Like(Expr):
     pattern: str
     negated: bool = False
     escape: Optional[str] = None
+    caseless: bool = False    # ILIKE (reference: modules/mal/pcre.c ilike)
+    regex: bool = False       # regexp_like / [NOT] SIMILAR TO (pcre parity)
 
     def children(self):
         return [self.arg]
@@ -154,12 +156,18 @@ class Func(Expr):
 @dataclasses.dataclass
 class AggRef(Expr):
     """Reference to an aggregate output column (post-binding)."""
-    func: str                 # sum count avg min max count_star
+    func: str                 # sum count avg min max count_star ...
     arg: Optional[Expr]
     distinct: bool = False
+    # second argument for 2-ary aggregates: quantile(x, q), corr(x, y),
+    # covar_samp/covar_pop(x, y), group_concat(x, sep)
+    arg2: Optional[Expr] = None
 
     def children(self):
-        return [self.arg] if self.arg is not None else []
+        out = [self.arg] if self.arg is not None else []
+        if self.arg2 is not None:
+            out.append(self.arg2)
+        return out
 
 
 @dataclasses.dataclass
@@ -170,12 +178,17 @@ class WinRef(Expr):
            'range' = RANGE UNBOUNDED PRECEDING..CURRENT ROW (peers included,
                      the SQL default when ORDER BY is present)
            'full'  = whole partition (the default without ORDER BY)
+           or a general bound tuple (unit, lo, hi) for explicit frames
+           (gdk/gdk_analytic_bounds.c ROWS/RANGE/GROUPS): unit in
+           {'rows','range','groups'}; lo/hi are offsets where negative =
+           PRECEDING, 0 = CURRENT ROW, positive = FOLLOWING, None =
+           UNBOUNDED on that side.
     """
     func: str                          # row_number rank ... sum avg min max count
     arg: Optional[Expr]
     partition: List[Expr]
     order: List[Tuple[Expr, bool]]     # (expr, descending)
-    frame: str = "full"
+    frame: Any = "full"
     extra: List[Any] = dataclasses.field(default_factory=list)  # ntile n, lag k
 
     def children(self):

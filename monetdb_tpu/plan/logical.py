@@ -12,7 +12,7 @@ from .exprs import Expr
 
 __all__ = ["Rel", "Scan", "Filter", "Project", "Join", "GroupBy", "OrderBy",
            "Limit", "Distinct", "SetOp", "SubPlan", "Sample", "Series",
-           "MergeScan", "RemoteScan"]
+           "MergeScan", "RemoteScan", "RemoteQuery", "Values"]
 
 
 @dataclasses.dataclass
@@ -211,6 +211,19 @@ class Sample(Rel):
 
     def _label(self):
         return f"Sample {self.n} seed={self.seed}"
+
+
+@dataclasses.dataclass
+class Values(Rel):
+    """Literal relation from a VALUES table constructor (reference:
+    rel_select.c rel_values → op_table with value exps)."""
+    alias: str
+    names: List[str]
+    types: List        # SQLType per column
+    cols: List         # python value lists, column-major
+
+    def _label(self):
+        return f"Values {self.names} x{len(self.cols[0]) if self.cols else 0}"
 
 
 @dataclasses.dataclass

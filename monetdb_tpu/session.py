@@ -133,6 +133,8 @@ class Session:
             return self._copy_into(stmt)
         if isinstance(stmt, A.CopyBinaryFrom):
             return self._copy_binary(stmt)
+        if isinstance(stmt, A.Truncate):
+            return self._delete(A.Delete(stmt.table, None))
         raise BindError(f"unsupported statement {type(stmt).__name__}")
 
     def query(self, text: str) -> Result:
@@ -478,6 +480,8 @@ class Session:
             return datetime.date.fromisoformat(v)
         if t.kind == Kind.TIMESTAMP:
             return datetime.datetime.fromisoformat(v)
+        if t.kind == Kind.TIME:
+            return datetime.time.fromisoformat(v)
         if t.kind == Kind.DECIMAL:
             return PyDecimal(v)
         if t.np_dtype.kind == "f":

@@ -52,6 +52,19 @@ class SelectStmt:
     distinct: bool = False
     setops: List[Tuple[str, "SelectStmt"]] = \
         dataclasses.field(default_factory=list)
+    # WITH clause (reference: sql_parser.y <with clause>; RECURSIVE is
+    # rejected there too): [(name, col_aliases|None, SelectStmt), ...]
+    ctes: List[Tuple[str, Optional[List[str]], "SelectStmt"]] = \
+        dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ValuesSource:
+    """(VALUES (...), (...)) [AS alias (cols)] table constructor
+    (reference: sql_parser.y table_ref → values)."""
+    rows: List[List[Expr]]
+    alias: str
+    col_aliases: Optional[List[str]] = None
 
 
 @dataclasses.dataclass
@@ -218,3 +231,10 @@ class Update:
 @dataclasses.dataclass
 class TxnStmt:
     kind: str          # begin / commit / rollback
+
+
+@dataclasses.dataclass
+class Truncate:
+    """TRUNCATE [TABLE] t (reference: sql_parser.y truncate_statement,
+    rel_updates.c rel_truncate)."""
+    table: str

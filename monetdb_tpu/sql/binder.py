@@ -41,14 +41,27 @@ def date_to_days(d: datetime.date) -> int:
     return (d - EPOCH).days
 
 
-def add_interval(d: datetime.date, amount: int, unit: str) -> datetime.date:
+def add_interval(d, amount: int, unit: str):
+    """date/datetime + interval (reference gdk_time.c date_add_month/
+    timestamp_add_usec semantics: month arithmetic clamps the day)."""
     if unit.startswith("day"):
         return d + datetime.timedelta(days=amount)
+    if unit.startswith("week"):
+        return d + datetime.timedelta(weeks=amount)
+    if unit in ("hour", "minute", "second"):
+        td = datetime.timedelta(**{unit + "s": amount})
+        if isinstance(d, datetime.datetime):
+            return d + td
+        return datetime.datetime(d.year, d.month, d.day) + td
+    if unit.startswith("quarter"):
+        amount, unit = amount * 3, "month"
     if unit.startswith("month"):
         m = d.month - 1 + amount
         y = d.year + m // 12
         m = m % 12 + 1
-        return d.replace(year=y, month=m)
+        import calendar
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return d.replace(year=y, month=m, day=day)
     if unit.startswith("year"):
         return d.replace(year=d.year + amount)
     raise BindError(f"unsupported interval unit {unit}")
@@ -57,9 +70,10 @@ def add_interval(d: datetime.date, amount: int, unit: str) -> datetime.date:
 @dataclasses.dataclass
 class ColInfo:
     alias: str
-    name: str
+    name: str                      # internal (unique within a projection)
     typ: SQLType
     table: Optional[str] = None
+    display: Optional[str] = None  # user-visible header when it differs
 
 
 class Scope:
@@ -156,24 +170,35 @@ def _factor_or(e: Expr) -> Expr:
 
 
 class Binder:
-    def __init__(self, catalog: Catalog, outer_scope: Optional[Scope] = None):
+    def __init__(self, catalog: Catalog, outer_scope: Optional[Scope] = None,
+                 ctes: Optional[Dict] = None):
         self.catalog = catalog
         self.scope = Scope(outer_scope)
         # correlation triples (outer_ref, op, inner_ref) stripped from WHERE
         self.correlations: List[Tuple[Expr, str, Expr]] = []
         # output column names for correlation keys (grouped scalar subqueries)
         self.corr_out: Dict[int, str] = {}
+        # WITH-clause bindings visible in this query: name → (col_aliases,
+        # SelectStmt). Inherited by nested binders (the reference keeps CTEs
+        # in the sql_query frame stack, rel_select.c).
+        self.ctes: Dict[str, Tuple[Optional[List[str]], object]] = \
+            dict(ctes) if ctes else {}
+
+    def _sub(self, outer_scope: Optional[Scope] = None) -> "Binder":
+        return Binder(self.catalog, outer_scope, ctes=self.ctes)
 
     # ==================================================================
     # entry
     # ==================================================================
     def bind(self, stmt: A.SelectStmt) -> Tuple[L.Rel, List[ColInfo]]:
+        for name, cols, sel in getattr(stmt, "ctes", []):
+            self.ctes[name.lower()] = (cols, sel)
         if stmt.grouping_sets is not None:
             rel, out_cols = self._bind_grouping_sets(stmt)
         else:
             rel, out_cols = self._bind_query(stmt)
         for op, rhs in stmt.setops:
-            rb = Binder(self.catalog)
+            rb = self._sub()
             rrel, rcols = rb.bind(rhs)
             if len(rcols) != len(out_cols):
                 raise BindError("set operands differ in arity")
@@ -221,7 +246,7 @@ class Binder:
 
         # typing pass: all keys grouped → per-item output types
         probe = strip(_copy.deepcopy(stmt))
-        _rel, probe_cols = Binder(self.catalog)._bind_query(probe)
+        _rel, probe_cols = self._sub()._bind_query(probe)
 
         def names_of(exprs):
             return {(e.table, e.name) for e in exprs
@@ -241,7 +266,7 @@ class Binder:
                     items[i] = (alias or it.name,
                                 Cast(Const(None), probe_cols[i].typ))
             var.items = items
-            rel, cols = Binder(self.catalog)._bind_query(var)
+            rel, cols = self._sub()._bind_query(var)
             rels.append(rel)
             if out_cols is None:
                 out_cols = cols
@@ -259,7 +284,7 @@ class Binder:
             return self._out_ref(out_cols[idx])
         if isinstance(e, ColRef) and e.table is None:
             for c in out_cols:
-                if c.name == e.name:
+                if (c.display or c.name) == e.name:
                     return self._out_ref(c)
         return self.bind_expr(e)
 
@@ -274,7 +299,15 @@ class Binder:
     def _bind_query(self, stmt: A.SelectStmt, collect_corr: bool = False,
                     mode: str = "project"):
         """mode: 'project' (normal), 'bare' (EXISTS: no projection)."""
-        frontier = [self._bind_source(s) for s in stmt.sources]
+        for name, cols, sel in getattr(stmt, "ctes", []):
+            self.ctes.setdefault(name.lower(), (cols, sel))
+        if not stmt.sources:
+            # SELECT without FROM: a one-row dual (the reference plans this
+            # as a single-row projection, rel_select.c rel_simple_project)
+            frontier = [L.Series(0, 1, 1, "%dual")]
+            self.scope.add_table("%dual", [ColInfo("%dual", "value", I64)])
+        else:
+            frontier = [self._bind_source(s) for s in stmt.sources]
 
         filters: List[Expr] = []
         join_preds: List[Tuple[Expr, Expr]] = []
@@ -322,8 +355,26 @@ class Binder:
     # FROM sources
     # ==================================================================
     def _bind_source(self, src) -> L.Rel:
+        if isinstance(src, A.ValuesSource):
+            return self._bind_values(src)
         if isinstance(src, A.TableSource):
             lname = src.name.lower()
+            if lname in self.ctes:
+                cte_cols, cte_sel = self.ctes[lname]
+                sub = self._sub()
+                del sub.ctes[lname]        # no self-reference (no RECURSIVE)
+                import copy as _copy
+                srel, scols = sub.bind(_copy.deepcopy(cte_sel))
+                names = cte_cols or [c.name for c in scols]
+                if len(names) != len(scols):
+                    raise BindError("CTE column list arity mismatch")
+                cols = [ColInfo(src.alias, nm, c.typ)
+                        for nm, c in zip(names, scols)]
+                self.scope.add_table(src.alias, cols)
+                if cte_cols:
+                    srel = L.Project(srel, [(nm, self._out_ref(c))
+                                            for nm, c in zip(names, scols)])
+                return L.SubPlan(srel, src.alias)
             from .syscat import is_system_table, system_table
             if lname not in self.catalog and is_system_table(lname):
                 self.catalog.add(system_table(self.catalog, lname))
@@ -342,7 +393,7 @@ class Binder:
                 return _Expander(self.catalog).replica_rel(ddef, src.alias)
             vsql = self.catalog.views.get(src.name.lower())
             if vsql is not None:
-                sub = Binder(self.catalog)
+                sub = self._sub()
                 srel, scols = sub.bind(parse(vsql))
                 cols = [ColInfo(src.alias, c.name, c.typ) for c in scols]
                 self.scope.add_table(src.alias, cols)
@@ -355,7 +406,7 @@ class Binder:
             self.scope.add_table(src.alias, cols)
             return L.Scan(src.name, src.alias)
         if isinstance(src, A.SubquerySource):
-            sub = Binder(self.catalog)
+            sub = self._sub()
             srel, scols = sub.bind(src.select)
             names = src.col_aliases or [c.name for c in scols]
             if len(names) != len(scols):
@@ -393,6 +444,49 @@ class Binder:
             eq, extra = self._extract_equi(on_b)
             return L.Join(lrel, rrel, src.kind, on=eq, extra=extra)
         raise BindError(f"unsupported source {src}")
+
+    def _bind_values(self, src: A.ValuesSource) -> L.Rel:
+        """(VALUES ...) table constructor → literal relation."""
+        if not src.rows:
+            raise BindError("VALUES with no rows")
+        width = len(src.rows[0])
+        rows = []
+        for r in src.rows:
+            if len(r) != width:
+                raise BindError("VALUES rows differ in arity")
+            rows.append([self.bind_expr(e) for e in r])
+        for r in rows:
+            for e in r:
+                if not isinstance(e, Const):
+                    raise BindError("VALUES requires constant expressions")
+        names = src.col_aliases or [f"col{i+1}" for i in range(width)]
+        if len(names) != width:
+            raise BindError("VALUES column list arity mismatch")
+        types = []
+        for i in range(width):
+            t = None
+            for r in rows:
+                ct = r[i].typ
+                if ct is None:
+                    continue
+                if t is None:
+                    t = ct
+                elif t.kind != ct.kind or t.np_dtype != ct.np_dtype or \
+                        t.scale != ct.scale:
+                    from ..dtypes import common_numeric
+                    if t.is_numeric and ct.is_numeric:
+                        if t.kind == Kind.DECIMAL or ct.kind == Kind.DECIMAL:
+                            t = dec_t(18, max(t.scale, ct.scale))
+                        else:
+                            t = common_numeric(t, ct)
+                    else:
+                        raise BindError(f"VALUES column {i+1} mixes types")
+            types.append(t or I32)
+        vals = [[r[i].value for r in rows] for i in range(width)]
+        self.scope.add_table(src.alias,
+                             [ColInfo(src.alias, nm, t)
+                              for nm, t in zip(names, types)])
+        return L.Values(src.alias, names, types, vals)
 
     def _extract_equi(self, on: Optional[Expr]):
         if on is None:
@@ -513,13 +607,28 @@ class Binder:
         return L.Filter(rel, self.bind_expr(pred))
 
     def _bind_exists(self, rel, sel: A.SelectStmt, negated: bool) -> L.Rel:
-        sub = Binder(self.catalog, outer_scope=self.scope)
+        sub = self._sub(outer_scope=self.scope)
         srel, _ = sub._bind_query(sel, collect_corr=True, mode="bare")
         eq = [(o, i) for o, op, i in sub.correlations if op == "="]
         extra = _and([self._mk_cmp(op, o, i)
                       for o, op, i in sub.correlations if op != "="])
         if not eq:
-            raise BindError("EXISTS without equi-correlation unsupported")
+            if sub.correlations:
+                raise BindError("EXISTS without equi-correlation unsupported")
+            # uncorrelated EXISTS: evaluate COUNT(*) over the subplan once,
+            # filter all-or-nothing (the reference plans this as a
+            # single-value semijoin against a grouped count)
+            cnt_rel = L.GroupBy(srel, [], [("_c", "count_star", None, False)])
+            cref = ColRef("#grp", "_c")
+            cref.typ = I64
+            proj = L.Project(cnt_rel, [("_c", cref)])
+            sq = Subquery(("bound", proj, [ColInfo("#out", "_c", I64)]),
+                          "scalar")
+            sq.typ = I64
+            zero = Const(0, I64)
+            zero.typ = I64
+            return L.Filter(rel, self._mk_cmp("=" if negated else ">",
+                                              sq, zero))
         return L.Join(rel, srel, "anti" if negated else "semi",
                       on=eq, extra=extra)
 
@@ -530,7 +639,7 @@ class Binder:
 
     def _bind_in_subquery(self, rel, p: Subquery, negated: bool) -> L.Rel:
         outer = self.bind_expr(p.outer)
-        sub = Binder(self.catalog, outer_scope=self.scope)
+        sub = self._sub(outer_scope=self.scope)
         srel, scols = sub._bind_query(p.select, collect_corr=True)
         if len(scols) != 1:
             raise BindError("IN subquery must return one column")
@@ -550,7 +659,7 @@ class Binder:
 
     def _bind_scalar_cmp(self, rel, outer_expr: Expr, op: str,
                          sq: Subquery) -> L.Rel:
-        sub = Binder(self.catalog, outer_scope=self.scope)
+        sub = self._sub(outer_scope=self.scope)
         srel, scols = sub._bind_query(sq.select, collect_corr=True)
         if len(scols) < 1:
             raise BindError("scalar subquery with no output")
@@ -626,9 +735,28 @@ class Binder:
         Binder._auto_counter += 1
         return f"col{Binder._auto_counter}"
 
+    @staticmethod
+    def _uniquify(items):
+        """Duplicate output names (SELECT f1.a, f2.a) get unique internal
+        keys; the display header keeps the original (the reference keeps
+        duplicate result headers, distinguishing exps internally)."""
+        seen: Dict[str, int] = {}
+        out = []
+        for n, e in items:
+            if n in seen:
+                seen[n] += 1
+                out.append((f"{n}#{seen[n]}", e, n))
+            else:
+                seen[n] = 0
+                out.append((n, e, None))
+        return out
+
     def _bind_project(self, rel, stmt):
         items = self._expand_items(stmt)
-        out_cols = [ColInfo("#out", n, e.typ) for n, e in items]
+        uni = self._uniquify(items)
+        items = [(n, e) for n, e, _d in uni]
+        out_cols = [ColInfo("#out", n, e.typ, display=d)
+                    for n, e, d in uni]
         return L.Project(rel, items), out_cols
 
     def _bind_groupby(self, rel, stmt):
@@ -660,10 +788,14 @@ class Binder:
                 return self.bind_expr(e)
             if isinstance(e, AggRef):
                 arg = self.bind_expr(e.arg) if e.arg is not None else None
+                if e.arg2 is not None:
+                    arg = [arg, self.bind_expr(e.arg2)]
                 nm = f"_agg{len(aggs)}"
                 aggs.append((nm, e.func, arg, e.distinct))
                 r = ColRef("#grp", nm)
-                r.typ = self._agg_type(e.func, arg)
+                r.typ = self._agg_type(e.func,
+                                       arg[0] if isinstance(arg, list)
+                                       else arg)
                 return r
             if isinstance(e, ColRef) or not e.children():
                 b = self.bind_expr(e)
@@ -691,6 +823,8 @@ class Binder:
                 raise BindError("SELECT * with GROUP BY unsupported")
             nm = alias or self._auto_name(e)
             out_items.append((nm, lift(e)))
+        uni = self._uniquify(out_items)
+        out_items = [(n, e) for n, e, _d in uni]
         # expose correlation keys as hidden outputs
         for kn, iref in corr_key_names:
             r = ColRef("#grp", kn)
@@ -702,7 +836,9 @@ class Binder:
         if stmt.having is not None:
             out_rel = L.Filter(out_rel, lift(stmt.having))
         proj = L.Project(out_rel, out_items)
-        out_cols = [ColInfo("#out", n, e.typ) for n, e in out_items]
+        out_cols = [ColInfo("#out", n, e.typ,
+                            display=uni[i][2] if i < len(uni) else None)
+                    for i, (n, e) in enumerate(out_items)]
         return proj, out_cols
 
     # ==================================================================
@@ -761,8 +897,10 @@ class Binder:
     def _agg_type(self, func: str, arg: Optional[Expr]) -> SQLType:
         if func in ("count", "count_star"):
             return I64
-        if func == "avg" or func.startswith(("stddev", "var")) \
-                or func == "median":
+        if func in ("group_concat", "listagg"):
+            return varchar()
+        if func == "avg" or func.startswith(("stddev", "var", "covar")) \
+                or func in ("median", "quantile", "corr"):
             return F64
         if arg is None or arg.typ is None:
             return I64
@@ -795,6 +933,8 @@ class Binder:
             c = copy.copy(e)
             if c.arg is not None:
                 c.arg = self.bind_expr(c.arg)
+            if c.arg2 is not None:
+                c.arg2 = self.bind_expr(c.arg2)
             self._retype(c)
             return c
         if isinstance(e, WinRef):
@@ -810,7 +950,7 @@ class Binder:
             c = copy.copy(e)
             if c.outer is not None:
                 c.outer = self.bind_expr(c.outer)
-            sub = Binder(self.catalog, outer_scope=self.scope)
+            sub = self._sub(outer_scope=self.scope)
             srel, scols = sub._bind_query(c.select, collect_corr=True)
             if sub.correlations:
                 raise BindError("correlated subquery in unsupported position")
@@ -843,8 +983,14 @@ class Binder:
             c.typ = dec_t(18, -v.as_tuple().exponent)
         elif isinstance(v, str):
             c.typ = varchar()
+        elif isinstance(v, datetime.datetime):
+            from ..dtypes import TIMESTAMP as _TS
+            c.typ = _TS
         elif isinstance(v, datetime.date):
             c.typ = DATE
+        elif isinstance(v, datetime.time):
+            from ..dtypes import TIME as _TIME
+            c.typ = _TIME
         elif isinstance(v, tuple):
             c.typ = None
         else:
@@ -860,10 +1006,12 @@ class Binder:
                     if e.op == "-":
                         amt = -amt
                     nv = add_interval(lv, amt, unit)
+                    from ..dtypes import TIMESTAMP as _TS
+                    ct = _TS if isinstance(nv, datetime.datetime) else DATE
                     e.__class__ = Const
                     e.__dict__.clear()
-                    e.__dict__.update(value=nv, ctype=DATE)
-                    e.typ = DATE
+                    e.__dict__.update(value=nv, ctype=ct)
+                    e.typ = ct
                     return
                 if isinstance(lv, (int, float, Decimal)) and \
                         isinstance(rv, (int, float, Decimal)):
@@ -879,14 +1027,32 @@ class Binder:
                         e.__dict__.update(value=nv, ctype=None)
                         self._type_const(e)
                         return
+            if isinstance(e.right, Const) and isinstance(e.right.value, tuple) \
+                    and lt is not None and \
+                    lt.kind in (Kind.DATE, Kind.TIMESTAMP):
+                # column ± interval: month/year intervals may keep DATE;
+                # sub-day units promote DATE to TIMESTAMP
+                amt, unit = e.right.value
+                from ..dtypes import TIMESTAMP as _TS
+                e.typ = _TS if (lt.kind == Kind.TIMESTAMP or
+                                unit in ("hour", "minute", "second")) else DATE
+                return
             if lt is None or rt is None:
                 e.typ = lt or rt
                 return
             if e.op == "||":
                 e.typ = varchar()
                 return
+            if lt.kind == Kind.DATE and rt is not None and \
+                    rt.kind == Kind.DATE and e.op == "-":
+                e.typ = I32     # date difference in days (gdk_time.c)
+                return
             if lt.kind == Kind.DATE and e.op in "+-":
                 e.typ = DATE
+                return
+            if lt.kind == Kind.TIMESTAMP and e.op in "+-":
+                from ..dtypes import TIMESTAMP as _TS
+                e.typ = _TS
                 return
             if e.op == "/":
                 e.typ = (lt if lt.np_dtype.kind == "i" and
@@ -914,6 +1080,13 @@ class Binder:
                 ts.append(e.default.typ)
             if not ts:
                 e.typ = F64
+            elif any(t.kind == Kind.STR for t in ts):
+                e.typ = varchar()
+            elif any(t.kind in (Kind.DATE, Kind.TIMESTAMP, Kind.TIME)
+                     for t in ts):
+                e.typ = next(t for t in ts
+                             if t.kind in (Kind.DATE, Kind.TIMESTAMP,
+                                           Kind.TIME))
             elif any(t.np_dtype.kind == "f" for t in ts):
                 e.typ = F64
             elif any(t.kind == Kind.DECIMAL for t in ts):
@@ -926,8 +1099,47 @@ class Binder:
             e.typ = e.to
             return
         if isinstance(e, Func):
-            if e.name.startswith("extract_"):
+            if e.name in ("coalesce", "ifnull", "nvl", "greatest", "least",
+                          "sql_max", "sql_min", "nullif"):
+                ts = [a.typ for a in e.args if a.typ is not None]
+                if e.name == "nullif":
+                    ts = ts[:1]
+                if not ts:
+                    e.typ = None
+                elif any(t.kind == Kind.STR for t in ts):
+                    e.typ = varchar()
+                elif any(t.kind in (Kind.DATE, Kind.TIMESTAMP, Kind.TIME)
+                         for t in ts):
+                    e.typ = next(t for t in ts
+                                 if t.kind in (Kind.DATE, Kind.TIMESTAMP,
+                                               Kind.TIME))
+                elif any(t.np_dtype.kind == "f" for t in ts):
+                    e.typ = F64
+                elif any(t.kind == Kind.DECIMAL for t in ts):
+                    sc = max(t.scale if t.kind == Kind.DECIMAL else 0
+                             for t in ts)
+                    e.typ = dec_t(18, sc)
+                elif all(t.kind == Kind.BOOL for t in ts):
+                    e.typ = BOOL
+                else:
+                    e.typ = max(ts, key=lambda t: t.np_dtype.itemsize)
+                return
+            if e.name in ("year", "month", "day", "dayofmonth", "quarter",
+                          "dayofweek", "dayofyear", "weekofyear", "week",
+                          "hour", "minute", "century", "decade"):
                 e.typ = I32
+                return
+            if e.name == "second":
+                e.typ = I32
+                return
+            if e.name == "epoch":
+                e.typ = I64
+                return
+            if e.name == "date_trunc":
+                e.typ = e.args[1].typ
+                return
+            if e.name.startswith("extract_"):
+                e.typ = I64 if e.name == "extract_epoch" else I32
             elif e.name in ("substring", "upper", "ucase", "lower", "lcase",
                             "trim", "ltrim", "rtrim", "replace", "lpad",
                             "rpad", "concat"):

@@ -21,7 +21,14 @@ from .lexer import SQLSyntaxError, Token, tokenize
 __all__ = ["parse", "parse_expr", "SQLSyntaxError"]
 
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "prod",
-             "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median"}
+             "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median",
+             "quantile", "corr", "covar_samp", "covar_pop", "group_concat",
+             "listagg"}
+
+# aggregates taking a second argument (gdk_aggr.c BATgroupquantile q,
+# BATgroupcorrelation y, ...)
+AGG_FUNCS_2ARY = {"quantile", "corr", "covar_samp", "covar_pop",
+                  "group_concat", "listagg"}
 
 _CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 
@@ -76,8 +83,14 @@ class Parser:
 
     # -- statements ---------------------------------------------------------
     def parse_stmt(self):
-        if self.at_kw("select") or self.at_punct("("):
+        if self.at_kw("select") or self.at_punct("(") or self.at_kw("with"):
             return self.parse_select()
+        if self.peek().kind == "ident" and self.peek().value == "truncate":
+            # TRUNCATE [TABLE] t (sql_parser.y truncate_statement)
+            self.next()
+            self.eat_kw("table")
+            from .ast import Truncate
+            return Truncate(self.next().value)
         if self.at_kw("create"):
             return self.parse_create()
         if self.at_kw("alter"):
@@ -151,7 +164,29 @@ class Parser:
         raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
 
     def parse_select(self) -> SelectStmt:
+        ctes = []
+        if self.eat_kw("with"):
+            if self.eat_kw("recursive"):
+                # parity: the reference rejects RECURSIVE too
+                # (sql_parser.y:3478 "RECURSIVE ... currently not supported")
+                raise SQLSyntaxError("WITH RECURSIVE is not supported")
+            while True:
+                name = self.next().value
+                cols = None
+                if self.eat_punct("("):
+                    cols = [self.next().value]
+                    while self.eat_punct(","):
+                        cols.append(self.next().value)
+                    self.expect_punct(")")
+                self.expect_kw("as")
+                self.expect_punct("(")
+                sel = self.parse_select()
+                self.expect_punct(")")
+                ctes.append((name, cols, sel))
+                if not self.eat_punct(","):
+                    break
         stmt = self.parse_select_core()
+        stmt.ctes = ctes
         while self.at_kw("union", "except", "intersect"):
             op = self.next().value
             if op == "union" and self.eat_kw("all"):
@@ -313,7 +348,7 @@ class Parser:
 
     def parse_table_primary(self):
         if self.eat_punct("("):
-            if self.at_kw("select"):
+            if self.at_kw("select") or self.at_kw("with"):
                 s = self.parse_select()
                 self.expect_punct(")")
                 alias = self._opt_alias() or f"_sq{self.i}"
@@ -324,6 +359,28 @@ class Parser:
                         col_aliases.append(self.next().value)
                     self.expect_punct(")")
                 return SubquerySource(s, alias, col_aliases)
+            if self.at_kw("values"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect_punct("(")
+                    row = [self.parse_expr()]
+                    while self.eat_punct(","):
+                        row.append(self.parse_expr())
+                    self.expect_punct(")")
+                    rows.append(row)
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+                alias = self._opt_alias() or f"_vals{self.i}"
+                col_aliases = None
+                if self.eat_punct("("):
+                    col_aliases = [self.next().value]
+                    while self.eat_punct(","):
+                        col_aliases.append(self.next().value)
+                    self.expect_punct(")")
+                from .ast import ValuesSource
+                return ValuesSource(rows, alias, col_aliases)
             inner = self.parse_table_ref()
             self.expect_punct(")")
             return inner
@@ -393,14 +450,16 @@ class Parser:
                 items.append(self.parse_expr())
             self.expect_punct(")")
             return InList(e, items, negated=negated)
-        if self.eat_kw("like"):
+        if self.at_kw("like") or self.at_kw("ilike"):
+            caseless = self.next().value == "ilike"
             pat = self.next()
             if pat.kind != "str":
                 raise SQLSyntaxError("LIKE requires a string literal pattern")
             esc = None
             if self.eat_kw("escape"):
                 esc = self.next().value
-            return Like(e, pat.value, negated=negated, escape=esc)
+            return Like(e, pat.value, negated=negated, escape=esc,
+                        caseless=caseless)
         if negated:
             raise SQLSyntaxError(f"unexpected NOT near {self.peek()}")
         if self.eat_kw("is"):
@@ -500,6 +559,13 @@ class Parser:
                 return ColRef(t.value, col)
             if self.at_punct("("):
                 return self.parse_call(t.value)
+            if t.value in ("current_date", "curdate"):
+                return Const(datetime.date.today(), DATE)
+            if t.value in ("current_timestamp", "now", "localtimestamp"):
+                return Const(datetime.datetime.now(), TIMESTAMP)
+            if t.value in ("current_time", "curtime", "localtime"):
+                from ..dtypes import TIME
+                return Const(datetime.datetime.now().time(), TIME)
             return ColRef(None, t.value)
         if t.kind == "op" and t.value == "*":
             self.next()
@@ -521,9 +587,16 @@ class Parser:
         if v == "timestamp":
             s = self.next().value
             return Const(datetime.datetime.fromisoformat(s), TIMESTAMP)
+        if v == "time":
+            from ..dtypes import TIME
+            s = self.next().value
+            return Const(datetime.time.fromisoformat(s), TIME)
         if v == "interval":
             amount = self.next().value
-            unit = self.next().value   # day month year
+            unit = self.next().value.rstrip("s")  # day(s) month hour ...
+            if unit not in ("day", "month", "year", "hour", "minute",
+                            "second", "week", "quarter"):
+                raise SQLSyntaxError(f"unknown interval unit {unit!r}")
             return Const((int(amount), unit), None)  # interval pseudo-const
         if v == "case":
             whens = []
@@ -578,8 +651,14 @@ class Parser:
             s = self.parse_select()
             self.expect_punct(")")
             return Subquery(s, "exists")
-        if v == "current" and self.eat_kw("date"):
-            return Const(datetime.date.today(), DATE)
+        if v == "current":
+            if self.eat_kw("date"):
+                return Const(datetime.date.today(), DATE)
+            if self.eat_kw("timestamp"):
+                return Const(datetime.datetime.now(), TIMESTAMP)
+            if self.eat_kw("time"):
+                from ..dtypes import TIME
+                return Const(datetime.datetime.now().time(), TIME)
         raise SQLSyntaxError(f"unexpected keyword {v!r}")
 
     WINDOW_FUNCS = frozenset({
@@ -588,6 +667,13 @@ class Parser:
 
     def parse_call(self, name: str) -> Expr:
         self.expect_punct("(")
+        if name == "position":
+            # POSITION(sub IN s) (sql_parser.y string_funcs POSITION)
+            sub = self.parse_additive()
+            self.expect_kw("in")
+            s = self.parse_expr()
+            self.expect_punct(")")
+            return Func("position", [sub, s])
         if name in AGG_FUNCS:
             distinct = bool(self.eat_kw("distinct"))
             if name == "count" and self.at_op("*"):
@@ -597,13 +683,16 @@ class Parser:
                     return self.parse_window("count_star", None)
                 return AggRef("count_star", None)
             arg = self.parse_expr()
+            arg2 = None
+            if name in AGG_FUNCS_2ARY and self.eat_punct(","):
+                arg2 = self.parse_expr()
             self.expect_punct(")")
             if self.at_kw("over"):
                 f = "count_star" if isinstance(arg, Star) else name
                 return self.parse_window(f, None if f == "count_star" else arg)
             if isinstance(arg, Star):
                 return AggRef("count_star", None)
-            return AggRef(name, arg, distinct=distinct)
+            return AggRef(name, arg, distinct=distinct, arg2=arg2)
         args = []
         if not self.at_punct(")"):
             args.append(self.parse_expr())
@@ -614,6 +703,8 @@ class Parser:
             arg = args[0] if args else None
             extra = args[1:]
             return self.parse_window(name, arg, extra)
+        if name in ("now", "current_timestamp") and not args:
+            return Const(datetime.datetime.now(), TIMESTAMP)
         return Func(name, args)
 
     def parse_window(self, func: str, arg, extra=None) -> Expr:
@@ -640,36 +731,41 @@ class Parser:
                 order.append((e, desc))
                 if not self.eat_punct(","):
                     break
-        if self.at_kw("rows") or self.at_kw("range"):
-            unit = self.next().value          # rows | range
-            lo_unbounded = hi_current = hi_unbounded = False
+        if self.at_kw("rows") or self.at_kw("range") or self.at_kw("groups"):
+            unit = self.next().value          # rows | range | groups
+
+            def bound(side: str):
+                """→ None (unbounded), 0 (current row), ±n (rows/peers/
+                value delta) — gdk_analytic_bounds.c bound kinds."""
+                if self.eat_kw("unbounded"):
+                    self.expect_kw("preceding" if side == "lo"
+                                   else "following")
+                    return None
+                if self.eat_kw("current"):
+                    self.expect_kw("row")
+                    return 0
+                n = self.parse_additive()
+                if not isinstance(n, Const):
+                    raise SQLSyntaxError("frame offset must be a constant")
+                v = n.value
+                if self.eat_kw("preceding"):
+                    return -v
+                self.expect_kw("following")
+                return v
+
             if self.eat_kw("between"):
-                if self.eat_kw("unbounded"):
-                    self.expect_kw("preceding")
-                    lo_unbounded = True
-                elif self.eat_kw("current"):
-                    self.expect_kw("row")
+                lo = bound("lo")
                 self.expect_kw("and")
-                if self.eat_kw("unbounded"):
-                    self.expect_kw("following")
-                    hi_unbounded = True
-                elif self.eat_kw("current"):
-                    self.expect_kw("row")
-                    hi_current = True
+                hi = bound("hi")
             else:
-                if self.eat_kw("unbounded"):
-                    self.expect_kw("preceding")
-                    lo_unbounded = True
-                elif self.eat_kw("current"):
-                    self.expect_kw("row")
-                hi_current = True
-            if not lo_unbounded:
-                raise SQLSyntaxError("only UNBOUNDED PRECEDING frame starts "
-                                     "are supported")
-            if hi_unbounded:
+                lo = bound("lo")
+                hi = 0
+            if lo is None and hi is None:
                 frame = "full"
-            elif hi_current or not lo_unbounded:
-                frame = unit              # 'rows' or 'range' ..current row
+            elif lo is None and hi == 0:
+                frame = unit if unit != "groups" else ("groups", None, 0)
+            else:
+                frame = (unit, lo, hi)
         self.expect_punct(")")
         if frame is None:
             frame = "range" if order else "full"
@@ -711,8 +807,15 @@ class Parser:
             return DATE
         if t == "timestamp":
             return TIMESTAMP
+        if t == "time":
+            from ..dtypes import TIME
+            return TIME
         if t in ("boolean", "bool"):
             return BOOL
+        if t in ("hugeint",):
+            # reference hge is int128 (gdk/gdk.h:441); we map to int64 with
+            # overflow checking — documented narrowing until limb columns land
+            return I64
         raise SQLSyntaxError(f"unknown type {t!r}")
 
     # -- DDL / DML ----------------------------------------------------------

@@ -28,6 +28,8 @@ def type_tag(t: SQLType) -> str:
         return "date"
     if t.kind == Kind.TIMESTAMP:
         return "timestamp"
+    if t.kind == Kind.TIME:
+        return "time"
     if t.kind == Kind.BOOL:
         return "bool"
     return {"int8": "i8", "int16": "i16", "int32": "i32", "int64": "i64",
@@ -38,9 +40,10 @@ def tag_type(tag: str) -> SQLType:
     if tag.startswith("dec:"):
         _, p, s = tag.split(":")
         return decimal(int(p), int(s))
+    from ..dtypes import TIME
     return {"str": varchar(), "date": DATE, "timestamp": TIMESTAMP,
-            "bool": BOOL, "i8": I8, "i16": I16, "i32": I32, "i64": I64,
-            "f32": F32, "f64": F64}[tag]
+            "time": TIME, "bool": BOOL, "i8": I8, "i16": I16, "i32": I32,
+            "i64": I64, "f32": F32, "f64": F64}[tag]
 
 
 def make_device_column(arr: np.ndarray, typ: SQLType,
@@ -126,7 +129,16 @@ def to_physical_np(values, typ: SQLType) -> np.ndarray:
                 out[i] = int(v)
         elif typ.kind == Kind.TIMESTAMP:
             if isinstance(v, datetime.datetime):
-                out[i] = int(v.timestamp() * 1_000_000)
+                # naive-UTC epoch µs (matches the executor's constant
+                # lowering; no local-timezone dependence)
+                out[i] = int((v - datetime.datetime(1970, 1, 1))
+                             .total_seconds() * 1_000_000)
+            else:
+                out[i] = int(v)
+        elif typ.kind == Kind.TIME:
+            if isinstance(v, datetime.time):
+                out[i] = ((v.hour * 60 + v.minute) * 60 + v.second) \
+                    * 1_000_000 + v.microsecond
             else:
                 out[i] = int(v)
         else:
