@@ -971,7 +971,34 @@ class Executor:
                 raise ExecError("last_value with running frame unsupported")
             out = W.last_value(arg, pb)
         elif func in ("sum", "avg", "min", "max", "count", "count_star"):
-            out = W.windowed_agg(func, arg, pb, ob, e.frame, cnt)
+            if isinstance(e.frame, tuple):
+                unit, lo, hi = e.frame
+                order_vals = None
+                if so:
+                    if unit == "range" and len(so) > 1:
+                        raise ExecError(
+                            "RANGE frame requires exactly one ORDER BY key")
+                    ov = so[0]
+                    order_vals = ov.data
+                    if unit == "range":
+                        osc = ov.typ.scale \
+                            if ov.typ.kind == Kind.DECIMAL else 0
+                        if osc:
+                            lo = None if lo is None else \
+                                int(PyDecimal(lo).scaleb(osc))
+                            hi = None if hi is None else \
+                                int(PyDecimal(hi).scaleb(osc))
+                        else:
+                            lo = None if lo is None else int(lo)
+                            hi = None if hi is None else int(hi)
+                        if descs and descs[0]:
+                            # DESC order: negate values; [lo, hi] offsets
+                            # keep their meaning in negated space
+                            order_vals = -order_vals
+                out = W.framed_agg(func, arg, pb, order_vals, unit, lo, hi,
+                                   cnt)
+            else:
+                out = W.windowed_agg(func, arg, pb, ob, e.frame, cnt)
         else:
             raise ExecError(f"window function {func} unsupported")
 

@@ -29,7 +29,7 @@ from ..dtypes import I32, I64, F64
 __all__ = ["diff", "row_number", "rank", "dense_rank", "ntile",
            "lag", "lead", "first_value", "last_value",
            "cume_window_sum", "percent_rank", "cume_dist",
-           "multi_boundary", "windowed_agg"]
+           "multi_boundary", "windowed_agg", "framed_agg"]
 
 
 @jax.jit
@@ -428,3 +428,198 @@ def _mm_identity(dtype, func):
         return jnp.float64(jnp.inf if func == "min" else -jnp.inf)
     return jnp.int64(np.iinfo(np.int64).max if func == "min"
                      else np.iinfo(np.int64).min + 1)
+
+
+# ---------------------------------------------------------------------------
+# explicit frames — ROWS/RANGE/GROUPS BETWEEN lo AND hi
+# (gdk/gdk_analytic_bounds.c GDKanalyticalwindowbounds :1440; the sliding
+# min/max uses an O(n log n) sparse table instead of the reference's
+# segment tree — both answer arbitrary [s,e) range queries, the sparse
+# table in two gathers per row, which is the TPU-friendly form)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "strict"))
+def _part_lower_bound(vals, lo0, hi0, target, *, n_iter: int, strict: bool):
+    """Vectorized per-row binary search: smallest j in [lo0, hi0) with
+    vals[j] >= target (or > target when strict). vals must be ascending
+    within each row's [lo0, hi0) slice."""
+    cap = vals.shape[0]
+
+    def body(_i, c):
+        lo, hi = c
+        mid = (lo + hi) // 2
+        v = vals[jnp.clip(mid, 0, cap - 1)]
+        go = (v <= target) if strict else (v < target)
+        active = lo < hi
+        lo2 = jnp.where(active & go, mid + 1, lo)
+        hi2 = jnp.where(active & ~go, mid, hi)
+        return lo2, hi2
+
+    lo, _ = jax.lax.fori_loop(0, n_iter, body, (lo0, hi0))
+    return lo
+
+
+@jax.jit
+def _floor_log2(n):
+    """floor(log2(n)) for n >= 1, exact (float estimate + correction)."""
+    k = jnp.floor(jnp.log2(jnp.maximum(n, 1).astype(jnp.float64))
+                  ).astype(jnp.int64)
+    k = jnp.where((jnp.int64(1) << k) > n, k - 1, k)
+    k = jnp.where((jnp.int64(1) << (k + 1)) <= n, k + 1, k)
+    return jnp.maximum(k, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("op", "levels"))
+def _sparse_table(x, *, op: str, levels: int):
+    """Rows of T: T[k][i] = op(x[i : i+2^k])."""
+    cap = x.shape[0]
+    f = jnp.minimum if op == "min" else jnp.maximum
+    rows = [x]
+    cur = x
+    for k in range(1, levels):
+        sh = 1 << (k - 1)
+        idx = jnp.minimum(jax.lax.iota(jnp.int64, cap) + sh, cap - 1)
+        cur = f(cur, cur[idx])
+        rows.append(cur)
+    return jnp.stack(rows)
+
+
+@jax.jit
+def _range_minmax(table, s, e):
+    """op(x[s:e]) per row via two overlapping power-of-two blocks."""
+    cap = table.shape[1]
+    n = jnp.maximum(e - s, 1)
+    k = _floor_log2(n)
+    a = table[k, jnp.clip(s, 0, cap - 1)]
+    b = table[k, jnp.clip(e - (jnp.int64(1) << k), 0, cap - 1)]
+    return a, b
+
+
+def framed_agg(func: str, col: Optional[Column], part_bound: Column,
+               order_vals: Optional[jax.Array], unit: str,
+               lo, hi, count: int) -> Column:
+    """Aggregate over explicit frames [lo, hi] per row (negative =
+    PRECEDING, positive = FOLLOWING, None = UNBOUNDED). unit:
+      'rows'   — physical row offsets
+      'groups' — peer-group offsets (order_vals required)
+      'range'  — order-value deltas (single ascending order key required;
+                 the caller negates values for DESC order)
+    Inputs live on the (partition, order) pre-sorted domain."""
+    from ..dtypes import decimal, Kind
+    bound = part_bound.data
+    cap = part_bound.cap
+    live = valid_mask(cap, count)
+    io = jax.lax.iota(jnp.int64, cap)
+
+    part_start = _seg_start(bound)
+    size, pid = _part_size(bound, jnp.int64(count))
+    part_end = part_start + size                      # exclusive
+    n_iter = max(int(np.ceil(np.log2(max(cap, 2)))) + 1, 1)
+
+    if unit == "rows":
+        s = part_start if lo is None else \
+            jnp.maximum(part_start, io + int(lo))
+        e = part_end if hi is None else \
+            jnp.minimum(part_end, io + int(hi) + 1)
+    elif unit == "groups":
+        if order_vals is None:
+            raise ValueError("GROUPS frame requires ORDER BY")
+        ob = _multi_boundary((order_vals,), jnp.int64(count))
+        gidx = _dense_rank(bound, ob) - 1             # 0-based peer group
+        if lo is None:
+            s = part_start
+        else:
+            s = _part_lower_bound(gidx, part_start, part_end,
+                                  gidx + int(lo), n_iter=n_iter,
+                                  strict=False)
+        if hi is None:
+            e = part_end
+        else:
+            e = _part_lower_bound(gidx, part_start, part_end,
+                                  gidx + int(hi), n_iter=n_iter,
+                                  strict=True)
+    elif unit == "range":
+        if order_vals is None:
+            raise ValueError("RANGE frame requires ORDER BY")
+        v = order_vals.astype(jnp.int64) \
+            if order_vals.dtype.kind == "i" else order_vals
+        if lo is None:
+            s = part_start
+        else:
+            s = _part_lower_bound(v, part_start, part_end, v + int(lo),
+                                  n_iter=n_iter, strict=False)
+        if hi is None:
+            e = part_end
+        else:
+            e = _part_lower_bound(v, part_start, part_end, v + int(hi),
+                                  n_iter=n_iter, strict=True)
+    else:  # pragma: no cover
+        raise ValueError(unit)
+    s = jnp.maximum(s, part_start)
+    e = jnp.minimum(e, part_end)
+    empty_frame = e <= s
+
+    # per-row values with nils zeroed + non-nil counters
+    if col is not None:
+        x = col.data
+        is_f = x.dtype.kind == "f"
+        nilm = ((jnp.isnan(x) if is_f else x == jnp.iinfo(x.dtype).min)
+                if not col.nonil else jnp.zeros(cap, jnp.bool_))
+        acc = jnp.float64 if is_f else jnp.int64
+        xv = jnp.where(nilm | ~live, acc(0), x.astype(acc))
+        ones = jnp.where(nilm | ~live, jnp.int64(0), jnp.int64(1))
+    else:
+        is_f = False
+        nilm = jnp.zeros(cap, jnp.bool_)
+        xv = jnp.where(live, jnp.int64(1), jnp.int64(0))
+        ones = xv
+
+    cs = jnp.cumsum(xv)
+    cn = jnp.cumsum(ones)
+
+    def range_sum(pref):
+        hi_v = pref[jnp.clip(e - 1, 0, cap - 1)]
+        lo_v = jnp.where(s > 0, pref[jnp.clip(s - 1, 0, cap - 1)], 0)
+        return jnp.where(empty_frame, 0, hi_v - lo_v)
+
+    sums = range_sum(cs)
+    cnts = range_sum(cn)
+
+    nil64 = jnp.int64(np.iinfo(np.int64).min)
+    if func in ("count", "count_star"):
+        out = jnp.where(live, cnts, nil64)
+        return Column(I64, out, count, nonil=True)
+    if func == "avg":
+        scale = col.typ.scale if col.typ.kind == Kind.DECIMAL else 0
+        f = sums.astype(jnp.float64)
+        if scale:
+            f = f / (10.0 ** scale)
+        a = f / jnp.maximum(cnts, 1)
+        out = jnp.where(live & (cnts > 0), a, jnp.nan)
+        return Column(F64, out, count, nonil=False)
+    if func == "sum":
+        empty = cnts == 0
+        if is_f:
+            out = jnp.where(live & ~empty, sums, jnp.nan)
+            return Column(F64, out, count, nonil=False)
+        out = jnp.where(live & ~empty, sums, nil64)
+        typ = decimal(18, col.typ.scale) if col.typ.kind == Kind.DECIMAL \
+            else I64
+        return Column(typ, out, count, nonil=False)
+    if func in ("min", "max"):
+        ident = _mm_identity(jnp.float64 if is_f else jnp.int64, func)
+        xi = jnp.where(nilm | ~live, ident, xv)
+        levels = n_iter
+        table = _sparse_table(xi, op=func, levels=levels)
+        a, b = _range_minmax(table, s, e)
+        vals = jnp.minimum(a, b) if func == "min" else jnp.maximum(a, b)
+        empty = (cnts == 0) | empty_frame
+        if is_f:
+            out = jnp.where(live & ~empty, vals, jnp.nan)
+            return Column(F64, out, count, nonil=False)
+        out = jnp.where(live & ~empty, vals, nil64)
+        res = out.astype(col.typ.np_dtype) if col.typ.np_dtype != out.dtype \
+            else out
+        return Column(col.typ, res, count, nonil=False, sdict=col.sdict)
+    raise ValueError(func)
