@@ -98,6 +98,8 @@ class StrDict:
         return int(np.searchsorted(self.values, s, side=side))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
+        if len(self.values) == 0:      # all-nil column, empty dictionary
+            return np.full(len(codes), None, dtype=object)
         out = self.values[np.clip(codes, 0, len(self.values) - 1)]
         return np.where(codes < 0, None, out)
 

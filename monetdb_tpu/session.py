@@ -32,6 +32,15 @@ class Session:
         # plan cache (the reference's query cache, sql/server/sql_qc.c):
         # sql text → (schema_epoch, rel, out_cols)
         self._plan_cache: Dict[str, tuple] = {}
+        # session variables (DECLARE/SET; sql_mvc.c mvc vars)
+        self.vars: Dict[str, object] = {}
+        # re-entrancy guard for trigger cascades
+        self._firing: set = set()
+
+    def _catalog(self):
+        cat = self.db.catalog()
+        cat.vars = self.vars
+        return cat
 
     # per-session query timeout in seconds (sys.setquerytimeout analog)
     timeout: Optional[float] = None
@@ -55,13 +64,13 @@ class Session:
         head = text.lstrip().lower()
         if head.startswith(("explain ", "plan ")):
             body = text.lstrip().split(None, 1)[1]
-            rel, _cols = bind_select(self.db.catalog(), body)
+            rel, _cols = bind_select(self._catalog(), body)
             lines = rel.show().split("\n")
             from .dtypes import varchar
             return Result(["plan"], [varchar()], [(ln,) for ln in lines])
         if head.startswith("trace "):
             body = text.lstrip().split(None, 1)[1]
-            res = Engine(self.db.catalog()).query(body, trace=True)
+            res = Engine(self._catalog()).query(body, trace=True)
             from .dtypes import I64, varchar
             rows = [(e.get("usec", 0), e.get("rows", 0),
                      e.get("algorithm", ""), e.get("label", e["op"]))
@@ -95,7 +104,7 @@ class Session:
             return None
         if isinstance(stmt, A.CreateView):
             # validate the view body binds against the current catalog
-            bind_select(self.db.catalog(), stmt.select_sql)
+            bind_select(self._catalog(), stmt.select_sql)
             self.db.create_view(stmt.name, stmt.select_sql)
             return None
         if isinstance(stmt, A.DropView):
@@ -135,7 +144,95 @@ class Session:
             return self._copy_binary(stmt)
         if isinstance(stmt, A.Truncate):
             return self._delete(A.Delete(stmt.table, None))
+        if isinstance(stmt, A.AlterAddColumn):
+            fill = None
+            flags = dict(stmt.flags)
+            dflt = flags.get("default")
+            if dflt is not None:
+                fill = self._default_value(dflt, stmt.ctype)
+            from .storage.columns import to_physical_np as _phys
+            pf = None if fill is None else \
+                (_phys([fill], stmt.ctype)[0] if stmt.ctype.kind != Kind.STR
+                 else str(fill))
+            if pf is not None and isinstance(pf, np.generic):
+                pf = pf.item()
+            self.db.alter_add_column(stmt.table, stmt.column, stmt.ctype,
+                                     flags, pf)
+            return None
+        if isinstance(stmt, A.AlterDropColumn):
+            self.db.alter_drop_column(stmt.table, stmt.column)
+            return None
+        if isinstance(stmt, A.AlterRenameColumn):
+            self.db.alter_rename_column(stmt.table, stmt.column,
+                                        stmt.new_name)
+            return None
+        if isinstance(stmt, A.AlterRenameTable):
+            self.db.alter_rename_table(stmt.table, stmt.new_name)
+            return None
+        if isinstance(stmt, A.CreateTrigger):
+            if stmt.table.lower() not in self.db.tables:
+                raise BindError(f"unknown table {stmt.table}")
+            self.db.create_trigger(stmt.name, stmt.table, stmt.time,
+                                   stmt.event, stmt.body_sql)
+            return None
+        if isinstance(stmt, A.DropTrigger):
+            self.db.drop_trigger(stmt.name)
+            return None
+        if isinstance(stmt, A.CreateProcedure):
+            self.db.create_procedure(stmt.name, stmt.params, stmt.body_sql)
+            return None
+        if isinstance(stmt, A.DropProcedure):
+            self.db.drop_procedure(stmt.name)
+            return None
+        if isinstance(stmt, A.CommentOn):
+            self.db.put_comment(f"{stmt.kind}:{stmt.target.lower()}",
+                                stmt.text)
+            return None
+        if isinstance(stmt, A.Analyze):
+            # stats derive on materialization; refresh = drop cached device
+            # columns + invalidate plans (sql/scripts/80_statistics.sql)
+            self.db._device.clear()
+            self.db.schema_epoch += 1
+            return None
+        if isinstance(stmt, A.SetVar):
+            self.vars[stmt.name.lower()] = self._default_eval(stmt.value)
+            return None
+        if isinstance(stmt, A.DeclareVar):
+            self.vars.setdefault(stmt.name.lower(), None)
+            return None
         raise BindError(f"unsupported statement {type(stmt).__name__}")
+
+    def _default_eval(self, expr):
+        """Evaluate a bound-free scalar expression (SET var, DEFAULT):
+        constants fold directly; anything else runs as SELECT <expr>."""
+        try:
+            return self._const_value(expr)
+        except BindError:
+            sel = A.SelectStmt(items=[(None, expr)], sources=[])
+            res = Engine(self._catalog()).query_stmt(sel)
+            return res.rows[0][0]
+
+    def _default_value(self, sql_text: str, typ):
+        from .sql.parser import parse_expr
+        v = self._default_eval(parse_expr(sql_text))
+        return v
+
+    # -- statement-level triggers (rel_schema.c create_trigger) -----------
+    def _fire_triggers(self, table: str, event: str, time: str) -> None:
+        table = table.lower()
+        for name, t in list(self.db.triggers.items()):
+            if t["table"] != table or t["event"] != event \
+                    or t["time"] != time:
+                continue
+            key = (name, event)
+            if key in self._firing:        # no cascading re-entry
+                continue
+            self._firing.add(key)
+            try:
+                for stmt_text in _split_statements(t["body"]):
+                    self._sql(stmt_text)
+            finally:
+                self._firing.discard(key)
 
     def query(self, text: str) -> Result:
         return self._cached_query(text)
@@ -143,7 +240,7 @@ class Session:
     def _cached_query(self, text: str) -> Result:
         key = " ".join(text.split())
         hit = self._plan_cache.get(key)
-        eng = Engine(self.db.catalog())
+        eng = Engine(self._catalog())
         if hit is not None and hit[0] == self.db.schema_epoch:
             return eng.execute_plan(hit[1], hit[2])
         rel, out_cols = bind_select(eng.catalog, text)
@@ -169,6 +266,18 @@ class Session:
         if name in ("sys.settimeout", "settimeout"):
             self.timeout = float(args[0]) or None
             return None
+        proc = self.db.procedures.get(name.split(".")[-1])
+        if proc is not None:
+            body = proc["body"]
+            import re as _re
+            for (pname, _tag), val in zip(proc["params"], args):
+                from .sql.distribute import _sql_value
+                body = _re.sub(rf"\b{_re.escape(pname)}\b",
+                               _sql_value(val), body)
+            out = None
+            for stmt_text in _split_statements(body):
+                out = self._sql(stmt_text)
+            return out
         raise BindError(f"unknown procedure {stmt.name}")
 
     # -- distribution DDL (merge/remote/replica; rel_schema.c analog) ------
@@ -265,12 +374,12 @@ class Session:
         raise BindError("INSERT VALUES must be constants")
 
     def _insert_values(self, stmt: A.InsertValues) -> int:
-        rows = [[self._const_value(e) for e in r] for r in stmt.rows]
+        rows = [[self._default_eval(e) for e in r] for r in stmt.rows]
         cols = [c.lower() for c in stmt.columns] if stmt.columns else None
         return self._insert_rows(stmt.table, cols, rows)
 
     def _insert_select(self, stmt: A.InsertSelect) -> int:
-        res = Engine(self.db.catalog()).query_stmt(stmt.select)
+        res = Engine(self._catalog()).query_stmt(stmt.select)
         cols = [c.lower() for c in stmt.columns] if stmt.columns else None
         want = cols or [n for n, _t in self._schema_of(stmt.table)]
         if len(want) != len(res.names):
@@ -328,11 +437,18 @@ class Session:
             raise BindError(
                 f"INSERT arity {arity} does not match column list "
                 f"{len(names)}")
+        self._fire_triggers(n, "insert", "before")
         arrays: Dict[str, np.ndarray] = {}
         for j, c in enumerate(names):
             arrays[c] = to_physical_np([r[j] for r in rows], td.types[c])
         for c in td.order:
             if c in arrays:
+                continue
+            if c in td.defaults and c not in td.serials:
+                # DEFAULT expression fills omitted columns (rel_updates.c
+                # insert defaults)
+                v = self._default_value(td.defaults[c], td.types[c])
+                arrays[c] = to_physical_np([v] * len(rows), td.types[c])
                 continue
             if c in td.serials:
                 # auto-fill from the column's sequence (serial /
@@ -345,7 +461,9 @@ class Session:
                 arrays[c] = vals.astype(td.types[c].np_dtype)
             else:
                 arrays[c] = to_physical_np([None] * len(rows), td.types[c])
-        return self.db.insert(n, arrays)
+        out = self.db.insert(n, arrays)
+        self._fire_triggers(n, "insert", "after")
+        return out
 
     @staticmethod
     def _row_arity(rows) -> int:
@@ -359,16 +477,20 @@ class Session:
         sel = A.SelectStmt(items=items,
                            sources=[A.TableSource(table, table)],
                            where=where)
-        return Engine(self.db.catalog()).query_stmt(sel)
+        return Engine(self._catalog()).query_stmt(sel)
 
     def _delete(self, stmt: A.Delete) -> int:
+        self._fire_triggers(stmt.table, "delete", "before")
         res = self._select_oids(stmt.table, stmt.where)
         oids = np.array([r[0] for r in res.rows], np.int64)
         if not len(oids):
             return 0
-        return self.db.delete(stmt.table, oids)
+        out = self.db.delete(stmt.table, oids)
+        self._fire_triggers(stmt.table, "delete", "after")
+        return out
 
     def _update(self, stmt: A.Update) -> int:
+        self._fire_triggers(stmt.table, "update", "before")
         td = self.db.tables[stmt.table.lower()]
         extra = [(f"_set{i}", e) for i, (_c, e) in enumerate(stmt.sets)]
         res = self._select_oids(stmt.table, stmt.where, extra)
@@ -379,6 +501,7 @@ class Session:
             vals = to_physical_np([r[i + 1] for r in res.rows],
                                   td.types[c.lower()])
             self.db.update(stmt.table, c, oids, vals)
+        self._fire_triggers(stmt.table, "update", "after")
         return len(oids)
 
     # -- COPY INTO (tablet.c analog: native parallel parser with Python
@@ -430,7 +553,7 @@ class Session:
         if isinstance(stmt.source, str):
             res = self.query(f"select * from {stmt.source}")
         else:
-            res = Engine(self.db.catalog()).query_stmt(stmt.source)
+            res = Engine(self._catalog()).query_stmt(stmt.source)
         with open(stmt.path, "w") as f:
             for row in res.rows:
                 f.write(stmt.delimiter.join(
@@ -489,6 +612,29 @@ class Session:
         if t.kind == Kind.BOOL:
             return v.lower() in ("true", "t", "1")
         return int(v)
+
+
+def _split_statements(text: str) -> List[str]:
+    """Split ';'-separated SQL, respecting single-quoted strings."""
+    out, buf, in_str = [], [], False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+            buf.append(ch)
+        elif ch == ";" and not in_str:
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
 
 
 def _substitute_params(obj, params, _seen=None):

@@ -238,3 +238,95 @@ class Truncate:
     """TRUNCATE [TABLE] t (reference: sql_parser.y truncate_statement,
     rel_updates.c rel_truncate)."""
     table: str
+
+
+@dataclasses.dataclass
+class AlterAddColumn:
+    """ALTER TABLE t ADD [COLUMN] c type [constraints] (sql_cat.c
+    sql_alter_table / rel_schema.c)."""
+    table: str
+    column: str
+    ctype: Any
+    flags: dict
+
+
+@dataclasses.dataclass
+class AlterDropColumn:
+    table: str
+    column: str
+
+
+@dataclasses.dataclass
+class AlterRenameTable:
+    table: str
+    new_name: str
+
+
+@dataclasses.dataclass
+class AlterRenameColumn:
+    table: str
+    column: str
+    new_name: str
+
+
+@dataclasses.dataclass
+class CreateTrigger:
+    """CREATE TRIGGER name {BEFORE|AFTER} {INSERT|UPDATE|DELETE} ON t
+    <statement> — statement-level triggers (sql_parser.y trigger_def,
+    rel_schema.c create_trigger; the reference also supports row-level
+    via FOR EACH ROW, here statement-level only)."""
+    name: str
+    time: str            # before | after
+    event: str           # insert | update | delete
+    table: str
+    body_sql: str        # statements, ';'-separated
+
+
+@dataclasses.dataclass
+class DropTrigger:
+    name: str
+
+
+@dataclasses.dataclass
+class CreateProcedure:
+    """CREATE PROCEDURE name(params) BEGIN stmt; ... END (rel_psm.c)."""
+    name: str
+    params: List[Tuple[str, Any]]
+    body_sql: str
+
+
+@dataclasses.dataclass
+class DropProcedure:
+    name: str
+
+
+@dataclasses.dataclass
+class CommentOn:
+    """COMMENT ON TABLE|COLUMN|VIEW ... IS 'text' (sql_parser.y comment_on,
+    stored in sys.comments)."""
+    kind: str            # table | column | view | function
+    target: str          # table or table.column
+    text: Optional[str]  # None = remove
+
+
+@dataclasses.dataclass
+class Analyze:
+    """ANALYZE sys [tbl [(cols)]] — statistics refresh (sql/scripts/
+    80_statistics.sql; here stats derive on materialization, so this
+    revalidates and bumps the cache epoch)."""
+    table: Optional[str] = None
+
+
+@dataclasses.dataclass
+class SetVar:
+    """SET var = expr (sql_parser.y set_statement; session variables,
+    sql_mvc.c mvc vars)."""
+    name: str
+    value: Expr
+
+
+@dataclasses.dataclass
+class DeclareVar:
+    """DECLARE v type (rel_psm.c declare; session-scoped here)."""
+    name: str
+    vtype: Any

@@ -920,7 +920,17 @@ class Binder:
         if isinstance(e, ColRef):
             if e.table in ("#out", "#grp"):
                 return e
-            info, is_outer = self.scope.resolve(e.table, e.name)
+            try:
+                info, is_outer = self.scope.resolve(e.table, e.name)
+            except BindError:
+                # session variable (DECLARE/SET; sql_mvc.c mvc vars)
+                svars = getattr(self.catalog, "vars", None)
+                if e.table is None and svars is not None \
+                        and e.name in svars:
+                    c = Const(svars[e.name])
+                    self._type_const(c)
+                    return c
+                raise
             if is_outer:
                 raise BindError(
                     f"correlated reference {e!r} outside supported pattern")

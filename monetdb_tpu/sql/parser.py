@@ -91,6 +91,44 @@ class Parser:
             self.eat_kw("table")
             from .ast import Truncate
             return Truncate(self.next().value)
+        if self.at_kw("set") and self.peek(1).kind == "ident":
+            self.next()
+            from .ast import SetVar
+            name = self.next().value
+            if not self.at_op("="):
+                raise SQLSyntaxError("expected = in SET")
+            self.next()
+            return SetVar(name, self.parse_expr())
+        if self.peek().kind == "ident" and self.peek().value == "declare":
+            self.next()
+            from .ast import DeclareVar
+            name = self.next().value
+            return DeclareVar(name, self.parse_type())
+        if self.peek().kind == "ident" and self.peek().value == "comment":
+            self.next()
+            self.expect_kw("on")
+            from .ast import CommentOn
+            kind = self.next().value          # table | column | view ...
+            target = self.next().value
+            while self.eat_punct("."):
+                target += "." + self.next().value
+            if not (self.peek().kind == "kw" and self.peek().value == "is"):
+                raise SQLSyntaxError("expected IS")
+            self.next()
+            if self.eat_kw("null"):
+                return CommentOn(kind, target, None)
+            t = self.next()
+            return CommentOn(kind, target, t.value)
+        if self.peek().kind == "ident" and self.peek().value == "analyze":
+            self.next()
+            from .ast import Analyze
+            tbl = None
+            if self.peek().kind in ("ident", "kw") and \
+                    self.peek().kind != "eof" and self.peek().value:
+                self.next()                    # schema name (ignored)
+                if self.peek().kind == "ident":
+                    tbl = self.next().value
+            return Analyze(tbl)
         if self.at_kw("create"):
             return self.parse_create()
         if self.at_kw("alter"):
@@ -110,6 +148,16 @@ class Parser:
                 self.next()
                 from .ast import DropSequence
                 return DropSequence(self.next().value)
+            if self.peek().kind == "ident" and \
+                    self.peek().value == "trigger":
+                self.next()
+                from .ast import DropTrigger
+                return DropTrigger(self.next().value)
+            if self.peek().kind == "ident" and \
+                    self.peek().value == "procedure":
+                self.next()
+                from .ast import DropProcedure
+                return DropProcedure(self.next().value)
             self.expect_kw("table")
             return DropTable(self.next().value)
         if self.peek().kind == "ident" and self.peek().value == "call":
@@ -831,6 +879,62 @@ class Parser:
         if self.at_kw("merge") or self.at_kw("remote") or \
                 self.at_kw("replica"):
             return self.parse_create_distributed()
+        if self._at_ident("trigger"):
+            self.next()
+            from .ast import CreateTrigger
+            name = self.next().value
+            if self._eat_ident("before"):
+                time = "before"
+            elif self._eat_ident("after"):
+                time = "after"
+            else:
+                raise SQLSyntaxError("expected BEFORE or AFTER")
+            t = self.next()
+            if t.value not in ("insert", "update", "delete"):
+                raise SQLSyntaxError(f"unknown trigger event {t.value!r}")
+            event = t.value
+            self.expect_kw("on")
+            table = self.next().value
+            if self.eat_kw("for"):          # FOR [EACH] ROW|STATEMENT
+                self._eat_ident("each")
+                self.next()
+            # body = the rest of the statement text (one or more
+            # ';'-separated statements, optionally BEGIN ATOMIC ... END)
+            body = self.sql_text[self.peek().pos:].strip()
+            low = body.lower()
+            if low.startswith("begin"):
+                inner = body[5:]
+                if inner.lstrip().lower().startswith("atomic"):
+                    inner = inner.lstrip()[6:]
+                if inner.rstrip().rstrip(";").lower().endswith("end"):
+                    inner = inner.rstrip().rstrip(";")[:-3]
+                body = inner.strip()
+            self.i = len(self.toks) - 1      # consumed
+            return CreateTrigger(name, time, event, table, body)
+        if self._at_ident("procedure"):
+            self.next()
+            from .ast import CreateProcedure
+            name = self.next().value
+            params = []
+            self.expect_punct("(")
+            if not self.eat_punct(")"):
+                while True:
+                    pname = self.next().value
+                    params.append((pname, self.parse_type()))
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+            body = self.sql_text[self.peek().pos:].strip()
+            low = body.lower()
+            if low.startswith("begin"):
+                inner = body[5:]
+                if inner.lstrip().lower().startswith("atomic"):
+                    inner = inner.lstrip()[6:]
+                if inner.rstrip().rstrip(";").lower().endswith("end"):
+                    inner = inner.rstrip().rstrip(";")[:-3]
+                body = inner.strip()
+            self.i = len(self.toks) - 1
+            return CreateProcedure(name, params, body)
         if self.peek().kind == "ident" and self.peek().value == "sequence":
             self.next()
             from .ast import CreateSequence
@@ -853,6 +957,35 @@ class Parser:
         name = self.next().value
         cols = self.parse_column_defs()
         return CreateTable(name, cols)
+
+    def _parse_column_flags(self) -> dict:
+        """Column constraints: NOT NULL, PRIMARY KEY, UNIQUE,
+        AUTO_INCREMENT, DEFAULT expr (kept as SQL text, evaluated at
+        insert time — rel_schema.c column_option)."""
+        flags = {"notnull": False, "pk": False, "serial": False}
+        while True:
+            if self.eat_kw("not"):
+                self.expect_kw("null")
+                flags["notnull"] = True
+            elif self.eat_kw("null"):
+                pass
+            elif self.eat_kw("primary"):
+                self.expect_kw("key")
+                flags["notnull"] = flags["pk"] = True
+            elif self._eat_ident("unique"):
+                flags["unique"] = True
+            elif self._eat_ident("auto_increment"):
+                flags["serial"] = True
+            elif self.eat_kw("default"):
+                start = self.peek().pos
+                # additive expr only: NOT/IN/BETWEEN belong to the column
+                # constraint list, not the default value
+                self.parse_additive()
+                flags["default"] = self.sql_text[start:self.peek().pos] \
+                    .strip().rstrip(",")
+            else:
+                break
+        return flags
 
     def parse_column_defs(self):
         self.expect_punct("(")
@@ -878,32 +1011,30 @@ class Parser:
                 if self.eat_punct("("):
                     while not self.eat_punct(")"):
                         self.next()
+            elif self._at_ident("unique") and self.peek(1).kind == "punct" \
+                    and self.peek(1).value == "(":
+                # table-level UNIQUE (cols) — single-column only for now
+                self.next()
+                self.expect_punct("(")
+                ucols = [self.next().value]
+                while self.eat_punct(","):
+                    ucols.append(self.next().value)
+                self.expect_punct(")")
+                for c, _t, flags in cols:
+                    if c in ucols:
+                        flags["unique"] = True
             else:
                 cname = self.next().value
-                flags = {"notnull": False, "pk": False, "serial": False}
                 if self.peek().kind == "ident" and \
                         self.peek().value in ("serial", "bigserial"):
                     # serial = int sequence + primary key (rel_schema.c)
                     from ..dtypes import I32 as _I32, I64 as _I64
                     ctype = _I32 if self.next().value == "serial" else _I64
+                    flags = self._parse_column_flags()
                     flags["serial"] = flags["pk"] = flags["notnull"] = True
                 else:
                     ctype = self.parse_type()
-                while True:
-                    if self.eat_kw("not"):
-                        self.expect_kw("null")
-                        flags["notnull"] = True
-                    elif self.eat_kw("primary"):
-                        self.expect_kw("key")
-                        flags["notnull"] = flags["pk"] = True
-                    elif self.peek().kind == "ident" and \
-                            self.peek().value == "auto_increment":
-                        self.next()
-                        flags["serial"] = True
-                    elif self.eat_kw("default"):
-                        self.parse_expr()      # parsed, not yet enforced
-                    else:
-                        break
+                    flags = self._parse_column_flags()
                 cols.append((cname, ctype, flags))
             if not self.eat_punct(","):
                 break
@@ -947,16 +1078,43 @@ class Parser:
         cols = self.parse_column_defs()
         return CreateReplicaTable(name, cols)
 
+    def _at_ident(self, *names) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.value in names
+
+    def _eat_ident(self, *names) -> bool:
+        if self._at_ident(*names):
+            self.i += 1
+            return True
+        return False
+
     def parse_alter(self):
-        from .ast import AlterAddTable, AlterDropTable
+        from .ast import (AlterAddColumn, AlterAddTable, AlterDropColumn,
+                          AlterDropTable, AlterRenameColumn,
+                          AlterRenameTable)
         self.expect_kw("alter")
         self.expect_kw("table")
         parent = self.next().value
+        if self._eat_ident("rename"):
+            if self.eat_kw("to"):
+                return AlterRenameTable(parent, self.next().value)
+            self._eat_ident("column")
+            col = self.next().value
+            self.expect_kw("to")
+            return AlterRenameColumn(parent, col, self.next().value)
         if self.eat_kw("drop"):
-            self.expect_kw("table")
-            return AlterDropTable(parent, self.next().value)
+            if self.eat_kw("table"):
+                return AlterDropTable(parent, self.next().value)
+            self._eat_ident("column")
+            return AlterDropColumn(parent, self.next().value)
         self.expect_kw("add")
-        self.expect_kw("table")
+        if not self.eat_kw("table"):
+            # ALTER TABLE t ADD [COLUMN] c type [NOT NULL] [DEFAULT expr]
+            self._eat_ident("column")
+            cname = self.next().value
+            ctype = self.parse_type()
+            flags = self._parse_column_flags()
+            return AlterAddColumn(parent, cname, ctype, flags)
         member = self.next().value
         rng = vals = None
         nulls = False

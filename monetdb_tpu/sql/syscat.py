@@ -161,9 +161,41 @@ def _env_rows():
     return sorted(rows)
 
 
+def _triggers_rows(cat: Catalog):
+    trs = getattr(cat, "triggers", {}) or {}
+    return sorted((n, t["table"], t["time"], t["event"], t["body"])
+                  for n, t in trs.items())
+
+
+def _comments_rows(cat: Catalog):
+    cm = getattr(cat, "comments", {}) or {}
+    return sorted((k.split(":", 1)[0], k.split(":", 1)[1], v)
+                  for k, v in cm.items())
+
+
+def _sequences_rows(cat: Catalog):
+    sq = getattr(cat, "sequences", {}) or {}
+    return sorted((n, int(s["next"]), int(s["inc"])) for n, s in sq.items())
+
+
+def _functions_rows(cat: Catalog):
+    rows = [(n, "python") for n in getattr(cat, "udfs", {}) or {}]
+    rows += [(n, "proc") for n in getattr(cat, "procedures", {}) or {}]
+    return sorted(rows)
+
+
 _RELATIONS = {
     "sys.tables": (
         [("name", _VC), ("type", I32), ("count", I64)], _tables_rows),
+    "sys.triggers": (
+        [("name", _VC), ("table", _VC), ("time", _VC), ("event", _VC),
+         ("statement", _VC)], _triggers_rows),
+    "sys.comments": (
+        [("kind", _VC), ("target", _VC), ("remark", _VC)], _comments_rows),
+    "sys.sequences": (
+        [("name", _VC), ("next_value", I64), ("increment", I64)],
+        _sequences_rows),
+    "sys.functions": ([("name", _VC), ("language", _VC)], _functions_rows),
     "sys.columns": (
         [("table", _VC), ("name", _VC), ("type", _VC), ("number", I32)],
         _columns_rows),

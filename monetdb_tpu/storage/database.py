@@ -50,6 +50,10 @@ class TableData:
                     if flags.get(c, {}).get("pk")]
         self.serials = {c: f"seq_{name}_{c}" for c, f in flags.items()
                         if f.get("serial")}
+        self.uniques = {c for c, f in flags.items() if f.get("unique")}
+        # column → DEFAULT expression SQL text (evaluated at insert)
+        self.defaults = {c: f["default"] for c, f in flags.items()
+                         if f.get("default") is not None}
         self.cols: Dict[str, np.ndarray] = {}
         self.dicts: Dict[str, np.ndarray] = {}
         for c, t in schema:
@@ -66,10 +70,22 @@ class TableData:
         return len(self.deleted)
 
     def flags_json(self) -> Dict[str, dict]:
-        return {c: {"notnull": c in self.notnull, "pk": c in self.pks,
-                    "serial": c in self.serials}
-                for c in self.order
-                if c in self.notnull or c in self.pks or c in self.serials}
+        out = {}
+        for c in self.order:
+            f = {}
+            if c in self.notnull:
+                f["notnull"] = True
+            if c in self.pks:
+                f["pk"] = True
+            if c in self.serials:
+                f["serial"] = True
+            if c in self.uniques:
+                f["unique"] = True
+            if c in self.defaults:
+                f["default"] = self.defaults[c]
+            if f:
+                out[c] = f
+        return out
 
     def copy(self) -> "TableData":
         td = TableData.__new__(TableData)
@@ -79,6 +95,8 @@ class TableData:
         td.notnull = set(self.notnull)
         td.pks = list(self.pks)
         td.serials = dict(self.serials)
+        td.uniques = set(self.uniques)
+        td.defaults = dict(self.defaults)
         td.cols = {c: a.copy() for c, a in self.cols.items()}
         td.dicts = {c: a.copy() for c, a in self.dicts.items()}
         td.deleted = self.deleted.copy()
@@ -170,6 +188,13 @@ class Database:
         self.users: Dict[str, str] = {}
         # sequences (sql/storage/store_sequence.c): name → {next, inc}
         self.sequences: Dict[str, dict] = {}
+        # statement-level triggers (rel_schema.c create_trigger):
+        # name → {table, time, event, body}
+        self.triggers: Dict[str, dict] = {}
+        # SQL procedures (rel_psm.c): name → {params: [[n, tag]], body}
+        self.procedures: Dict[str, dict] = {}
+        # COMMENT ON texts (sys.comments): "kind:target" → text
+        self.comments: Dict[str, str] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -225,6 +250,11 @@ class Database:
         self.users = dict(man.get("users", {}))
         self.sequences = {n: dict(s)
                           for n, s in man.get("seqs", {}).items()}
+        self.triggers = {n: dict(t)
+                         for n, t in man.get("triggers", {}).items()}
+        self.procedures = {n: dict(p)
+                           for n, p in man.get("procs", {}).items()}
+        self.comments = dict(man.get("comments", {}))
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -272,6 +302,28 @@ class Database:
                                                 "inc": meta["inc"]}
             elif meta["op"] == "drop_seq":
                 self.sequences.pop(meta["name"], None)
+            elif meta["op"] == "put_trigger":
+                self.triggers[meta["name"]] = meta["trigger"]
+            elif meta["op"] == "drop_trigger":
+                self.triggers.pop(meta["name"], None)
+            elif meta["op"] == "put_proc":
+                self.procedures[meta["name"]] = meta["proc"]
+            elif meta["op"] == "drop_proc":
+                self.procedures.pop(meta["name"], None)
+            elif meta["op"] == "put_comment":
+                if meta["text"] is None:
+                    self.comments.pop(meta["key"], None)
+                else:
+                    self.comments[meta["key"]] = meta["text"]
+            elif meta["op"] == "add_col":
+                self._add_col_apply(meta)
+            elif meta["op"] == "drop_col":
+                self._drop_col_apply(meta["table"], meta["col"])
+            elif meta["op"] == "rename_col":
+                self._rename_col_apply(meta["table"], meta["col"],
+                                       meta["new"])
+            elif meta["op"] == "rename_table":
+                self._rename_table_apply(meta["table"], meta["new"])
             else:
                 self._dist_dicts()[meta["kind"]].pop(meta["name"], None)
 
@@ -288,7 +340,10 @@ class Database:
                "udfs": [self._udf_json(u) for u in self.udfs.values()
                         if u.body is not None],
                "users": dict(self.users),
-               "seqs": {n: dict(s) for n, s in self.sequences.items()}}
+               "seqs": {n: dict(s) for n, s in self.sequences.items()},
+               "triggers": {n: dict(t) for n, t in self.triggers.items()},
+               "procs": {n: dict(p) for n, p in self.procedures.items()},
+               "comments": dict(self.comments)}
         for tname, td in self.tables.items():
             fors = {}
             for c in td.order:
@@ -455,6 +510,168 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
 
+    # -- ALTER TABLE column DDL (sql_cat.c sql_alter_table) ----------------
+    def _add_col_apply(self, meta: dict) -> None:
+        td = self.tables[meta["table"]]
+        c, t = meta["col"], tag_type(meta["tag"])
+        fill = meta.get("fill")
+        td.types[c] = t
+        td.order.append(c)
+        n = td.count
+        if t.kind == Kind.STR:
+            if fill is None:
+                td.dicts[c] = np.empty(0, dtype=str)
+                td.cols[c] = np.full(n, TableData._NIL_CODE, np.int32)
+            else:
+                td.dicts[c] = np.array([str(fill)])
+                td.cols[c] = np.zeros(n, np.int32)
+        else:
+            v = t.nil if fill is None else t.np_dtype.type(fill)
+            td.cols[c] = np.full(n, v, t.np_dtype)
+        f = meta.get("flags") or {}
+        if f.get("notnull"):
+            td.notnull.add(c)
+        if f.get("unique"):
+            td.uniques.add(c)
+        if f.get("default") is not None:
+            td.defaults[c] = f["default"]
+        td.version += 1
+
+    def _drop_col_apply(self, table: str, c: str) -> None:
+        td = self.tables[table]
+        td.order.remove(c)
+        td.types.pop(c)
+        td.cols.pop(c, None)
+        td.dicts.pop(c, None)
+        td.notnull.discard(c)
+        td.uniques.discard(c)
+        td.defaults.pop(c, None)
+        td.serials.pop(c, None)
+        if c in td.pks:
+            td.pks.remove(c)
+        td.version += 1
+
+    def _rename_col_apply(self, table: str, c: str, new: str) -> None:
+        td = self.tables[table]
+        td.order[td.order.index(c)] = new
+        td.types[new] = td.types.pop(c)
+        td.cols[new] = td.cols.pop(c)
+        if c in td.dicts:
+            td.dicts[new] = td.dicts.pop(c)
+        if c in td.notnull:
+            td.notnull.discard(c)
+            td.notnull.add(new)
+        if c in td.uniques:
+            td.uniques.discard(c)
+            td.uniques.add(new)
+        if c in td.defaults:
+            td.defaults[new] = td.defaults.pop(c)
+        if c in td.serials:
+            td.serials[new] = td.serials.pop(c)
+        td.pks = [new if p == c else p for p in td.pks]
+        td.version += 1
+
+    def _rename_table_apply(self, old: str, new: str) -> None:
+        td = self.tables.pop(old)
+        td.name = new
+        self.tables[new] = td
+        self._device.pop(old, None)
+        td.version += 1
+
+    def alter_add_column(self, table: str, col: str, typ, flags: dict,
+                         fill=None) -> None:
+        """fill = physical-domain constant used for existing rows (the
+        evaluated DEFAULT); JSON-able (int/float/str/None)."""
+        table, col = table.lower(), col.lower()
+        td = self.tables[table]
+        if col in td.types:
+            raise ValueError(f"column {col} exists")
+        self._undo_save(table)
+        meta = {"op": "add_col", "table": table, "col": col,
+                "tag": type_tag(typ), "flags": flags, "fill": fill}
+        self._add_col_apply(meta)
+        self.schema_epoch += 1
+        self._device.pop(table, None)
+        self._log(REC_DDL, meta)
+
+    def alter_drop_column(self, table: str, col: str) -> None:
+        table, col = table.lower(), col.lower()
+        td = self.tables[table]
+        if col not in td.types:
+            raise ValueError(f"unknown column {col}")
+        if len(td.order) == 1:
+            raise ValueError("cannot drop the last column")
+        self._undo_save(table)
+        self._drop_col_apply(table, col)
+        self.schema_epoch += 1
+        self._device.pop(table, None)
+        self._log(REC_DDL, {"op": "drop_col", "table": table, "col": col})
+
+    def alter_rename_column(self, table: str, col: str, new: str) -> None:
+        table, col, new = table.lower(), col.lower(), new.lower()
+        td = self.tables[table]
+        if col not in td.types:
+            raise ValueError(f"unknown column {col}")
+        if new in td.types:
+            raise ValueError(f"column {new} exists")
+        self._undo_save(table)
+        self._rename_col_apply(table, col, new)
+        self.schema_epoch += 1
+        self._device.pop(table, None)
+        self._log(REC_DDL, {"op": "rename_col", "table": table,
+                            "col": col, "new": new})
+
+    def alter_rename_table(self, table: str, new: str) -> None:
+        table, new = table.lower(), new.lower()
+        if table not in self.tables:
+            raise ValueError(f"unknown table {table}")
+        if new in self.tables or new in self.views:
+            raise ValueError(f"name {new} exists")
+        self._undo_save(table)
+        self._undo_save(new)
+        self._rename_table_apply(table, new)
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "rename_table", "table": table,
+                            "new": new})
+
+    # -- triggers / procedures / comments ----------------------------------
+    def create_trigger(self, name: str, table: str, time: str, event: str,
+                       body: str) -> None:
+        name = name.lower()
+        if name in self.triggers:
+            raise ValueError(f"trigger {name} exists")
+        t = {"table": table.lower(), "time": time, "event": event,
+             "body": body}
+        self.triggers[name] = t
+        self._log(REC_DDL, {"op": "put_trigger", "name": name, "trigger": t})
+
+    def drop_trigger(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.triggers:
+            raise ValueError(f"unknown trigger {name}")
+        del self.triggers[name]
+        self._log(REC_DDL, {"op": "drop_trigger", "name": name})
+
+    def create_procedure(self, name: str, params, body: str) -> None:
+        name = name.lower()
+        p = {"params": [[n, type_tag(t)] for n, t in params], "body": body}
+        self.procedures[name] = p
+        self._log(REC_DDL, {"op": "put_proc", "name": name, "proc": p})
+
+    def drop_procedure(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.procedures:
+            raise ValueError(f"unknown procedure {name}")
+        del self.procedures[name]
+        self._log(REC_DDL, {"op": "drop_proc", "name": name})
+
+    def put_comment(self, key: str, text) -> None:
+        if text is None:
+            self.comments.pop(key, None)
+        else:
+            self.comments[key] = text
+        self._log(REC_DDL, {"op": "put_comment", "key": key, "text": text})
+
     # -- distribution DDL (merge/remote/replica tables) -------------------
     def _dist_dicts(self):
         return {"merge": self.merges, "remote": self.remotes,
@@ -595,6 +812,24 @@ class Database:
             if c in arrays and nilmask(c).any():
                 raise ValueError(f"NOT NULL constraint violated for "
                                  f"{td.name}.{c}")
+        for c in td.uniques:
+            if c not in arrays:
+                continue
+            live = ~td.deleted
+            nm = nilmask(c)
+            if td.types[c].kind == Kind.STR:
+                newv = [str(v) for v, isnil in zip(arrays[c], nm)
+                        if not isnil]
+                oldc = td.cols[c][live]
+                oldv = [str(td.dicts[c][k]) for k in oldc if k >= 0]
+            else:
+                newv = list(np.asarray(arrays[c])[~nm])
+                old = td.cols[c][live]
+                from ..dtypes import is_nil_np
+                oldv = list(old[~is_nil_np(old, td.types[c])])
+            if len(set(newv)) != len(newv) or set(newv) & set(oldv):
+                raise ValueError(
+                    f"UNIQUE constraint violated for {td.name}.{c}")
         if td.pks and all(c in arrays for c in td.pks):
             live = ~td.deleted
 
@@ -686,6 +921,9 @@ class Database:
         cat.udfs = dict(self.udfs)
         cat.sequences = self.sequences
         cat.next_sequence_block = self.next_sequence_block
+        cat.triggers = self.triggers
+        cat.comments = self.comments
+        cat.procedures = self.procedures
         return cat
 
     def close(self) -> None:
