@@ -1029,9 +1029,7 @@ class Executor:
             if isinstance(b, Column):
                 return DT.add_interval_col(b, int(amt), unit)
         if e.op == "||":
-            if isinstance(a, Column) and isinstance(b, Scalar):
-                return SF.concat(a, b.value)
-            raise ExecError("|| shape unsupported")
+            return self._concat(a, b)
         if isinstance(a, Scalar) and isinstance(b, Scalar):
             return self._fold_scalars(e.op, a, b)
         op = self._OPMAP[e.op]
@@ -1068,6 +1066,35 @@ class Executor:
         if op == "mod":
             return self._binop_dispatch(op, a, b, None, fr)
         raise ExecError(f"operator {e.op}")
+
+    def _concat(self, a, b):
+        """|| / concat over any Column/Scalar string combination."""
+        def as_str(v):
+            if isinstance(v, Scalar):
+                return None if v.value is None else str(v.value)
+            return v
+        if isinstance(a, Scalar) and isinstance(b, Scalar):
+            if a.value is None or b.value is None:
+                from ..dtypes import varchar
+                return Scalar(None, varchar())
+            from ..dtypes import varchar
+            return Scalar(str(a.value) + str(b.value), varchar())
+        if isinstance(a, Column) and isinstance(b, Scalar):
+            if b.value is None:
+                return self._nil_str_col(a.count)
+            return SF.concat(a, str(b.value))
+        if isinstance(a, Scalar) and isinstance(b, Column):
+            if a.value is None:
+                return self._nil_str_col(b.count)
+            return SF.concat(b, str(a.value), prefix=True)
+        return SF.concat_cols(a, b)
+
+    def _nil_str_col(self, count: int) -> Column:
+        from ..dtypes import varchar
+        sd = StrDict(np.empty(0, dtype=str))
+        nil = jnp.int32(np.iinfo(np.int32).min)
+        return Column(varchar(), jnp.full(capacity_for(count), nil),
+                      count, nonil=False, sdict=sd)
 
     def _rescale(self, x, k: int):
         if isinstance(x, Column):
@@ -1122,6 +1149,32 @@ class Executor:
             if isinstance(col, Scalar):
                 col = self._broadcast(col, fr)
             return DT.extract(e.name, col)
+        if e.name in ("left", "right", "repeat", "reverse", "ascii",
+                      "splitpart", "md5", "regexp_replace") or \
+                (e.name == "insert" and len(e.args) == 4):
+            a0 = self.eval(e.args[0], fr)
+            if isinstance(a0, Scalar):
+                a0 = self._broadcast(a0, fr)
+            rest = [self.eval(a, fr).value for a in e.args[1:]]
+            if e.name in ("left", "right"):
+                fn = SF.left_str if e.name == "left" else SF.right_str
+                return fn(a0, int(rest[0]))
+            if e.name == "repeat":
+                return SF.repeat(a0, int(rest[0]))
+            if e.name == "reverse":
+                return SF.reverse(a0)
+            if e.name == "ascii":
+                return SF.ascii_code(a0)
+            if e.name == "splitpart":
+                return SF.splitpart(a0, str(rest[0]), int(rest[1]))
+            if e.name == "md5":
+                return SF.md5_hex(a0)
+            if e.name == "regexp_replace":
+                flags = str(rest[2]) if len(rest) > 2 else ""
+                return SF.regexp_replace(a0, str(rest[0]), str(rest[1]),
+                                         flags)
+            return SF.str_insert(a0, int(rest[0]), int(rest[1]),
+                                 str(rest[2]))
         if e.name == "date_trunc":
             field = str(self.eval(e.args[0], fr).value)
             col = self.eval(e.args[1], fr)
@@ -1177,9 +1230,14 @@ class Executor:
         if e.name == "concat":
             a = self.eval(e.args[0], fr)
             b = self.eval(e.args[1], fr)
-            if isinstance(a, Column) and isinstance(b, Scalar):
-                return SF.concat(a, str(b.value))
-            raise ExecError("concat shape unsupported")
+            return self._concat(a, b)
+        if e.name in ("startswith", "endswith", "contains"):
+            col = self.eval(e.args[0], fr)
+            v = str(self.eval(e.args[1], fr).value)
+            cand = {"startswith": SF.startswith, "endswith": SF.endswith,
+                    "contains": SF.contains}[e.name](col, v)
+            m = cand.as_mask(fr.cap)
+            return Column(BOOL, m, fr.count, nonil=True)
         if e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos", "tan",
                       "floor", "ceil", "ceiling", "power", "mod"):
             return self._eval_math(e, fr)

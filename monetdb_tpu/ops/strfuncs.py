@@ -121,12 +121,32 @@ def substring(col: Column, start: int, length: Optional[int] = None) -> Column:
     return map_dict(col, lambda v: v[a:a + max(length, 0)])
 
 
-def concat(a: Column, b) -> Column:
-    """String concatenation: column || const (const || column via flip)."""
+def concat(a: Column, b, prefix: bool = False) -> Column:
+    """String concatenation: column || const, const || column
+    (prefix=True), or column || column (host re-encode — the result
+    cardinality is data-dependent, so the dictionary is rebuilt)."""
     if isinstance(b, str):
+        if prefix:
+            return map_dict(a, lambda v: b + v)
         return map_dict(a, lambda v: v + b)
-    raise NotImplementedError("column||column concat lands with the full "
-                              "batstr parity milestone")
+    if isinstance(b, Column):
+        return concat_cols(a, b)
+    raise TypeError(type(b))
+
+
+def concat_cols(a: Column, b: Column) -> Column:
+    """column || column: decode both sides on host, re-encode
+    order-preserving (batstr concat; nil || x = nil)."""
+    n = a.count
+    ac = np.asarray(a.data[:n])
+    bc = np.asarray(b.data[:n])
+    av = a.sdict.decode(ac)
+    bv = b.sdict.decode(bc)
+    vals = [None if (x is None or y is None) else str(x) + str(y)
+            for x, y in zip(av, bv)]
+    from ..storage.columns import column_from_pyvalues
+    from ..dtypes import varchar
+    return column_from_pyvalues(vals, varchar())
 
 
 def map_dict_int(col: Column, fn) -> Column:
@@ -355,3 +375,72 @@ def difference(col, other: str):
 
 def qgram_normalize(col):
     return map_dict(col, _qgram_normalize)
+
+
+# ---------------------------------------------------------------------------
+# extended batstr parity (modules/kernel/batstr.c / modules/atoms/str.c)
+# ---------------------------------------------------------------------------
+
+def repeat(col, k: int):
+    return map_dict(col, lambda v: v * max(k, 0))
+
+
+def reverse(col):
+    return map_dict(col, lambda v: v[::-1])
+
+
+def ascii_code(col):
+    """ascii(s): code point of the first character (0 for empty)."""
+    return map_dict_int(col, lambda v: ord(v[0]) if v else 0)
+
+
+def splitpart(col, sep: str, k: int):
+    """splitpart(s, sep, k): 1-based k-th field, '' when out of range
+    (modules/kernel/batstr.c STRsplitpart)."""
+    def f(v):
+        parts = v.split(sep) if sep else [v]
+        return parts[k - 1] if 1 <= k <= len(parts) else ""
+    return map_dict(col, f)
+
+
+def str_insert(col, start: int, length: int, repl: str):
+    """insert(s, start, length, repl): replace s[start:start+length]
+    (1-based, str.c STRinsert semantics: 0-based offset actually —
+    MonetDB uses 0-based start here)."""
+    def f(v):
+        a = max(start, 0)
+        return v[:a] + repl + v[a + max(length, 0):]
+    return map_dict(col, f)
+
+
+def trim_chars(col, chars: str, mode: str = "both"):
+    fn = {"both": str.strip, "leading": str.lstrip,
+          "trailing": str.rstrip}[mode]
+    return map_dict(col, lambda v: fn(v, chars))
+
+
+def startswith(col, prefix: str, negated: bool = False) -> Cand:
+    lut = col.sdict.match_mask(lambda v: v.startswith(prefix))
+    return lut_cand(col, ~lut if negated else lut)
+
+
+def endswith(col, suffix: str, negated: bool = False) -> Cand:
+    lut = col.sdict.match_mask(lambda v: v.endswith(suffix))
+    return lut_cand(col, ~lut if negated else lut)
+
+
+def contains(col, sub: str, negated: bool = False) -> Cand:
+    lut = col.sdict.match_mask(lambda v: sub in v)
+    return lut_cand(col, ~lut if negated else lut)
+
+
+def regexp_replace(col, pattern: str, repl: str, flags: str = ""):
+    """regexp_replace(s, pat, repl[, flags]) (pcre.c replace)."""
+    f = re.IGNORECASE if "i" in flags else 0
+    rx = re.compile(pattern, f)
+    return map_dict(col, lambda v: rx.sub(repl, v))
+
+
+def md5_hex(col):
+    import hashlib
+    return map_dict(col, lambda v: hashlib.md5(v.encode()).hexdigest())

@@ -115,6 +115,14 @@ class Session:
                              A.AlterDropTable)):
             return self._dist_ddl(stmt)
         if isinstance(stmt, A.CreateFunction):
+            if stmt.language == "sql":
+                # validate the body parses
+                from .sql.parser import parse_expr
+                parse_expr(stmt.body)
+                self.db.create_sqlfunc(
+                    stmt.name, [(n.lower(), t) for n, t in stmt.params],
+                    stmt.ret_type, stmt.body)
+                return None
             from .udf import compile_python_udf
             u = compile_python_udf(stmt.name,
                                    [n.lower() for n, _t in stmt.params],

@@ -183,6 +183,7 @@ class Binder:
         # in the sql_query frame stack, rel_select.c).
         self.ctes: Dict[str, Tuple[Optional[List[str]], object]] = \
             dict(ctes) if ctes else {}
+        self._expanding: Set[str] = set()   # SQL-function recursion guard
 
     def _sub(self, outer_scope: Optional[Scope] = None) -> "Binder":
         return Binder(self.catalog, outer_scope, ctes=self.ctes)
@@ -967,6 +968,30 @@ class Binder:
             c.select = ("bound", srel, scols)
             c.typ = scols[0].typ if scols else F64
             return c
+        if isinstance(e, Func):
+            sf = getattr(self.catalog, "sqlfuncs", {}) or {}
+            f = sf.get(e.name)
+            if f is not None:
+                # SQL scalar function: inline the RETURN expression with
+                # arguments substituted (the reference inlines side-effect-
+                # free SQL functions the same way, rel_optimize_proj.c)
+                if len(e.args) != len(f["params"]):
+                    raise BindError(
+                        f"function {e.name} expects {len(f['params'])} "
+                        f"arguments, got {len(e.args)}")
+                if e.name in self._expanding:
+                    raise BindError(f"recursive SQL function {e.name}")
+                from .parser import parse_expr
+                tmpl = parse_expr(f["body"])
+                # bind arguments first so nested calls of the same function
+                # expand before the guard engages (composition ≠ recursion)
+                sub = {pn: self.bind_expr(arg) for (pn, _tag), arg
+                       in zip(f["params"], e.args)}
+                self._expanding.add(e.name)
+                try:
+                    return self.bind_expr(self._subst(tmpl, sub))
+                finally:
+                    self._expanding.discard(e.name)
         kids = e.children()
         if not kids:
             c = copy.copy(e)
@@ -975,6 +1000,14 @@ class Binder:
         c = self._clone_with(e, [self.bind_expr(k) for k in kids])
         self._retype(c)
         return c
+
+    def _subst(self, e: Expr, sub: Dict[str, Expr]) -> Expr:
+        if isinstance(e, ColRef) and e.table is None and e.name in sub:
+            return copy.deepcopy(sub[e.name])
+        kids = e.children()
+        if not kids:
+            return e
+        return self._clone_with(e, [self._subst(k, sub) for k in kids])
 
     def _type_const(self, c: Const):
         v = c.value
@@ -1152,10 +1185,14 @@ class Binder:
                 e.typ = I64 if e.name == "extract_epoch" else I32
             elif e.name in ("substring", "upper", "ucase", "lower", "lcase",
                             "trim", "ltrim", "rtrim", "replace", "lpad",
-                            "rpad", "concat"):
+                            "rpad", "concat", "left", "right", "repeat",
+                            "reverse", "splitpart", "insert",
+                            "regexp_replace", "md5"):
                 e.typ = varchar()
+            elif e.name in ("startswith", "endswith", "contains"):
+                e.typ = BOOL
             elif e.name in ("length", "char_length", "character_length",
-                            "locate", "position"):
+                            "locate", "position", "ascii"):
                 e.typ = I32
             elif e.name in ("levenshtein", "editdistance", "editdistance2",
                             "difference"):

@@ -623,6 +623,10 @@ class Parser:
     def parse_kw_primary(self) -> Expr:
         t = self.next()
         v = t.value
+        # keywords that double as function names (left/right join kw,
+        # insert stmt kw — sql_parser.y handles the same ambiguity)
+        if v in ("left", "right", "insert") and self.at_punct("("):
+            return self.parse_call(v)
         if v == "null":
             return Const(None, None)
         if v == "true":
@@ -1220,16 +1224,16 @@ _CREATE_FUNC_RE = __import__("re").compile(
 
 
 def _parse_create_function(sql: str):
-    """CREATE FUNCTION f(x int, ...) RETURNS t LANGUAGE PYTHON { body }.
-    The body is arbitrary Python, so it is split off before tokenizing
-    (the reference's parser treats { } UDF bodies the same way,
-    sql/server/sql_parser.y X_BODY)."""
+    """CREATE FUNCTION f(x int, ...) RETURNS t
+         LANGUAGE PYTHON { body }          — Python UDF (UDF/pyapi3), or
+         [BEGIN] RETURN <expr>[;] [END]    — SQL scalar function
+                                             (rel_psm.c, inlined at bind)."""
     from .ast import CreateFunction
-    i, j = sql.find("{"), sql.rfind("}")
-    if i < 0 or j < i:
-        raise SQLSyntaxError("CREATE FUNCTION requires a { body }")
-    body = sql[i + 1:j]
-    p = Parser(sql[:i])
+    brace = sql.find("{")
+    py = brace >= 0 and __import__("re").search(
+        r"language\s+python", sql[:brace], __import__("re").I) is not None
+    header = sql[:brace] if py else sql
+    p = Parser(header if py else sql)
     p.expect_kw("create")
     if not (p.peek().kind == "ident" and p.peek().value == "function"):
         raise SQLSyntaxError("expected FUNCTION")
@@ -1248,13 +1252,29 @@ def _parse_create_function(sql: str):
         raise SQLSyntaxError("expected RETURNS")
     p.next()
     ret = p.parse_type()
-    if not (p.peek().kind == "ident" and p.peek().value == "language"):
-        raise SQLSyntaxError("expected LANGUAGE")
-    p.next()
-    lang = p.next().value
-    if lang not in ("python", "python3"):
-        raise SQLSyntaxError(f"unsupported UDF language {lang}")
-    return CreateFunction(name, params, ret, "python", body)
+    if py:
+        j = sql.rfind("}")
+        if j < brace:
+            raise SQLSyntaxError("unterminated { body }")
+        body = sql[brace + 1:j]
+        if not (p.peek().kind == "ident" and p.peek().value == "language"):
+            raise SQLSyntaxError("expected LANGUAGE")
+        p.next()
+        lang = p.next().value
+        if lang not in ("python", "python3"):
+            raise SQLSyntaxError(f"unsupported UDF language {lang}")
+        return CreateFunction(name, params, ret, "python", body)
+    # SQL scalar function: capture the RETURN expression text
+    body = sql[p.peek().pos:].strip().rstrip(";").strip()
+    low = body.lower()
+    if low.startswith("begin"):
+        body = body[5:].strip()
+        if body.lower().endswith("end"):
+            body = body[:-3].strip().rstrip(";").strip()
+    if not body.lower().startswith("return"):
+        raise SQLSyntaxError("SQL function body must be RETURN <expr>")
+    body = body[6:].strip().rstrip(";").strip()
+    return CreateFunction(name, params, ret, "sql", body)
 
 
 def parse(sql: str):

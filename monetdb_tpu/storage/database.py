@@ -195,6 +195,9 @@ class Database:
         self.procedures: Dict[str, dict] = {}
         # COMMENT ON texts (sys.comments): "kind:target" → text
         self.comments: Dict[str, str] = {}
+        # SQL scalar functions (rel_psm.c; inlined at bind time):
+        # name → {params: [[n, tag]], ret: tag, body: expr SQL}
+        self.sqlfuncs: Dict[str, dict] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -255,6 +258,8 @@ class Database:
         self.procedures = {n: dict(p)
                            for n, p in man.get("procs", {}).items()}
         self.comments = dict(man.get("comments", {}))
+        self.sqlfuncs = {n: dict(f)
+                         for n, f in man.get("sqlfuncs", {}).items()}
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -310,6 +315,10 @@ class Database:
                 self.procedures[meta["name"]] = meta["proc"]
             elif meta["op"] == "drop_proc":
                 self.procedures.pop(meta["name"], None)
+            elif meta["op"] == "put_sqlfunc":
+                self.sqlfuncs[meta["name"]] = meta["func"]
+            elif meta["op"] == "drop_sqlfunc":
+                self.sqlfuncs.pop(meta["name"], None)
             elif meta["op"] == "put_comment":
                 if meta["text"] is None:
                     self.comments.pop(meta["key"], None)
@@ -343,7 +352,8 @@ class Database:
                "seqs": {n: dict(s) for n, s in self.sequences.items()},
                "triggers": {n: dict(t) for n, t in self.triggers.items()},
                "procs": {n: dict(p) for n, p in self.procedures.items()},
-               "comments": dict(self.comments)}
+               "comments": dict(self.comments),
+               "sqlfuncs": {n: dict(f) for n, f in self.sqlfuncs.items()}}
         for tname, td in self.tables.items():
             fors = {}
             for c in td.order:
@@ -728,11 +738,24 @@ class Database:
 
     def drop_function(self, name: str) -> None:
         name = name.lower()
+        if name in self.sqlfuncs:
+            del self.sqlfuncs[name]
+            self.schema_epoch += 1
+            self._log(REC_DDL, {"op": "drop_sqlfunc", "name": name})
+            return
         if name not in self.udfs:
             raise ValueError(f"unknown function {name}")
         del self.udfs[name]
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "drop_udf", "name": name})
+
+    def create_sqlfunc(self, name: str, params, ret, body: str) -> None:
+        name = name.lower()
+        f = {"params": [[n, type_tag(t)] for n, t in params],
+             "ret": type_tag(ret), "body": body}
+        self.sqlfuncs[name] = f
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "put_sqlfunc", "name": name, "func": f})
 
     # -- sequences (store_sequence.c) -------------------------------------
     def create_sequence(self, name: str, start: int = 1,
@@ -924,6 +947,7 @@ class Database:
         cat.triggers = self.triggers
         cat.comments = self.comments
         cat.procedures = self.procedures
+        cat.sqlfuncs = self.sqlfuncs
         return cat
 
     def close(self) -> None:
