@@ -85,6 +85,7 @@ def _decode_value(v, tag: str):
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         db = self.server.db
+        auth_user = None
         if db.users:
             import os
             salt = os.urandom(16).hex()
@@ -104,7 +105,10 @@ class _Handler(socketserver.BaseRequestHandler):
                                      " auth failed"})
                 return
             _send(self.request, {"ok": True})
-        session = Session(db)               # session per connection
+            auth_user = reply.get("user")
+        # session per connection, under the authenticated identity
+        # (privileges enforced per sql_privileges.c table_privs)
+        session = Session(db, user=auth_user)
         while True:
             try:
                 msg = _recv(self.request)

@@ -27,8 +27,12 @@ __all__ = ["Session"]
 
 
 class Session:
-    def __init__(self, db: Database):
+    def __init__(self, db: Database, user: Optional[str] = None):
         self.db = db
+        # authenticated user; None = embedded/admin session (the reference
+        # gives monetdbe the admin role the same way)
+        self.user = user
+        self.role: Optional[str] = None
         # plan cache (the reference's query cache, sql/server/sql_qc.c):
         # sql text → (schema_epoch, rel, out_cols)
         self._plan_cache: Dict[str, tuple] = {}
@@ -40,7 +44,20 @@ class Session:
     def _catalog(self):
         cat = self.db.catalog()
         cat.vars = self.vars
+        if not self.db.is_admin(self.user):
+            cat.access = (self.user, self.role, self.db)
         return cat
+
+    def _check_priv(self, table: str, priv: str) -> None:
+        """Table privilege enforcement (sql_privileges.c table_privs)."""
+        if self.db.is_admin(self.user):
+            return
+        t = table.lower()
+        if self.db.owners.get(t) == self.user.lower():
+            return
+        if priv not in self.db.effective_privs(self.user, t, self.role):
+            raise PermissionError(
+                f"access denied for {self.user} to {priv} on {table}")
 
     # per-session query timeout in seconds (sys.setquerytimeout analog)
     timeout: Optional[float] = None
@@ -85,6 +102,8 @@ class Session:
             self.db.create_table(
                 stmt.name, [(c, t) for c, t, _f in stmt.columns],
                 {c: f for c, _t, f in stmt.columns if isinstance(f, dict)})
+            if self.user is not None:
+                self.db.set_owner(stmt.name, self.user)
             return None
         if isinstance(stmt, A.Call):
             return self._call(stmt)
@@ -203,7 +222,48 @@ class Session:
             self.db.schema_epoch += 1
             return None
         if isinstance(stmt, A.SetVar):
+            if stmt.name == "#role":
+                role = str(stmt.value.value).lower()
+                if not self.db.is_admin(self.user):
+                    u = (self.user or "").lower()
+                    if u not in self.db.roles.get(role, []):
+                        raise PermissionError(
+                            f"role {role} not granted to {self.user}")
+                self.role = role
+                return None
             self.vars[stmt.name.lower()] = self._default_eval(stmt.value)
+            return None
+        if isinstance(stmt, A.CreateUser):
+            self._require_admin("CREATE USER")
+            self.db.create_user(stmt.name.lower(), stmt.password)
+            return None
+        if isinstance(stmt, A.DropUser):
+            self._require_admin("DROP USER")
+            self.db.drop_user(stmt.name.lower())
+            return None
+        if isinstance(stmt, A.CreateRole):
+            self._require_admin("CREATE ROLE")
+            self.db.create_role(stmt.name)
+            return None
+        if isinstance(stmt, A.DropRole):
+            self._require_admin("DROP ROLE")
+            self.db.drop_role(stmt.name)
+            return None
+        if isinstance(stmt, A.Grant):
+            self._require_admin_or_owner(stmt if stmt.role else stmt.table)
+            if stmt.role:
+                self.db.grant_role(stmt.table, stmt.grantee)
+            else:
+                self.db.grant([p.lower() for p in stmt.privs], stmt.table,
+                              stmt.grantee)
+            return None
+        if isinstance(stmt, A.Revoke):
+            self._require_admin_or_owner(stmt if stmt.role else stmt.table)
+            if stmt.role:
+                self.db.revoke_role(stmt.table, stmt.grantee)
+            else:
+                self.db.revoke([p.lower() for p in stmt.privs], stmt.table,
+                               stmt.grantee)
             return None
         if isinstance(stmt, A.DeclareVar):
             self.vars.setdefault(stmt.name.lower(), None)
@@ -224,6 +284,19 @@ class Session:
         from .sql.parser import parse_expr
         v = self._default_eval(parse_expr(sql_text))
         return v
+
+    def _require_admin(self, what: str) -> None:
+        if not self.db.is_admin(self.user):
+            raise PermissionError(f"{what} requires administrator")
+
+    def _require_admin_or_owner(self, table) -> None:
+        if self.db.is_admin(self.user):
+            return
+        if isinstance(table, str) and \
+                self.db.owners.get(table.lower()) == \
+                (self.user or "").lower():
+            return
+        raise PermissionError("GRANT/REVOKE requires admin or owner")
 
     # -- statement-level triggers (rel_schema.c create_trigger) -----------
     def _fire_triggers(self, table: str, event: str, time: str) -> None:
@@ -445,6 +518,7 @@ class Session:
             raise BindError(
                 f"INSERT arity {arity} does not match column list "
                 f"{len(names)}")
+        self._check_priv(n, "insert")
         self._fire_triggers(n, "insert", "before")
         arrays: Dict[str, np.ndarray] = {}
         for j, c in enumerate(names):
@@ -488,6 +562,7 @@ class Session:
         return Engine(self._catalog()).query_stmt(sel)
 
     def _delete(self, stmt: A.Delete) -> int:
+        self._check_priv(stmt.table, "delete")
         self._fire_triggers(stmt.table, "delete", "before")
         res = self._select_oids(stmt.table, stmt.where)
         oids = np.array([r[0] for r in res.rows], np.int64)
@@ -498,6 +573,7 @@ class Session:
         return out
 
     def _update(self, stmt: A.Update) -> int:
+        self._check_priv(stmt.table, "update")
         self._fire_triggers(stmt.table, "update", "before")
         td = self.db.tables[stmt.table.lower()]
         extra = [(f"_set{i}", e) for i, (_c, e) in enumerate(stmt.sets)]

@@ -330,3 +330,43 @@ class DeclareVar:
     """DECLARE v type (rel_psm.c declare; session-scoped here)."""
     name: str
     vtype: Any
+
+
+@dataclasses.dataclass
+class CreateUser:
+    """CREATE USER u WITH PASSWORD 'p' (sql_user.c)."""
+    name: str
+    password: str
+
+
+@dataclasses.dataclass
+class DropUser:
+    name: str
+
+
+@dataclasses.dataclass
+class CreateRole:
+    name: str
+
+
+@dataclasses.dataclass
+class DropRole:
+    name: str
+
+
+@dataclasses.dataclass
+class Grant:
+    """GRANT privs ON t TO grantee | GRANT role TO user
+    (sql_privileges.c sql_grant_table_privs / sql_grant_role)."""
+    privs: Optional[List[str]]    # None for role grants
+    table: str                    # table, or role name when role=True
+    grantee: str
+    role: bool = False
+
+
+@dataclasses.dataclass
+class Revoke:
+    privs: Optional[List[str]]
+    table: str
+    grantee: str
+    role: bool = False

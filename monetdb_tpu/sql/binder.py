@@ -379,6 +379,8 @@ class Binder:
             from .syscat import is_system_table, system_table
             if lname not in self.catalog and is_system_table(lname):
                 self.catalog.add(system_table(self.catalog, lname))
+            elif not is_system_table(lname):
+                self._check_select(lname)
             ddef = (self.catalog.merges.get(lname)
                     or self.catalog.remotes.get(lname)
                     or self.catalog.replicas.get(lname))
@@ -395,6 +397,12 @@ class Binder:
             vsql = self.catalog.views.get(src.name.lower())
             if vsql is not None:
                 sub = self._sub()
+                if getattr(self.catalog, "access", None) is not None:
+                    # views execute with definer rights (sql_privileges.c):
+                    # the caller needs SELECT on the view, not on its bases
+                    cat2 = copy.copy(self.catalog)
+                    cat2.access = None
+                    sub.catalog = cat2
                 srel, scols = sub.bind(parse(vsql))
                 cols = [ColInfo(src.alias, c.name, c.typ) for c in scols]
                 self.scope.add_table(src.alias, cols)
@@ -445,6 +453,20 @@ class Binder:
             eq, extra = self._extract_equi(on_b)
             return L.Join(lrel, rrel, src.kind, on=eq, extra=extra)
         raise BindError(f"unsupported source {src}")
+
+    def _check_select(self, name: str) -> None:
+        """SELECT privilege (sql_privileges.c table_privs): enforced only
+        when the session catalog carries an access context."""
+        acc = getattr(self.catalog, "access", None)
+        if acc is None:
+            return
+        user, role, db = acc
+        t = name.lower()
+        if db.owners.get(t) == user.lower():
+            return
+        if "select" not in db.effective_privs(user, t, role):
+            raise BindError(
+                f"SELECT: access denied for {user} to table {t}")
 
     def _bind_values(self, src: A.ValuesSource) -> L.Rel:
         """(VALUES ...) table constructor → literal relation."""

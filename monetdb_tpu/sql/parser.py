@@ -95,10 +95,16 @@ class Parser:
             self.next()
             from .ast import SetVar
             name = self.next().value
+            if name == "role" and not self.at_op("="):
+                # SET ROLE r (sql_parser.y set_statement role)
+                return SetVar("#role", Const(self.next().value))
             if not self.at_op("="):
                 raise SQLSyntaxError("expected = in SET")
             self.next()
             return SetVar(name, self.parse_expr())
+        if self.peek().kind == "ident" and \
+                self.peek().value in ("grant", "revoke"):
+            return self.parse_grant_revoke()
         if self.peek().kind == "ident" and self.peek().value == "declare":
             self.next()
             from .ast import DeclareVar
@@ -153,6 +159,14 @@ class Parser:
                 self.next()
                 from .ast import DropTrigger
                 return DropTrigger(self.next().value)
+            if self.peek().kind == "ident" and self.peek().value == "user":
+                self.next()
+                from .ast import DropUser
+                return DropUser(self.next().value)
+            if self.peek().kind == "ident" and self.peek().value == "role":
+                self.next()
+                from .ast import DropRole
+                return DropRole(self.next().value)
             if self.peek().kind == "ident" and \
                     self.peek().value == "procedure":
                 self.next()
@@ -210,6 +224,33 @@ class Parser:
             self.next()
             return TxnStmt("rollback")
         raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
+
+    def parse_grant_revoke(self):
+        """GRANT privs ON [TABLE] t TO grantee | GRANT role TO user;
+        REVOKE ... FROM ... (sql_parser.y grant/revoke; sql_privileges.c)."""
+        from .ast import Grant, Revoke
+        kind = self.next().value              # grant | revoke
+        first = self.next().value
+        privs = [first]
+        while self.eat_punct(","):
+            privs.append(self.next().value)
+        if self.at_kw("on"):
+            self.next()
+            self.eat_kw("table")
+            table = self.next().value
+            kw = "to" if kind == "grant" else "from"
+            self.expect_kw(kw)
+            grantee = self.next().value
+            if kind == "grant":
+                return Grant(privs, table, grantee)
+            return Revoke(privs, table, grantee)
+        # role grant: GRANT r TO u / REVOKE r FROM u
+        kw = "to" if kind == "grant" else "from"
+        self.expect_kw(kw)
+        user = self.next().value
+        if kind == "grant":
+            return Grant(None, first, user, role=True)
+        return Revoke(None, first, user, role=True)
 
     def parse_select(self) -> SelectStmt:
         ctes = []
@@ -883,6 +924,26 @@ class Parser:
         if self.at_kw("merge") or self.at_kw("remote") or \
                 self.at_kw("replica"):
             return self.parse_create_distributed()
+        if self._at_ident("user"):
+            # CREATE USER u WITH [UNENCRYPTED|ENCRYPTED] PASSWORD 'p' ...
+            # (sql_parser.y user_def; sql_user.c)
+            self.next()
+            from .ast import CreateUser
+            name = self.next().value
+            self.expect_kw("with")
+            self._eat_ident("unencrypted") or self._eat_ident("encrypted")
+            if not self._eat_ident("password"):
+                raise SQLSyntaxError("expected PASSWORD")
+            pw = self.next().value
+            # optional NAME 'Full Name' SCHEMA s — parsed and ignored
+            while self.peek().kind in ("ident", "kw", "str") and \
+                    self.peek().kind != "eof" and self.peek().value:
+                self.next()
+            return CreateUser(name, pw)
+        if self._at_ident("role"):
+            self.next()
+            from .ast import CreateRole
+            return CreateRole(self.next().value)
         if self._at_ident("trigger"):
             self.next()
             from .ast import CreateTrigger

@@ -198,6 +198,11 @@ class Database:
         # SQL scalar functions (rel_psm.c; inlined at bind time):
         # name → {params: [[n, tag]], ret: tag, body: expr SQL}
         self.sqlfuncs: Dict[str, dict] = {}
+        # roles & privileges (sql_user.c / sql_privileges.c):
+        self.roles: Dict[str, List[str]] = {}       # role → member users
+        # grantee (user|role|'public') → {table → [privs]}
+        self.grants: Dict[str, Dict[str, List[str]]] = {}
+        self.owners: Dict[str, str] = {}            # table → owning user
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -260,6 +265,10 @@ class Database:
         self.comments = dict(man.get("comments", {}))
         self.sqlfuncs = {n: dict(f)
                          for n, f in man.get("sqlfuncs", {}).items()}
+        self.roles = {n: list(m) for n, m in man.get("roles", {}).items()}
+        self.grants = {g: {t: list(p) for t, p in d.items()}
+                       for g, d in man.get("grants", {}).items()}
+        self.owners = dict(man.get("owners", {}))
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -315,6 +324,31 @@ class Database:
                 self.procedures[meta["name"]] = meta["proc"]
             elif meta["op"] == "drop_proc":
                 self.procedures.pop(meta["name"], None)
+            elif meta["op"] == "put_role":
+                self.roles.setdefault(meta["name"], [])
+            elif meta["op"] == "drop_role":
+                self.roles.pop(meta["name"], None)
+            elif meta["op"] == "put_member":
+                self.roles.setdefault(meta["role"], [])
+                if meta["user"] not in self.roles[meta["role"]]:
+                    self.roles[meta["role"]].append(meta["user"])
+            elif meta["op"] == "drop_member":
+                if meta["user"] in self.roles.get(meta["role"], []):
+                    self.roles[meta["role"]].remove(meta["user"])
+            elif meta["op"] == "put_grant":
+                d = self.grants.setdefault(meta["grantee"], {})
+                ps = d.setdefault(meta["table"], [])
+                for p in meta["privs"]:
+                    if p not in ps:
+                        ps.append(p)
+            elif meta["op"] == "drop_grant":
+                d = self.grants.get(meta["grantee"], {})
+                ps = d.get(meta["table"], [])
+                for p in meta["privs"]:
+                    if p in ps:
+                        ps.remove(p)
+            elif meta["op"] == "put_owner":
+                self.owners[meta["table"]] = meta["user"]
             elif meta["op"] == "put_sqlfunc":
                 self.sqlfuncs[meta["name"]] = meta["func"]
             elif meta["op"] == "drop_sqlfunc":
@@ -353,7 +387,11 @@ class Database:
                "triggers": {n: dict(t) for n, t in self.triggers.items()},
                "procs": {n: dict(p) for n, p in self.procedures.items()},
                "comments": dict(self.comments),
-               "sqlfuncs": {n: dict(f) for n, f in self.sqlfuncs.items()}}
+               "sqlfuncs": {n: dict(f) for n, f in self.sqlfuncs.items()},
+               "roles": {n: list(m) for n, m in self.roles.items()},
+               "grants": {g: {t: list(p) for t, p in d.items()}
+                          for g, d in self.grants.items()},
+               "owners": dict(self.owners)}
         for tname, td in self.tables.items():
             fors = {}
             for c in td.order:
@@ -748,6 +786,81 @@ class Database:
         del self.udfs[name]
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "drop_udf", "name": name})
+
+    # -- roles & privileges (sql_user.c / sql_privileges.c) ----------------
+    ADMIN = "monetdb"      # the reference's default administrator account
+
+    def create_role(self, name: str) -> None:
+        name = name.lower()
+        if name in self.roles:
+            raise ValueError(f"role {name} exists")
+        self.roles[name] = []
+        self._log(REC_DDL, {"op": "put_role", "name": name})
+
+    def drop_role(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.roles:
+            raise ValueError(f"unknown role {name}")
+        del self.roles[name]
+        self._log(REC_DDL, {"op": "drop_role", "name": name})
+
+    def grant_role(self, role: str, user: str) -> None:
+        role, user = role.lower(), user.lower()
+        if role not in self.roles:
+            raise ValueError(f"unknown role {role}")
+        if user not in self.roles[role]:
+            self.roles[role].append(user)
+        self._log(REC_DDL, {"op": "put_member", "role": role, "user": user})
+
+    def revoke_role(self, role: str, user: str) -> None:
+        role, user = role.lower(), user.lower()
+        if user in self.roles.get(role, []):
+            self.roles[role].remove(user)
+        self._log(REC_DDL, {"op": "drop_member", "role": role,
+                            "user": user})
+
+    def grant(self, privs: List[str], table: str, grantee: str) -> None:
+        table, grantee = table.lower(), grantee.lower()
+        d = self.grants.setdefault(grantee, {})
+        ps = d.setdefault(table, [])
+        for p in privs:
+            if p not in ps:
+                ps.append(p)
+        self._log(REC_DDL, {"op": "put_grant", "grantee": grantee,
+                            "table": table, "privs": list(privs)})
+
+    def revoke(self, privs: List[str], table: str, grantee: str) -> None:
+        table, grantee = table.lower(), grantee.lower()
+        ps = self.grants.get(grantee, {}).get(table, [])
+        for p in privs:
+            if p in ps:
+                ps.remove(p)
+        self._log(REC_DDL, {"op": "drop_grant", "grantee": grantee,
+                            "table": table, "privs": list(privs)})
+
+    def set_owner(self, table: str, user: str) -> None:
+        self.owners[table.lower()] = user.lower()
+        self._log(REC_DDL, {"op": "put_owner", "table": table.lower(),
+                            "user": user.lower()})
+
+    def effective_privs(self, user: str, table: str,
+                        active_role: Optional[str] = None) -> set:
+        """Union of the user's direct grants, grants to roles the user is
+        a member of (MonetDB requires SET ROLE; we honor both the active
+        role and memberships), and PUBLIC grants."""
+        user, table = user.lower(), table.lower()
+        out = set(self.grants.get(user, {}).get(table, []))
+        out |= set(self.grants.get("public", {}).get(table, []))
+        for role, members in self.roles.items():
+            if user in members or role == active_role:
+                out |= set(self.grants.get(role, {}).get(table, []))
+        if active_role:
+            out |= set(self.grants.get(active_role, {}).get(table, []))
+        return out
+
+    def is_admin(self, user: Optional[str]) -> bool:
+        return user is None or user.lower() in (self.ADMIN, "monetdbe",
+                                                "admin")
 
     def create_sqlfunc(self, name: str, params, ret, body: str) -> None:
         name = name.lower()

@@ -11,6 +11,7 @@ from monetdb_tpu.storage import Database
 def test_auth_required():
     db = Database()
     db.create_user("alice", "secret")
+    db.grant(["select", "insert"], "t", "alice")
     Session(db).sql("create table t (a int)")
     Session(db).sql("insert into t values (1)")
     srv = Server(db).start()
@@ -58,6 +59,7 @@ def test_dbapi_embedded():
 def test_dbapi_network():
     db = Database()
     db.create_user("alice", "secret")
+    db.grant(["select", "insert"], "t", "alice")
     srv = Server(db).start()
     try:
         h, p = srv.address
