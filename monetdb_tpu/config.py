@@ -37,6 +37,12 @@ _defaults: Dict[str, Any] = {
     "radix_bits": 8,
     # observability
     "trace": False,
+    # dataflow scheduler (mal_dataflow.c DFLOWworker pool analog):
+    # worker threads for independent plan subtrees; 0/1 = sequential
+    "dataflow_workers": 4,
+    # admission-control memory pool in bytes (mal_resource.c memorypool);
+    # tasks whose estimated footprint exceeds the free pool are delayed
+    "mem_maxsize": 4 << 30,
 }
 
 _values: Dict[str, Any] = {}

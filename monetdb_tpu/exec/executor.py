@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..column import Cand, Column, StrDict, capacity_for, valid_mask
 from ..dtypes import (BOOL, DATE, F64, I8, I32, I64, OID, Kind, SQLType,
                       decimal as dec_t)
@@ -510,8 +511,7 @@ class Executor:
         UNION/EXCEPT/INTERSECT deduplicate and treat NULLs as equal
         (the reference lowers these to BATunique + BATdiff/BATintersect,
         gdk/gdk_unique.c, gdk_join.c:4378/4395)."""
-        lf = self.exec_rel(r.left)
-        rf = self.exec_rel(r.right)
+        lf, rf = self._exec_children_parallel([r.left, r.right])
         lcols = list(lf.cols.items())
         rcols = list(rf.cols.items())
         if len(lcols) != len(rcols):
@@ -704,13 +704,45 @@ class Executor:
                 best, best_score = i, score
         return best
 
+    def _estimate_bytes(self, rel: L.Rel) -> int:
+        """Footprint estimate for admission (mal_resource.c claims are
+        argument-size based the same way): sum of base scans under rel."""
+        if isinstance(rel, L.Scan):
+            try:
+                t = self.catalog.get(rel.table)
+            except Exception:
+                return 1 << 20
+            wanted = self.refs.get(rel.alias) or set()
+            ncols = max(len(wanted), 1)
+            return t.count * 8 * ncols
+        return sum(self._estimate_bytes(c) for c in rel.children()) \
+            or (1 << 20)
+
+    def _exec_children_parallel(self, rels):
+        """Execute independent subtrees on the dataflow pool (DFLOWworker
+        analog). Sequential when: disabled, profiling (event buffer is
+        per-query ordered), or already inside a dataflow worker (avoids
+        nested-pool deadlock — the reference's workers also run nested
+        dataflow blocks inline, mal_dataflow.c:460)."""
+        import threading as _t
+        from ..obs import PROFILER
+        from . import dataflow
+        if int(config.get("dataflow_workers")) <= 1 or PROFILER.enabled \
+                or _t.current_thread().name.startswith("dflow") \
+                or len(rels) < 2:
+            return [self.exec_rel(r) for r in rels]
+        from ..obs import set_algorithm
+        set_algorithm(f"dataflow:parallel{len(rels)}")
+        return dataflow.run_parallel(
+            [lambda r=r: self.exec_rel(r) for r in rels],
+            [self._estimate_bytes(r) for r in rels])
+
     def _exec_join(self, j: L.Join) -> Frame:
         if j.kind == "right":
             # RIGHT JOIN = LEFT JOIN with sides swapped (key sides resolve
             # dynamically in _key_cols; the reference swaps in rel_select.c)
             j = L.Join(j.right, j.left, "left", on=j.on, extra=j.extra)
-        lf = self.exec_rel(j.left)
-        rf = self.exec_rel(j.right)
+        lf, rf = self._exec_children_parallel([j.left, j.right])
         kind = j.kind
 
         if kind == "cross" or not j.on:
