@@ -458,7 +458,31 @@ class Executor:
         return fr.gather(oids, n)
 
     def _exec_limit(self, r: L.Limit) -> Frame:
-        fr = self.exec_rel(r.child)
+        # ORDER BY + LIMIT fusion → BATfirstn (gdk/gdk_firstn.c; the
+        # reference's topn pushdown creates the same shape)
+        if isinstance(r.child, L.OrderBy) and r.n is not None:
+            ob = r.child
+            fr = self.exec_rel(ob.child)
+            cols, desc, nl = [], [], []
+            for e, d, n_l in ob.keys:
+                v = self.eval(e, fr)
+                if isinstance(v, Scalar):
+                    continue
+                cols.append(v)
+                desc.append(d)
+                nl.append(n_l)
+            if cols:
+                lo = r.offset or 0
+                oids, n = SRT.firstn(cols, lo + r.n, desc, nl)
+                out = fr.gather(oids, n)
+                if lo:
+                    c = S.materialize(Cand.dense(out.count, lo, out.count),
+                                      out.cap)
+                    out = out.gather(c.oids, c.oid_count)
+                return out
+            fr = fr  # all-scalar keys: fall through to plain limit
+        else:
+            fr = self.exec_rel(r.child)
         lo = r.offset or 0
         hi = fr.count if r.n is None else min(fr.count, lo + r.n)
         c = S.materialize(Cand.dense(fr.count, lo, hi), fr.cap)

@@ -106,13 +106,43 @@ def sorted_columns(order: Tuple[jax.Array, int],
     return [project_oids(oids, n, c) for c in cols]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_single(key, count, *, k: int):
+    """Smallest-k row ids by a single monotone key: lax.top_k of the
+    complement (O(n log k), the MXU/VPU-friendly BATfirstn form)."""
+    cap = key.shape[0]
+    live = valid_mask(cap, count)
+    inv = jnp.where(live, ~key, _I64_MIN)      # dead rows lose
+    _vals, idx = jax.lax.top_k(inv, k)
+    n = jnp.minimum(jnp.int64(k), jnp.sum(live.astype(jnp.int64)))
+    io = jax.lax.iota(jnp.int64, k)
+    return jnp.where(io < n, idx.astype(jnp.int64), -1), n
+
+
 def firstn(cols: Sequence[Column], n: int, descending=None, nils_last=None,
            cand: Optional[Cand] = None) -> Tuple[jax.Array, int]:
     """BATfirstn (gdk/gdk_firstn.c:1280): top-n row ids under the ordering.
 
-    Round-1 strategy: full device sort then prefix (the reference's heap
-    strategy matters on CPU; on TPU lax.sort at HBM bandwidth is usually
-    faster than a data-dependent heap; lax.top_k fast path for 1 key)."""
+    Single-key: lax.top_k over the monotone key transform (O(n log k)).
+    Multi-key / candidate-filtered: full device sort then prefix (lax.sort
+    at HBM bandwidth replaces the reference's heap strategies)."""
+    k = len(cols)
+    descending = descending or [False] * k
+    nils_last = nils_last or [None] * k
+    if k == 1 and cand is None and n > 0 and n <= cols[0].cap:
+        from ..obs import set_algorithm
+        set_algorithm("firstn:topk")
+        key = sort_key(cols[0].data, descending[0], nils_last[0])
+        out_cap = capacity_for(n)
+        kk = min(max(out_cap, n), cols[0].cap)
+        oids, nn = _topk_single(key, jnp.int64(cols[0].count), k=kk)
+        n = min(n, int(nn))
+        out_cap = capacity_for(n)
+        sl = oids[:out_cap]
+        sl = jnp.where(valid_mask(out_cap, n), sl, -1)
+        return sl, n
+    from ..obs import set_algorithm
+    set_algorithm("firstn:sort")
     oids, total = argsort(cols, descending, nils_last, cand)
     n = min(n, total)
     out_cap = capacity_for(n)
