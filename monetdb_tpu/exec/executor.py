@@ -1287,6 +1287,36 @@ class Executor:
             a = self.eval(e.args[0], fr)
             b = self.eval(e.args[1], fr)
             return self._concat(a, b)
+        if e.name == "uuid" and not e.args:
+            # uuid() generates a fresh value per row (atoms/uuid.c)
+            from ..ops import atoms as AT
+            from ..storage.columns import column_from_pyvalues
+            from ..dtypes import varchar as _vc
+            vals = [AT.new_uuid() for _ in range(fr.count)]
+            return column_from_pyvalues(vals, _vc())
+        if e.name == "isauuid":
+            from ..ops import atoms as AT
+            col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
+            return AT.isa_uuid(col)
+        if e.name.startswith("get") and e.name[3:] in (
+                "protocol", "host", "domain", "file", "basename", "anchor",
+                "query", "user", "port", "context"):
+            from ..ops import atoms as AT
+            col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
+            return AT.url_get(col, e.name[3:])
+        if e.name in ("inet_contains", "inet_contained_or_equal"):
+            from ..ops import atoms as AT
+            col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                col = self._broadcast(col, fr)
+            net = str(self.eval(e.args[1], fr).value)
+            cand = AT.inet_contains(col, net,
+                                    equal_ok=e.name.endswith("equal"))
+            return Column(BOOL, cand.as_mask(fr.cap), fr.count, nonil=True)
         if e.name in ("startswith", "endswith", "contains"):
             col = self.eval(e.args[0], fr)
             v = str(self.eval(e.args[1], fr).value)

@@ -1211,8 +1211,15 @@ class Binder:
                             "reverse", "splitpart", "insert",
                             "regexp_replace", "md5"):
                 e.typ = varchar()
-            elif e.name in ("startswith", "endswith", "contains"):
+            elif e.name in ("startswith", "endswith", "contains",
+                            "isauuid", "inet_contains",
+                            "inet_contained_or_equal"):
                 e.typ = BOOL
+            elif e.name == "uuid" or (e.name.startswith("get") and
+                                      e.name[3:] in (
+                    "protocol", "host", "domain", "file", "basename",
+                    "anchor", "query", "user", "port", "context")):
+                e.typ = varchar()
             elif e.name in ("length", "char_length", "character_length",
                             "locate", "position", "ascii"):
                 e.typ = I32

@@ -208,6 +208,18 @@ _RELATIONS = {
     "sys.queue": (
         [("tag", I64), ("query", _VC), ("started", I64), ("usec", I64),
          ("status", _VC)], lambda cat=None: QUEUE.rows()),
+    # query history (monetdb5/modules/mal/querylog.c;
+    # sql/scripts/15_querylog.sql querylog_catalog/querylog_calls)
+    "sys.querylog_calls": (
+        [("tag", I64), ("query", _VC), ("started", I64), ("stopped", I64),
+         ("run_usec", I64), ("status", _VC)],
+        lambda cat=None: [(tag, sql, int(t0), int(t1),
+                           int((t1 - t0) * 1e6), status)
+                          for tag, sql, t0, t1, status in QUEUE.finished]),
+    "sys.querylog_catalog": (
+        [("tag", I64), ("query", _VC)],
+        lambda cat=None: sorted({(tag, sql) for tag, sql, _t0, _t1, _s
+                                 in QUEUE.finished})),
 }
 _RELATIONS["sys.environment"] = _RELATIONS["sys.env"]
 # information_schema facade (sql/scripts/91_information_schema.sql)
