@@ -145,6 +145,27 @@ def _to_f64_col(col: Column) -> Column:
     return C.convert(col, F64)
 
 
+def _parse_str_cast(x: str, to):
+    """Parse one string into the logical value of the target type
+    (gdk_calc_convert.c convert_str_any / per-atom fromstr)."""
+    import datetime
+    from decimal import Decimal as PyDecimal
+    x = x.strip()
+    if to.kind == Kind.DECIMAL:
+        return PyDecimal(x)
+    if to.kind == Kind.BOOL:
+        return x.lower() in ("true", "t", "1", "yes")
+    if to.kind == Kind.DATE:
+        return datetime.date.fromisoformat(x)
+    if to.kind == Kind.TIMESTAMP:
+        return datetime.datetime.fromisoformat(x)
+    if to.kind == Kind.TIME:
+        return datetime.time.fromisoformat(x)
+    if to.np_dtype.kind == "f":
+        return float(x)
+    return int(x)
+
+
 def _to_f64_scalar(s: Scalar) -> float:
     if s.value is None:
         return float("nan")
@@ -1247,6 +1268,13 @@ class Executor:
             col = self.eval(e.args[0], fr)
             start = self.eval(e.args[1], fr).value
             length = self.eval(e.args[2], fr).value if len(e.args) > 2 else None
+            if isinstance(col, Scalar):
+                if col.value is None:
+                    return col
+                s = str(col.value)[max(int(start) - 1, 0):]
+                if length is not None:
+                    s = s[:max(int(length), 0)]
+                return Scalar(s, col.typ)
             return SF.substring(col, int(start), length)
         if e.name in ("neg", "abs"):
             v = self.eval(e.args[0], fr)
@@ -1259,12 +1287,24 @@ class Executor:
         if e.name in ("upper", "ucase", "lower", "lcase", "trim", "ltrim",
                       "rtrim"):
             col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                if col.value is None:
+                    return col
+                pf = {"upper": str.upper, "ucase": str.upper,
+                      "lower": str.lower, "lcase": str.lower,
+                      "trim": str.strip, "ltrim": str.lstrip,
+                      "rtrim": str.rstrip}[e.name]
+                return Scalar(pf(str(col.value)), col.typ)
             fn = {"upper": SF.upper, "ucase": SF.upper, "lower": SF.lower,
                   "lcase": SF.lower, "trim": SF.trim, "ltrim": SF.ltrim,
                   "rtrim": SF.rtrim}[e.name]
             return fn(col)
         if e.name in ("length", "char_length", "character_length"):
-            return SF.length(self.eval(e.args[0], fr))
+            col = self.eval(e.args[0], fr)
+            if isinstance(col, Scalar):
+                return Scalar(None if col.value is None
+                              else len(str(col.value)), I32)
+            return SF.length(col)
         if e.name == "replace":
             col = self.eval(e.args[0], fr)
             old = self.eval(e.args[1], fr).value
@@ -1423,7 +1463,32 @@ class Executor:
     def _eval_cast(self, e: Cast, fr: Frame):
         v = self.eval(e.arg, fr)
         to = e.to
+        if isinstance(v, Column) and to.kind == Kind.STR \
+                and v.typ.kind != Kind.STR:
+            # value→string cast: host-side format, re-encode as dictionary
+            # column (gdk_calc_convert.c convert_any_str analog)
+            from ..engine import _decode_column
+            vals = [None if x is None else str(x)
+                    for x in _decode_column(v)]
+            from ..storage.columns import column_from_pyvalues
+            return column_from_pyvalues(vals, to)
+        if isinstance(v, Column) and v.typ.kind == Kind.STR \
+                and to.kind != Kind.STR:
+            # string→value cast: parse each *distinct* value on host,
+            # apply by gather (convert_str_any analog)
+            from ..engine import _decode_column
+            from ..storage.columns import column_from_pyvalues
+            vals = [None if x is None else _parse_str_cast(x, to)
+                    for x in _decode_column(v)]
+            return column_from_pyvalues(vals, to)
         if isinstance(v, Scalar):
+            if to.kind == Kind.STR:
+                return Scalar(None if v.value is None else str(v.value), to)
+            if v.typ.kind == Kind.STR and v.value is not None:
+                val = _parse_str_cast(str(v.value), to)
+                if to.kind == Kind.DECIMAL:
+                    val = int(val.scaleb(to.scale).to_integral_value())
+                return Scalar(val, to)
             k = (to.scale if to.kind == Kind.DECIMAL else 0) - v.scale
             if v.value is None:
                 return Scalar(None, to)

@@ -280,13 +280,16 @@ class Parser:
             op = self.next().value
             if op == "union" and self.eat_kw("all"):
                 op = "union_all"
-            rhs = self.parse_select_core()
+            # the rhs operand must not swallow a trailing ORDER BY/LIMIT —
+            # those apply to the whole set expression (sql_parser.y gives
+            # order/limit to the top-level select_statement only)
+            rhs = self.parse_select_core(allow_order=False)
             stmt.setops.append((op, rhs))
         # trailing ORDER BY / LIMIT apply to the whole set expression
         self._parse_order_limit(stmt)
         return stmt
 
-    def parse_select_core(self) -> SelectStmt:
+    def parse_select_core(self, allow_order: bool = True) -> SelectStmt:
         if self.eat_punct("("):
             s = self.parse_select()
             self.expect_punct(")")
@@ -368,7 +371,8 @@ class Parser:
                         break
         if self.eat_kw("having"):
             stmt.having = self.parse_expr()
-        self._parse_order_limit(stmt)
+        if allow_order:
+            self._parse_order_limit(stmt)
         return stmt
 
     def _parse_order_limit(self, stmt: SelectStmt):
@@ -798,6 +802,10 @@ class Parser:
             return self.parse_window(name, arg, extra)
         if name in ("now", "current_timestamp") and not args:
             return Const(datetime.datetime.now(), TIMESTAMP)
+        # alias normalization (the reference maps these in sql_types.c
+        # function registration: substr==substring etc.)
+        name = {"substr": "substring", "character_length": "length",
+                "char_length": "length"}.get(name, name)
         return Func(name, args)
 
     def parse_window(self, func: str, arg, extra=None) -> Expr:
