@@ -1567,6 +1567,11 @@ class Executor:
             vals = [self._coerce_val(v, out_typ) for v in vals]
             default = self._coerce_val(default, out_typ)
         result = default
+        # a NULL scalar branch injects nil sentinels: the folded column
+        # must not claim nonil (downstream aggregates rely on the flag to
+        # skip sentinel values, BATgroupsum skip_nils)
+        any_null = any(isinstance(v, Scalar) and v.value is None
+                       for v in list(vals) + [default])
         for cnd, v in zip(reversed(conds), reversed(vals)):
             cm = Column(BOOL, cnd.as_mask(fr.cap), fr.count, nonil=True)
             av = v if isinstance(v, Column) else (
@@ -1576,6 +1581,9 @@ class Executor:
             result = C.ifthenelse(cm, av, bv, out_typ)
             if sd is not None:
                 result.sdict = sd
+        if isinstance(result, Column) and any_null:
+            result = Column(result.typ, result.data, result.count,
+                            nonil=False, sdict=result.sdict)
         return result
 
     def _eval_case(self, e: Case, fr: Frame):

@@ -913,6 +913,20 @@ class Binder:
         elif isinstance(e, Subquery):
             if e.outer is not None:
                 c.outer = new_children[0]
+        elif isinstance(e, WinRef):
+            # window over a grouped query: children (arg / partition keys /
+            # order keys) are lifted into the grouped output, the window
+            # itself then runs over the aggregate rows (sql_rank.c lowers
+            # rank-over-aggregate the same way: the window's inputs are
+            # the projected aggregate columns)
+            i = 0
+            if e.arg is not None:
+                c.arg = new_children[0]
+                i = 1
+            np_ = len(e.partition)
+            c.partition = list(new_children[i:i + np_])
+            c.order = [(nc, d) for nc, (_o, d) in
+                       zip(new_children[i + np_:], e.order)]
         else:
             raise BindError(f"cannot clone {type(e).__name__}")
         return c
