@@ -40,9 +40,30 @@ class Session:
         self.vars: Dict[str, object] = {}
         # re-entrancy guard for trigger cascades
         self._firing: set = set()
+        # open snapshot-isolation transaction (sql_trans; one per session,
+        # sql_mvc.c mvc->session->tr). None = autocommit.
+        self.txn = None
+
+    def _store(self):
+        """DML/DDL target: the session transaction when one is open,
+        else the shared autocommit store."""
+        return self.txn if self.txn is not None else self.db
+
+    def _td(self, name: str):
+        """Transaction-visible TableData (the snapshot's version when a
+        transaction is open)."""
+        n = name.lower()
+        if self.txn is not None:
+            return self.txn.tabledata(n)
+        return self.db.tables[n]
+
+    def close(self) -> None:
+        if self.txn is not None:
+            self.txn.rollback()
+            self.txn = None
 
     def _catalog(self):
-        cat = self.db.catalog()
+        cat = self.db.catalog(txn=self.txn)
         cat.vars = self.vars
         if not self.db.is_admin(self.user):
             cat.access = (self.user, self.role, self.db)
@@ -99,7 +120,7 @@ class Session:
         if isinstance(stmt, A.SelectStmt):
             return self._cached_query(text)
         if isinstance(stmt, A.CreateTable):
-            self.db.create_table(
+            self._store().create_table(
                 stmt.name, [(c, t) for c, t, _f in stmt.columns],
                 {c: f for c, _t, f in stmt.columns if isinstance(f, dict)})
             if self.user is not None:
@@ -119,7 +140,7 @@ class Session:
                     or n in self.db.replicas:
                 self.db.drop_dist_def(n)
             else:
-                self.db.drop_table(stmt.name)
+                self._store().drop_table(stmt.name)
             return None
         if isinstance(stmt, A.CreateView):
             # validate the view body binds against the current catalog
@@ -153,7 +174,20 @@ class Session:
             self.db.drop_function(stmt.name)
             return None
         if isinstance(stmt, A.TxnStmt):
-            getattr(self.db, stmt.kind)()
+            if stmt.kind == "begin":
+                if self.txn is not None:
+                    raise RuntimeError("nested transactions unsupported")
+                self.txn = self.db.begin_txn()
+            elif stmt.kind == "commit":
+                if self.txn is None:
+                    raise RuntimeError("no transaction")
+                t, self.txn = self.txn, None
+                t.commit()
+            else:
+                if self.txn is None:
+                    raise RuntimeError("no transaction")
+                t, self.txn = self.txn, None
+                t.rollback()
             return None
         if isinstance(stmt, A.InsertValues):
             return self._insert_values(stmt)
@@ -183,18 +217,18 @@ class Session:
                  else str(fill))
             if pf is not None and isinstance(pf, np.generic):
                 pf = pf.item()
-            self.db.alter_add_column(stmt.table, stmt.column, stmt.ctype,
+            self._store().alter_add_column(stmt.table, stmt.column, stmt.ctype,
                                      flags, pf)
             return None
         if isinstance(stmt, A.AlterDropColumn):
-            self.db.alter_drop_column(stmt.table, stmt.column)
+            self._store().alter_drop_column(stmt.table, stmt.column)
             return None
         if isinstance(stmt, A.AlterRenameColumn):
-            self.db.alter_rename_column(stmt.table, stmt.column,
+            self._store().alter_rename_column(stmt.table, stmt.column,
                                         stmt.new_name)
             return None
         if isinstance(stmt, A.AlterRenameTable):
-            self.db.alter_rename_table(stmt.table, stmt.new_name)
+            self._store().alter_rename_table(stmt.table, stmt.new_name)
             return None
         if isinstance(stmt, A.CreateTrigger):
             if stmt.table.lower() not in self.db.tables:
@@ -320,8 +354,14 @@ class Session:
 
     def _cached_query(self, text: str) -> Result:
         key = " ".join(text.split())
-        hit = self._plan_cache.get(key)
         eng = Engine(self._catalog())
+        if self.txn is not None:
+            # inside a transaction the visible schema may differ from the
+            # committed one (transactional CREATE/DROP) — bypass the cache
+            # (the reference invalidates qc entries on trans schema changes)
+            rel, out_cols = bind_select(eng.catalog, text)
+            return eng.execute_plan(rel, out_cols)
+        hit = self._plan_cache.get(key)
         if hit is not None and hit[0] == self.db.schema_epoch:
             return eng.execute_plan(hit[1], hit[2])
         rel, out_cols = bind_select(eng.catalog, text)
@@ -364,9 +404,11 @@ class Session:
     # -- distribution DDL (merge/remote/replica; rel_schema.c analog) ------
     def _schema_of(self, name: str):
         n = name.lower()
-        if n in self.db.tables:
-            td = self.db.tables[n]
+        try:
+            td = self._td(n)
             return [(c, td.types[c]) for c in td.order]
+        except KeyError:
+            pass
         for dd in (self.db.merges, self.db.remotes, self.db.replicas):
             if n in dd:
                 return dd[n].schema
@@ -502,7 +544,7 @@ class Session:
                     f"insert into {rdef.rtable}{collist} values {vals}")
             finally:
                 cl.close()
-        td = self.db.tables[n]
+        td = self._td(n)
         arity = self._row_arity(rows)
         if cols is not None:
             names = cols
@@ -543,7 +585,7 @@ class Session:
                 arrays[c] = vals.astype(td.types[c].np_dtype)
             else:
                 arrays[c] = to_physical_np([None] * len(rows), td.types[c])
-        out = self.db.insert(n, arrays)
+        out = self._store().insert(n, arrays)
         self._fire_triggers(n, "insert", "after")
         return out
 
@@ -568,14 +610,14 @@ class Session:
         oids = np.array([r[0] for r in res.rows], np.int64)
         if not len(oids):
             return 0
-        out = self.db.delete(stmt.table, oids)
+        out = self._store().delete(stmt.table, oids)
         self._fire_triggers(stmt.table, "delete", "after")
         return out
 
     def _update(self, stmt: A.Update) -> int:
         self._check_priv(stmt.table, "update")
         self._fire_triggers(stmt.table, "update", "before")
-        td = self.db.tables[stmt.table.lower()]
+        td = self._td(stmt.table)
         extra = [(f"_set{i}", e) for i, (_c, e) in enumerate(stmt.sets)]
         res = self._select_oids(stmt.table, stmt.where, extra)
         if not res.rows:
@@ -584,14 +626,14 @@ class Session:
         for i, (c, _e) in enumerate(stmt.sets):
             vals = to_physical_np([r[i + 1] for r in res.rows],
                                   td.types[c.lower()])
-            self.db.update(stmt.table, c, oids, vals)
+            self._store().update(stmt.table, c, oids, vals)
         self._fire_triggers(stmt.table, "update", "after")
         return len(oids)
 
     # -- COPY INTO (tablet.c analog: native parallel parser with Python
     # fallback) ----------------------------------------------------------------
     def _copy(self, stmt: A.CopyFrom) -> int:
-        td = self.db.tables[stmt.table.lower()]
+        td = self._td(stmt.table)
         from .storage import csv_native
         native_ok = all(td.types[c].kind in (Kind.INT, Kind.DECIMAL,
                                              Kind.DATE, Kind.STR)
@@ -606,11 +648,11 @@ class Session:
             n = len(next(iter(arrays.values()))) if arrays else 0
             if n == 0:
                 return 0
-            return self.db.insert(stmt.table, arrays)
+            return self._store().insert(stmt.table, arrays)
         return self._copy_python(stmt)
 
     def _copy_python(self, stmt: A.CopyFrom) -> int:
-        td = self.db.tables[stmt.table.lower()]
+        td = self._td(stmt.table)
         cols: List[List] = [[] for _ in td.order]
         limit = stmt.records
         with open(stmt.path, newline="") as f:
@@ -628,7 +670,7 @@ class Session:
         n = len(cols[0]) if cols else 0
         if n == 0:
             return 0
-        return self.db.insert(stmt.table, arrays)
+        return self._store().insert(stmt.table, arrays)
 
     def _copy_into(self, stmt: A.CopyInto) -> int:
         """COPY ... INTO 'file': export result rows as delimited text in
@@ -648,7 +690,7 @@ class Session:
         """COPY BINARY INTO t FROM (files...): one file per column in
         declared order; .npy arrays or raw little-endian fixed-width
         (strings: one value per line, text)."""
-        td = self.db.tables[stmt.table.lower()]
+        td = self._td(stmt.table)
         if len(stmt.paths) != len(td.order):
             raise BindError(
                 f"expected {len(td.order)} files, got {len(stmt.paths)}")
@@ -675,7 +717,7 @@ class Session:
             arrays[c] = arr
         if not n:
             return 0
-        return self.db.insert(stmt.table, arrays)
+        return self._store().insert(stmt.table, arrays)
 
     @staticmethod
     def _parse_field(v: str, t: SQLType):

@@ -33,7 +33,24 @@ from .wal import (REC_COMMIT, REC_CREATE, REC_CREATE_VIEW, REC_DDL,
                   REC_DELETE, REC_DROP, REC_DROP_VIEW, REC_INSERT,
                   REC_UPDATE, Wal)
 
-__all__ = ["Database", "TableData"]
+__all__ = ["Database", "TableData", "Transaction", "ConcurrencyConflict"]
+
+
+class ConcurrencyConflict(Exception):
+    """First-committer-wins validation failure (the reference aborts the
+    later transaction: sql_trans_commit validation, store.c:3980)."""
+
+
+import itertools as _itertools
+
+_VERSION_COUNTER = _itertools.count(1)
+
+
+def _next_version() -> int:
+    """Globally unique, monotone TableData version stamp. COW copies that
+    diverge from a common ancestor get distinct stamps, so device-cache
+    keys (name, version) never collide across transactions."""
+    return next(_VERSION_COUNTER)
 
 
 class TableData:
@@ -63,7 +80,7 @@ class TableData:
             else:
                 self.cols[c] = np.empty(0, t.np_dtype)
         self.deleted = np.empty(0, np.bool_)
-        self.version = 0
+        self.version = _next_version()
 
     @property
     def count(self) -> int:
@@ -115,7 +132,7 @@ class TableData:
                 self.cols[c] = np.concatenate(
                     [self.cols[c], a.astype(t.np_dtype, copy=False)])
         self.deleted = np.concatenate([self.deleted, np.zeros(n, np.bool_)])
-        self.version += 1
+        self.version = _next_version()
 
     _NIL_CODE = np.int32(np.iinfo(np.int32).min)
 
@@ -144,7 +161,7 @@ class TableData:
 
     def delete_oids(self, oids: np.ndarray) -> None:
         self.deleted[oids] = True
-        self.version += 1
+        self.version = _next_version()
 
     def update_col(self, c: str, oids: np.ndarray, vals: np.ndarray) -> None:
         t = self.types[c]
@@ -166,7 +183,7 @@ class TableData:
             self.cols[c][oids] = codes
         else:
             self.cols[c][oids] = vals.astype(t.np_dtype, copy=False)
-        self.version += 1
+        self.version = _next_version()
 
 
 class Database:
@@ -208,8 +225,14 @@ class Database:
         # store_lock, sql/storage/store.c)
         self._mu = threading.RLock()
         self._device: Dict[str, Tuple[int, Table, np.ndarray]] = {}
-        self._txn_undo: Optional[Dict[str, TableData]] = None
-        self._txn_recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
+        # open snapshot count: while > 0, autocommit writes go copy-on-
+        # write so pinned snapshots stay immutable (the reference keeps
+        # old object versions alive while any transaction can see them,
+        # objectset.c versioned objects)
+        self._snapshot_pins = 0
+        # database-level default transaction (legacy begin()/commit()
+        # facade used by the embedded API; sessions hold their own)
+        self._txn: Optional["Transaction"] = None
         self._next_txn = 1
         self.wal: Optional[Wal] = None
         if path is not None:
@@ -453,40 +476,39 @@ class Database:
     # ======================================================================
     # transactions (sql_trans_create/commit/rollback, store.c:3889+)
     # ======================================================================
-    def begin(self) -> None:
-        if self._txn_undo is not None:
-            raise RuntimeError("nested transactions unsupported")
-        self._txn_undo = {}
-        self._txn_recs = []
+    def begin_txn(self) -> "Transaction":
+        """Open a snapshot-isolation transaction (sql_trans_create,
+        store.c:3889). Concurrent sessions each hold their own; commit
+        validates first-committer-wins (store.c:3980)."""
+        return Transaction(self)
 
-    def _undo_save(self, tname: str) -> None:
-        if self._txn_undo is not None and tname not in self._txn_undo:
-            self._txn_undo[tname] = self.tables[tname].copy() \
-                if tname in self.tables else None
+    # legacy single-txn facade (embedded API / monetdbe.h semantics)
+    def begin(self) -> None:
+        if self._txn is not None:
+            raise RuntimeError("nested transactions unsupported")
+        self._txn = Transaction(self)
 
     def commit(self) -> None:
-        if self._txn_undo is None:
+        if self._txn is None:
             raise RuntimeError("no transaction")
-        txn = self._next_txn
-        self._next_txn += 1
-        if self.wal is not None:
-            for rtype, meta, arrays in self._txn_recs:
-                self.wal.append(rtype, txn, meta, arrays, flush=False)
-            self.wal.commit(txn)
-        self._txn_undo = None
-        self._txn_recs = []
+        t, self._txn = self._txn, None
+        t.commit()
 
     def rollback(self) -> None:
-        if self._txn_undo is None:
+        if self._txn is None:
             raise RuntimeError("no transaction")
-        for tname, saved in self._txn_undo.items():
-            if saved is None:
-                self.tables.pop(tname, None)
-            else:
-                self.tables[tname] = saved
-            self._device.pop(tname, None)
-        self._txn_undo = None
-        self._txn_recs = []
+        t, self._txn = self._txn, None
+        t.rollback()
+
+    def _mutable_td(self, name: str) -> TableData:
+        """Autocommit write target: in-place when nothing pins a snapshot,
+        copy-on-write otherwise so open transactions keep reading their
+        begin-time state."""
+        td = self.tables[name]
+        if self._snapshot_pins > 0:
+            td = td.copy()
+            self.tables[name] = td
+        return td
 
     @staticmethod
     def _wal_encode(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -521,9 +543,7 @@ class Database:
     def _log(self, rtype: int, meta: dict,
              arrays: Optional[Dict[str, np.ndarray]] = None) -> None:
         arrays = self._wal_encode(arrays or {})
-        if self._txn_undo is not None:
-            self._txn_recs.append((rtype, meta, arrays))
-        elif self.wal is not None:
+        if self.wal is not None:
             txn = self._next_txn
             self._next_txn += 1
             self.wal.append(rtype, txn, meta, arrays, flush=False)
@@ -536,9 +556,10 @@ class Database:
                      schema: List[Tuple[str, SQLType]],
                      flags: Optional[Dict[str, dict]] = None) -> None:
         name = name.lower()
+        if self._txn is not None:
+            return self._txn.create_table(name, schema, flags)
         if name in self.tables:
             raise ValueError(f"table {name} exists")
-        self._undo_save(name)
         flags = {c.lower(): f for c, f in (flags or {}).items()}
         td = TableData(name, [(c.lower(), t) for c, t in schema], flags)
         self.tables[name] = td
@@ -552,15 +573,17 @@ class Database:
 
     def drop_table(self, name: str) -> None:
         name = name.lower()
-        self._undo_save(name)
+        if self._txn is not None:
+            return self._txn.drop_table(name)
         self.tables.pop(name, None)
         self._device.pop(name, None)
         self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
 
     # -- ALTER TABLE column DDL (sql_cat.c sql_alter_table) ----------------
-    def _add_col_apply(self, meta: dict) -> None:
-        td = self.tables[meta["table"]]
+    def _add_col_apply(self, meta: dict, td: "TableData" = None) -> None:
+        if td is None:
+            td = self._mutable_td(meta["table"])
         c, t = meta["col"], tag_type(meta["tag"])
         fill = meta.get("fill")
         td.types[c] = t
@@ -583,10 +606,12 @@ class Database:
             td.uniques.add(c)
         if f.get("default") is not None:
             td.defaults[c] = f["default"]
-        td.version += 1
+        td.version = _next_version()
 
-    def _drop_col_apply(self, table: str, c: str) -> None:
-        td = self.tables[table]
+    def _drop_col_apply(self, table: str, c: str,
+                        td: "TableData" = None) -> None:
+        if td is None:
+            td = self._mutable_td(table)
         td.order.remove(c)
         td.types.pop(c)
         td.cols.pop(c, None)
@@ -597,10 +622,12 @@ class Database:
         td.serials.pop(c, None)
         if c in td.pks:
             td.pks.remove(c)
-        td.version += 1
+        td.version = _next_version()
 
-    def _rename_col_apply(self, table: str, c: str, new: str) -> None:
-        td = self.tables[table]
+    def _rename_col_apply(self, table: str, c: str, new: str,
+                          td: "TableData" = None) -> None:
+        if td is None:
+            td = self._mutable_td(table)
         td.order[td.order.index(c)] = new
         td.types[new] = td.types.pop(c)
         td.cols[new] = td.cols.pop(c)
@@ -617,24 +644,26 @@ class Database:
         if c in td.serials:
             td.serials[new] = td.serials.pop(c)
         td.pks = [new if p == c else p for p in td.pks]
-        td.version += 1
+        td.version = _next_version()
 
     def _rename_table_apply(self, old: str, new: str) -> None:
-        td = self.tables.pop(old)
+        td = self._mutable_td(old)
+        self.tables.pop(old)
         td.name = new
         self.tables[new] = td
         self._device.pop(old, None)
-        td.version += 1
+        td.version = _next_version()
 
     def alter_add_column(self, table: str, col: str, typ, flags: dict,
                          fill=None) -> None:
         """fill = physical-domain constant used for existing rows (the
         evaluated DEFAULT); JSON-able (int/float/str/None)."""
         table, col = table.lower(), col.lower()
+        if self._txn is not None:
+            return self._txn.alter_add_column(table, col, typ, flags, fill)
         td = self.tables[table]
         if col in td.types:
             raise ValueError(f"column {col} exists")
-        self._undo_save(table)
         meta = {"op": "add_col", "table": table, "col": col,
                 "tag": type_tag(typ), "flags": flags, "fill": fill}
         self._add_col_apply(meta)
@@ -644,12 +673,13 @@ class Database:
 
     def alter_drop_column(self, table: str, col: str) -> None:
         table, col = table.lower(), col.lower()
+        if self._txn is not None:
+            return self._txn.alter_drop_column(table, col)
         td = self.tables[table]
         if col not in td.types:
             raise ValueError(f"unknown column {col}")
         if len(td.order) == 1:
             raise ValueError("cannot drop the last column")
-        self._undo_save(table)
         self._drop_col_apply(table, col)
         self.schema_epoch += 1
         self._device.pop(table, None)
@@ -657,12 +687,13 @@ class Database:
 
     def alter_rename_column(self, table: str, col: str, new: str) -> None:
         table, col, new = table.lower(), col.lower(), new.lower()
+        if self._txn is not None:
+            return self._txn.alter_rename_column(table, col, new)
         td = self.tables[table]
         if col not in td.types:
             raise ValueError(f"unknown column {col}")
         if new in td.types:
             raise ValueError(f"column {new} exists")
-        self._undo_save(table)
         self._rename_col_apply(table, col, new)
         self.schema_epoch += 1
         self._device.pop(table, None)
@@ -671,12 +702,12 @@ class Database:
 
     def alter_rename_table(self, table: str, new: str) -> None:
         table, new = table.lower(), new.lower()
+        if self._txn is not None:
+            return self._txn.alter_rename_table(table, new)
         if table not in self.tables:
             raise ValueError(f"unknown table {table}")
         if new in self.tables or new in self.views:
             raise ValueError(f"name {new} exists")
-        self._undo_save(table)
-        self._undo_save(new)
         self._rename_table_apply(table, new)
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "rename_table", "table": table,
@@ -992,8 +1023,9 @@ class Database:
 
     def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
         name = name.lower()
-        self._undo_save(name)
-        td = self.tables[name]
+        if self._txn is not None:
+            return self._txn.insert(name, arrays)
+        td = self._mutable_td(name)
         arrays = {c.lower(): v for c, v in arrays.items()}
         self._check_constraints(td, arrays)
         td.append(arrays)
@@ -1003,8 +1035,9 @@ class Database:
 
     def delete(self, name: str, oids: np.ndarray) -> int:
         name = name.lower()
-        self._undo_save(name)
-        self.tables[name].delete_oids(oids)
+        if self._txn is not None:
+            return self._txn.delete(name, oids)
+        self._mutable_td(name).delete_oids(oids)
         self._log(REC_DELETE, {"table": name},
                   {"oids": oids.astype(np.int64)})
         self._device.pop(name, None)
@@ -1013,8 +1046,9 @@ class Database:
     def update(self, name: str, col: str, oids: np.ndarray,
                vals: np.ndarray) -> int:
         name = name.lower()
-        self._undo_save(name)
-        self.tables[name].update_col(col.lower(), oids, vals)
+        if self._txn is not None:
+            return self._txn.update(name, col, oids, vals)
+        self._mutable_td(name).update_col(col.lower(), oids, vals)
         self._log(REC_UPDATE, {"table": name, "col": col.lower()},
                   {"oids": oids.astype(np.int64), "vals": vals})
         self._device.pop(name, None)
@@ -1027,8 +1061,14 @@ class Database:
         """Device Table of visible rows + vis_oids (device row → storage oid
         mapping, the tid candidate list)."""
         name = name.lower()
-        td = self.tables[name]
-        cached = self._device.get(name)
+        if self._txn is not None:
+            return self._txn.table(name)
+        return self._materialize(name, self.tables[name], self._device)
+
+    @staticmethod
+    def _materialize(name: str, td: TableData, cache: dict) \
+            -> Tuple[Table, np.ndarray]:
+        cached = cache.get(name)
         if cached is not None and cached[0] == td.version:
             return cached[1], cached[2]
         vis = ~td.deleted
@@ -1043,13 +1083,18 @@ class Database:
         from ..dtypes import I64 as _I64
         cols["__rowid__"] = make_device_column(vis_oids, _I64)
         tbl = Table.from_dict(name, cols)
-        self._device[name] = (td.version, tbl, vis_oids)
+        cache[name] = (td.version, tbl, vis_oids)
         return tbl, vis_oids
 
-    def catalog(self) -> Catalog:
+    def catalog(self, txn: Optional["Transaction"] = None) -> Catalog:
+        txn = txn if txn is not None else self._txn
         cat = Catalog()
-        for name in self.tables:
-            cat.add(self.table(name)[0])
+        if txn is not None:
+            for name in txn.visible_tables():
+                cat.add(txn.table(name)[0])
+        else:
+            for name in self.tables:
+                cat.add(self.table(name)[0])
         cat.views = dict(self.views)
         cat.merges = dict(self.merges)
         cat.remotes = dict(self.remotes)
@@ -1081,3 +1126,225 @@ def _locked(fn):
 for _m in ("create_table", "drop_table", "insert", "delete", "update",
            "begin", "commit", "rollback", "checkpoint", "table"):
     setattr(Database, _m, _locked(getattr(Database, _m)))
+
+
+class Transaction:
+    """Snapshot-isolation transaction (sql_trans, sql/storage/store.c:3889):
+    reads see the committed state as of begin; writes go to private
+    copy-on-write table versions; commit validates first-committer-wins
+    against the store (store.c:3980 write-conflict check) and installs all
+    versions + the WAL record group atomically. Concurrent sessions each
+    hold their own Transaction over one shared Database."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        with db._mu:
+            self.snapshot: Dict[str, TableData] = dict(db.tables)
+            db._snapshot_pins += 1
+        self.writes: Dict[str, TableData] = {}
+        self.created: set = set()
+        self.dropped: set = set()
+        # buffered WAL records, flushed as one commit group (log_tstart/
+        # log_tend grouping, gdk/gdk_logger.c:3464)
+        self.recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
+        self._device: Dict[str, Tuple[int, Table, np.ndarray]] = {}
+        self.done = False
+
+    # -- reads -------------------------------------------------------------
+    def visible_tables(self) -> List[str]:
+        names = [n for n in self.snapshot if n not in self.dropped]
+        names += [n for n in self.writes if n not in self.snapshot]
+        return names
+
+    def tabledata(self, name: str) -> TableData:
+        name = name.lower()
+        if name in self.dropped:
+            raise KeyError(name)
+        if name in self.writes:
+            return self.writes[name]
+        return self.snapshot[name]
+
+    def table(self, name: str) -> Tuple[Table, np.ndarray]:
+        name = name.lower()
+        td = self.tabledata(name)
+        if name not in self.writes:
+            with self.db._mu:
+                # unmodified table still current in the store: share the
+                # store-wide device cache instead of materializing again
+                if self.db.tables.get(name) is td:
+                    return Database._materialize(name, td, self.db._device)
+        return Database._materialize(name, td, self._device)
+
+    def _writable(self, name: str) -> TableData:
+        name = name.lower()
+        td = self.writes.get(name)
+        if td is None:
+            td = self.tabledata(name).copy()
+            self.writes[name] = td
+        return td
+
+    # -- DML -----------------------------------------------------------------
+    def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
+        name = name.lower()
+        arrays = {c.lower(): v for c, v in arrays.items()}
+        td = self._writable(name)
+        self.db._check_constraints(td, arrays)
+        td.append(arrays)
+        self._device.pop(name, None)
+        self.recs.append((REC_INSERT, {"table": name},
+                          Database._wal_encode(arrays)))
+        return len(next(iter(arrays.values())))
+
+    def delete(self, name: str, oids: np.ndarray) -> int:
+        name = name.lower()
+        self._writable(name).delete_oids(oids)
+        self._device.pop(name, None)
+        self.recs.append((REC_DELETE, {"table": name},
+                          Database._wal_encode(
+                              {"oids": oids.astype(np.int64)})))
+        return len(oids)
+
+    def update(self, name: str, col: str, oids: np.ndarray,
+               vals: np.ndarray) -> int:
+        name = name.lower()
+        self._writable(name).update_col(col.lower(), oids, vals)
+        self._device.pop(name, None)
+        self.recs.append((REC_UPDATE, {"table": name, "col": col.lower()},
+                          Database._wal_encode(
+                              {"oids": oids.astype(np.int64),
+                               "vals": vals})))
+        return len(oids)
+
+    # -- transactional DDL (create/drop table inside START TRANSACTION) ------
+    def create_table(self, name: str, schema, flags=None) -> None:
+        name = name.lower()
+        if (name in self.snapshot and name not in self.dropped) \
+                or name in self.writes:
+            raise ValueError(f"table {name} exists")
+        flags = {c.lower(): f for c, f in (flags or {}).items()}
+        td = TableData(name, [(c.lower(), t) for c, t in schema], flags)
+        self.writes[name] = td
+        self.created.add(name)
+        self.dropped.discard(name)
+        for _c, seq in td.serials.items():
+            # sequences are non-transactional (store_sequence.c: values are
+            # never reissued, even across rollback)
+            if seq not in self.db.sequences:
+                self.db.create_sequence(seq)
+        self.recs.append((REC_CREATE, {"table": name, "schema": [
+            [c.lower(), type_tag(t)] for c, t in schema],
+            "flags": flags}, {}))
+
+    def drop_table(self, name: str) -> None:
+        name = name.lower()
+        self.tabledata(name)          # raises KeyError if not visible
+        self.writes.pop(name, None)
+        self.created.discard(name)
+        if name in self.snapshot:
+            self.dropped.add(name)
+        self._device.pop(name, None)
+        self.recs.append((REC_DROP, {"table": name}, {}))
+
+    # -- transactional ALTER (sql_cat.c alters run inside the txn) -----------
+    def alter_add_column(self, table: str, col: str, typ, flags: dict,
+                         fill=None) -> None:
+        table, col = table.lower(), col.lower()
+        if col in self.tabledata(table).types:
+            raise ValueError(f"column {col} exists")
+        td = self._writable(table)
+        meta = {"op": "add_col", "table": table, "col": col,
+                "tag": type_tag(typ), "flags": flags, "fill": fill}
+        self.db._add_col_apply(meta, td)
+        self._device.pop(table, None)
+        self.recs.append((REC_DDL, meta, {}))
+
+    def alter_drop_column(self, table: str, col: str) -> None:
+        table, col = table.lower(), col.lower()
+        vtd = self.tabledata(table)
+        if col not in vtd.types:
+            raise ValueError(f"unknown column {col}")
+        if len(vtd.order) == 1:
+            raise ValueError("cannot drop the last column")
+        td = self._writable(table)
+        self.db._drop_col_apply(table, col, td)
+        self._device.pop(table, None)
+        self.recs.append((REC_DDL, {"op": "drop_col", "table": table,
+                                    "col": col}, {}))
+
+    def alter_rename_column(self, table: str, col: str, new: str) -> None:
+        table, col, new = table.lower(), col.lower(), new.lower()
+        vtd = self.tabledata(table)
+        if col not in vtd.types:
+            raise ValueError(f"unknown column {col}")
+        if new in vtd.types:
+            raise ValueError(f"column {new} exists")
+        td = self._writable(table)
+        self.db._rename_col_apply(table, col, new, td)
+        self._device.pop(table, None)
+        self.recs.append((REC_DDL, {"op": "rename_col", "table": table,
+                                    "col": col, "new": new}, {}))
+
+    def alter_rename_table(self, table: str, new: str) -> None:
+        table, new = table.lower(), new.lower()
+        if new in self.visible_tables() or new in self.db.views:
+            raise ValueError(f"name {new} exists")
+        td = self._writable(table)    # raises if not visible
+        self.writes.pop(table, None)
+        td.name = new
+        self.writes[new] = td
+        self.created.add(new)
+        if table in self.snapshot:
+            self.dropped.add(table)
+        self.created.discard(table)
+        self._device.pop(table, None)
+        self.recs.append((REC_DDL, {"op": "rename_table", "table": table,
+                                    "new": new}, {}))
+
+    # -- end ------------------------------------------------------------------
+    def commit(self) -> None:
+        if self.done:
+            raise RuntimeError("transaction already finished")
+        db = self.db
+        with db._mu:
+            try:
+                for name in set(self.writes) | self.dropped:
+                    cur = db.tables.get(name)
+                    if name in self.created:
+                        if cur is not None:
+                            raise ConcurrencyConflict(
+                                "40001!COMMIT: table created concurrently, "
+                                "transaction is aborted, will ROLLBACK")
+                        continue
+                    if cur is not self.snapshot.get(name):
+                        raise ConcurrencyConflict(
+                            "40001!COMMIT: transaction is aborted because "
+                            "of concurrency conflicts, will ROLLBACK")
+            except ConcurrencyConflict:
+                self._finish_locked()
+                raise
+            if db.wal is not None and self.recs:
+                txn = db._next_txn
+                db._next_txn += 1
+                for rtype, meta, arrays in self.recs:
+                    db.wal.append(rtype, txn, meta, arrays, flush=False)
+                db.wal.commit(txn)
+            ddl = bool(self.created or self.dropped) or any(
+                r[0] in (REC_CREATE, REC_DROP, REC_DDL) for r in self.recs)
+            for name in self.dropped:
+                db.tables.pop(name, None)
+                db._device.pop(name, None)
+            for name, td in self.writes.items():
+                db.tables[name] = td
+                db._device.pop(name, None)
+            if ddl:
+                db.schema_epoch += 1
+            self._finish_locked()
+
+    def rollback(self) -> None:
+        with self.db._mu:
+            self._finish_locked()
+
+    def _finish_locked(self) -> None:
+        if not self.done:
+            self.db._snapshot_pins -= 1
+            self.done = True
