@@ -1405,6 +1405,8 @@ class Executor:
             return {"json_isvalid": JF.isvalid, "json_length": JF.length,
                     "json_keyarray": JF.keyarray,
                     "json_valuearray": JF.valuearray}[e.name](col)
+        if e.name.startswith("st_"):
+            return self._eval_geom(e, fr)
         if e.name == "next_value_for":
             nsb = getattr(self.catalog, "next_sequence_block", None)
             if nsb is None:
@@ -1418,6 +1420,76 @@ class Executor:
         if u is not None:
             return self._eval_udf(u, e, fr)
         raise ExecError(f"function {e.name} unsupported")
+
+    def _eval_geom(self, e: Func, fr: Frame):
+        """Geometry functions (geom/monetdb5/geom.c + geomBulk.c bulk
+        variants, SQL surface geom/sql/40_geom.sql) — see ops/geom.py for
+        the TPU lowering."""
+        from ..ops import geom as GM
+        from ..obs import set_algorithm
+        name = e.name
+        args = [self.eval(a, fr) for a in e.args]
+        if name in ("st_geomfromtext", "st_pointfromtext",
+                    "st_polygonfromtext", "st_geometryfromtext",
+                    "st_mpolyfromtext", "st_linefromtext"):
+            # validate + normalize; geometries stay WKT-encoded
+            v = args[0]
+            if isinstance(v, Scalar):
+                return Scalar(GM.format_wkt(GM.parse_wkt(str(v.value))),
+                              v.typ)
+            return GM.st_astext(v)
+        if name in ("st_makepoint", "st_point"):
+            if all(isinstance(a, Scalar) for a in args):
+                return Scalar(GM.geom_scalar("st_makepoint",
+                                             args[0].value, args[1].value),
+                              e.typ)
+            cols = [a if isinstance(a, Column) else self._broadcast(a, fr)
+                    for a in args[:2]]
+            return GM.make_point_col(*cols)
+        if all(isinstance(a, Scalar) for a in args):
+            return Scalar(GM.geom_scalar(name, *[a.value for a in args]),
+                          e.typ)
+        set_algorithm(f"geom:{name}")
+        a0 = args[0]
+        if name in ("st_x", "st_y", "st_area", "st_length", "st_perimeter",
+                    "st_numpoints", "st_centroid", "st_envelope",
+                    "st_astext"):
+            fn = {"st_x": GM.st_x, "st_y": GM.st_y, "st_area": GM.st_area,
+                  "st_length": GM.st_length, "st_perimeter": GM.st_length,
+                  "st_numpoints": GM.st_numpoints,
+                  "st_centroid": GM.st_centroid,
+                  "st_envelope": GM.st_envelope,
+                  "st_astext": GM.st_astext}[name]
+            return fn(a0)
+        if name in ("st_distance", "st_distance_geographic"):
+            b = args[1] if isinstance(args[1], Column) else \
+                str(args[1].value)
+            if not isinstance(a0, Column):
+                a0, b = args[1], str(args[0].value)
+            fn = GM.st_distance if name == "st_distance" else \
+                GM.st_distance_geographic
+            return fn(a0, b)
+        if name in ("st_dwithin", "st_dwithingeographic"):
+            b = args[1] if isinstance(args[1], Column) else \
+                str(args[1].value)
+            if not isinstance(a0, Column):
+                a0, b = args[1], str(args[0].value)
+            d = _to_f64_scalar(args[2])
+            return GM.st_dwithin(a0, b, d,
+                                 geographic=name.endswith("geographic"))
+        if name == "st_contains":
+            if isinstance(args[1], Column):
+                return GM.st_contains(str(args[0].value), args[1])
+            raise ExecError("st_contains expects (constant, point column)")
+        if name == "st_within":
+            return GM.st_within(a0, str(args[1].value))
+        if name == "st_intersects":
+            if isinstance(a0, Column) and isinstance(args[1], Scalar):
+                return GM.st_intersects(a0, str(args[1].value))
+            if isinstance(args[1], Column):
+                return GM.st_intersects(args[1], str(args[0].value))
+            raise ExecError("st_intersects needs one column side")
+        raise ExecError(f"geometry function {name} unsupported")
 
     def _eval_udf(self, u, e: Func, fr: Frame):
         """Vectorized Python UDF call (pyapi3 analog): device columns →

@@ -1253,6 +1253,21 @@ class Binder:
                 e.typ = I32
             elif e.name == "next_value_for":
                 e.typ = I64
+            elif e.name in ("st_x", "st_y", "st_distance",
+                            "st_distance_geographic", "st_area",
+                            "st_length", "st_perimeter"):
+                e.typ = F64
+            elif e.name in ("st_contains", "st_intersects", "st_within",
+                            "st_dwithin", "st_dwithingeographic"):
+                e.typ = BOOL
+            elif e.name in ("st_astext", "st_centroid", "st_envelope",
+                            "st_makepoint", "st_point", "st_geomfromtext",
+                            "st_pointfromtext", "st_polygonfromtext",
+                            "st_geometryfromtext", "st_mpolyfromtext",
+                            "st_linefromtext"):
+                e.typ = varchar()
+            elif e.name == "st_numpoints":
+                e.typ = I32
             elif e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos",
                             "tan", "power"):
                 e.typ = F64
