@@ -1405,6 +1405,9 @@ class Executor:
             return {"json_isvalid": JF.isvalid, "json_length": JF.length,
                     "json_keyarray": JF.keyarray,
                     "json_valuearray": JF.valuearray}[e.name](col)
+        if e.name in ("str_to_date", "str_to_timestamp", "str_to_time",
+                      "date_to_str", "timestamp_to_str", "time_to_str"):
+            return self._eval_strtime(e, fr)
         if e.name.startswith("st_"):
             return self._eval_geom(e, fr)
         if e.name == "next_value_for":
@@ -1420,6 +1423,36 @@ class Executor:
         if u is not None:
             return self._eval_udf(u, e, fr)
         raise ExecError(f"function {e.name} unsupported")
+
+    def _eval_strtime(self, e: Func, fr: Frame):
+        """mtime strptime/strftime family (modules/atoms/mtime.c
+        str_to_date/date_to_str etc., C strftime format directives)."""
+        import datetime as _dt
+        from ..engine import _decode_column
+        from ..storage.columns import column_from_pyvalues
+        fmt = str(self.eval(e.args[1], fr).value)
+        v = self.eval(e.args[0], fr)
+        name = e.name
+        if name.startswith("str_to_"):
+            parse = {"str_to_date":
+                     lambda s: _dt.datetime.strptime(s, fmt).date(),
+                     "str_to_timestamp":
+                     lambda s: _dt.datetime.strptime(s, fmt),
+                     "str_to_time":
+                     lambda s: _dt.datetime.strptime(s, fmt).time()}[name]
+            if isinstance(v, Scalar):
+                val = None if v.value is None else parse(str(v.value))
+                from ..storage.columns import to_physical_np
+                phys = to_physical_np([val], e.typ)[0]
+                return Scalar(None if val is None else int(phys), e.typ)
+            vals = [None if x is None else parse(str(x))
+                    for x in _decode_column(v)]
+            return column_from_pyvalues(vals, e.typ)
+        if not isinstance(v, Column):
+            raise ExecError(f"{name} expects a temporal column")
+        vals = [None if x is None else x.strftime(fmt)
+                for x in _decode_column(v)]
+        return column_from_pyvalues(vals, e.typ)
 
     def _eval_geom(self, e: Func, fr: Frame):
         """Geometry functions (geom/monetdb5/geom.c + geomBulk.c bulk

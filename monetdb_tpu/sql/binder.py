@@ -17,7 +17,7 @@ import datetime
 from decimal import Decimal
 from typing import Dict, List, Optional, Set, Tuple
 
-from ..dtypes import (BOOL, DATE, F64, I32, I64, Kind, SQLType,
+from ..dtypes import (BOOL, DATE, F64, I32, I64, Kind, SQLType, TIMESTAMP,
                       decimal as dec_t, varchar)
 from ..plan import logical as L
 from ..plan.exprs import (AggRef, Between, BinOp, BoolOp, Case, Cast, Cmp,
@@ -1268,6 +1268,16 @@ class Binder:
                 e.typ = varchar()
             elif e.name == "st_numpoints":
                 e.typ = I32
+            elif e.name == "str_to_date":
+                e.typ = DATE
+            elif e.name == "str_to_timestamp":
+                e.typ = TIMESTAMP
+            elif e.name == "str_to_time":
+                from ..dtypes import TIME as _TIME
+                e.typ = _TIME
+            elif e.name in ("date_to_str", "timestamp_to_str",
+                            "time_to_str"):
+                e.typ = varchar()
             elif e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos",
                             "tan", "power"):
                 e.typ = F64

@@ -49,3 +49,25 @@ def test_querylog():
     r = s.sql("select query, status from sys.querylog_calls")
     assert any("select a from t" in row[0] and row[1] == "finished"
                for row in r.rows)
+
+
+def test_str_to_date_and_back():
+    """mtime strptime/strftime family (modules/atoms/mtime.c
+    str_to_date/date_to_str, C strftime directives)."""
+    from monetdb_tpu.session import Session
+    from monetdb_tpu.storage.database import Database
+    import datetime
+    s = Session(Database())
+    s.sql("create table t (s varchar(20), d date, ts timestamp)")
+    s.sql("insert into t values ('23-09-1987', date '2001-02-03', "
+          "timestamp '2003-10-10 11:12:13'), (NULL, NULL, NULL)")
+    assert s.sql("select str_to_date(s, '%d-%m-%Y') from t").rows == \
+        [(datetime.date(1987, 9, 23),), (None,)]
+    assert s.sql("select date_to_str(d, '%Y/%m/%d') from t").rows == \
+        [("2001/02/03",), (None,)]
+    assert s.sql("select timestamp_to_str(ts, '%H:%M') from t").rows == \
+        [("11:12",), (None,)]
+    assert s.sql(
+        "select str_to_timestamp('2003-10-10 11:12:13', "
+        "'%Y-%m-%d %H:%M:%S') from t where s is not null").rows == \
+        [(datetime.datetime(2003, 10, 10, 11, 12, 13),)]
