@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import re
 from decimal import Decimal
 from typing import List, Optional
 
@@ -50,6 +51,22 @@ class SqlLogicRunner:
     def __init__(self, session):
         self.session = session
         self.n_run = 0
+        # @connection(id=...) directive support (sqllogictest.py:726):
+        # named sessions over the same database for multi-session
+        # transaction tests
+        self._sessions = {}
+        self._pending_conn: Optional[str] = None
+
+    def _session_for(self):
+        cid, self._pending_conn = self._pending_conn, None
+        if cid is None:
+            return self.session
+        s = self._sessions.get(cid)
+        if s is None:
+            from ..session import Session
+            s = Session(self.session.db)
+            self._sessions[cid] = s
+        return s
 
     def run_file(self, path: str) -> int:
         with open(path) as f:
@@ -78,6 +95,14 @@ class SqlLogicRunner:
                 sql, i = self._read_sql(lines, i, stop="----")
                 expected, i = self._read_expected(lines, i)
                 self._query(sql, typesig, sortmode, expected, name, i)
+            elif line.startswith("@connection"):
+                m = re.search(r"id=([A-Za-z0-9_]+)", line)
+                if not m:
+                    raise SqlLogicError(
+                        f"{name}:{i+1}: bad @connection directive {line!r}")
+                self._pending_conn = m.group(1)
+                i += 1
+                continue
             elif line.startswith(("hash-threshold", "halt", "mode",
                                   "onlyif", "skipif")):
                 i += 1
@@ -109,8 +134,9 @@ class SqlLogicRunner:
 
     def _statement(self, sql: str, expect_err: bool, name, lineno):
         self.n_run += 1
+        sess = self._session_for()
         try:
-            self.session.sql(sql)
+            sess.sql(sql)
         except Exception as ex:
             if expect_err:
                 return
@@ -123,7 +149,7 @@ class SqlLogicRunner:
     def _query(self, sql: str, typesig: str, sortmode: str,
                expected: List[str], name, lineno):
         self.n_run += 1
-        res = self.session.sql(sql)
+        res = self._session_for().sql(sql)
         ncols = len(typesig)
         got: List[str] = []
         for row in res.rows:
