@@ -189,6 +189,8 @@ class Session:
                 t, self.txn = self.txn, None
                 t.rollback()
             return None
+        if isinstance(stmt, A.MergeStmt):
+            return self._merge(stmt)
         if isinstance(stmt, A.InsertValues):
             return self._insert_values(stmt)
         if isinstance(stmt, A.InsertSelect):
@@ -592,6 +594,59 @@ class Session:
     @staticmethod
     def _row_arity(rows) -> int:
         return len(rows[0]) if rows else 0
+
+    # -- MERGE INTO (rel_updates.c merge plans) -----------------------------
+    def _merge(self, stmt: A.MergeStmt) -> int:
+        """One LEFT JOIN pass over source × target computes, per source
+        row, the matched target oid (NULL = not matched) plus the WHEN
+        branch expressions; the three actions then apply through the
+        session's store (txn-aware)."""
+        tname = stmt.target.lower()
+        if stmt.matched is not None:
+            self._check_priv(
+                tname, "delete" if stmt.matched[0] == "delete"
+                else "update")
+        if stmt.not_matched is not None:
+            self._check_priv(tname, "insert")
+        td = self._td(tname)
+        src = A.TableSource(stmt.source, stmt.source_alias) \
+            if isinstance(stmt.source, str) \
+            else A.SubquerySource(stmt.source, stmt.source_alias)
+        items = [("_tgtrow", ColRef(stmt.target_alias, "__rowid__"))]
+        sets = stmt.matched[1] if (stmt.matched is not None
+                                   and stmt.matched[0] == "update") else []
+        items += [(f"_set{i}", e) for i, (_c, e) in enumerate(sets)]
+        ins_exprs = stmt.not_matched[1] if stmt.not_matched else []
+        base_ins = 1 + len(sets)
+        items += [(f"_ins{i}", e) for i, e in enumerate(ins_exprs)]
+        join = A.JoinSource(src,
+                            A.TableSource(stmt.target, stmt.target_alias),
+                            "left", stmt.on)
+        sel = A.SelectStmt(items=items, sources=[join])
+        res = Engine(self._catalog()).query_stmt(sel)
+        matched = [r for r in res.rows if r[0] is not None]
+        oids = np.array([r[0] for r in matched], np.int64)
+        if len(np.unique(oids)) != len(oids):
+            raise ValueError(
+                "40002!MERGE: multiple source rows match the same "
+                "target row")
+        n_changed = 0
+        if stmt.matched is not None and len(oids):
+            if stmt.matched[0] == "delete":
+                n_changed += self._store().delete(tname, oids)
+            else:
+                for i, (c, _e) in enumerate(sets):
+                    vals = to_physical_np([r[1 + i] for r in matched],
+                                          td.types[c.lower()])
+                    self._store().update(tname, c, oids, vals)
+                n_changed += len(oids)
+        if stmt.not_matched is not None:
+            rows = [list(r[base_ins:]) for r in res.rows if r[0] is None]
+            if rows:
+                cols = [c.lower() for c in stmt.not_matched[0]] \
+                    if stmt.not_matched[0] else None
+                n_changed += self._insert_rows(tname, cols, rows)
+        return n_changed
 
     # -- DELETE / UPDATE (oid selection runs through the query engine) --------
     def _select_oids(self, table: str, where,

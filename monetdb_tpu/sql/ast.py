@@ -229,6 +229,19 @@ class Update:
 
 
 @dataclasses.dataclass
+class MergeStmt:
+    """MERGE INTO target USING source ON cond WHEN [NOT] MATCHED THEN ...
+    (sql_parser.y merge_stmt; planned in rel_updates.c merge plans)."""
+    target: str
+    target_alias: str
+    source: Any                      # table name str or SelectStmt
+    source_alias: str
+    on: Expr
+    matched: Optional[Any] = None    # ("update", sets) | ("delete",)
+    not_matched: Optional[Any] = None  # (cols|None, [Expr, ...])
+
+
+@dataclasses.dataclass
 class TxnStmt:
     kind: str          # begin / commit / rollback
 

@@ -188,6 +188,8 @@ class Parser:
                 self.expect_punct(")")
             from .ast import Call
             return Call(name, args)
+        if self.at_kw("merge"):
+            return self.parse_merge()
         if self.at_kw("insert"):
             return self.parse_insert()
         if self.at_kw("copy"):
@@ -224,6 +226,83 @@ class Parser:
             self.next()
             return TxnStmt("rollback")
         raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
+
+    def _opt_alias_stop(self, stop_words=()):
+        """Alias unless the next ident is a context keyword (USING/ON are
+        plain idents in this dialect)."""
+        if self.eat_kw("as"):
+            return self.next().value
+        if self.peek().kind == "ident" and \
+                self.peek().value not in stop_words:
+            return self.next().value
+        return None
+
+    def parse_merge(self):
+        """MERGE INTO t [a] USING s [b] ON cond WHEN MATCHED THEN
+        {UPDATE SET ...|DELETE} / WHEN NOT MATCHED THEN INSERT [(cols)]
+        VALUES (...) — sql_parser.y merge_stmt."""
+        from .ast import MergeStmt
+        self.next()
+        self.expect_kw("into")
+        target = self.next().value
+        talias = self._opt_alias_stop(stop_words=("using",)) or target
+        if not (self.peek().kind == "ident"
+                and self.peek().value == "using"):
+            raise SQLSyntaxError("expected USING in MERGE")
+        self.next()
+        if self.eat_punct("("):
+            source = self.parse_select()
+            self.expect_punct(")")
+            salias = self._opt_alias_stop(stop_words=("on",))
+            if salias is None:
+                raise SQLSyntaxError("MERGE subquery source needs an alias")
+        else:
+            source = self.next().value
+            salias = self._opt_alias_stop(stop_words=("on",)) or source
+        self.expect_kw("on")
+        on = self.parse_expr()
+        stmt = MergeStmt(target, talias, source, salias, on)
+        while self.at_kw("when"):
+            self.next()
+            negated = bool(self.eat_kw("not"))
+            if not (self.peek().kind == "ident"
+                    and self.peek().value == "matched"):
+                raise SQLSyntaxError("expected MATCHED in MERGE WHEN")
+            self.next()
+            self.expect_kw("then")
+            if negated:
+                self.expect_kw("insert")
+                cols = None
+                if self.eat_punct("("):
+                    cols = [self.next().value]
+                    while self.eat_punct(","):
+                        cols.append(self.next().value)
+                    self.expect_punct(")")
+                self.expect_kw("values")
+                self.expect_punct("(")
+                exprs = [self.parse_expr()]
+                while self.eat_punct(","):
+                    exprs.append(self.parse_expr())
+                self.expect_punct(")")
+                stmt.not_matched = (cols, exprs)
+            elif self.eat_kw("delete"):
+                stmt.matched = ("delete",)
+            else:
+                self.expect_kw("update")
+                self.expect_kw("set")
+                sets = []
+                while True:
+                    c = self.next().value
+                    if not self.at_op("="):
+                        raise SQLSyntaxError("expected = in MERGE SET")
+                    self.next()
+                    sets.append((c, self.parse_expr()))
+                    if not self.eat_punct(","):
+                        break
+                stmt.matched = ("update", sets)
+        if stmt.matched is None and stmt.not_matched is None:
+            raise SQLSyntaxError("MERGE needs at least one WHEN clause")
+        return stmt
 
     def parse_grant_revoke(self):
         """GRANT privs ON [TABLE] t TO grantee | GRANT role TO user;
