@@ -98,16 +98,20 @@ def q1_grouped_sums(code, shipdate, qty, extp, disc, tax, cutoff,
 
     spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
     rows = domain * _NLIMB
-    out = pl.pallas_call(
-        functools.partial(_q1_kernel, domain=domain),
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)]
-        + [spec] * 6,
-        out_specs=pl.BlockSpec((1, rows, _LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, rows, _LANES), jnp.int32),
-    )(jnp.asarray([[cutoff]], jnp.int32), as2d(code), as2d(shipdate),
-      as2d(qty), as2d(extp), as2d(disc), as2d(tax))
+    # Mosaic rejects kernels traced under jax_enable_x64 (index maps and
+    # weak constants become i64, which it cannot legalize) — trace the
+    # pallas_call in 32-bit mode; the int64 epilogue stays outside
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_q1_kernel, domain=domain),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM)]
+            + [spec] * 6,
+            out_specs=pl.BlockSpec((1, rows, _LANES), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((grid, rows, _LANES), jnp.int32),
+        )(jnp.asarray([[cutoff]], jnp.int32), as2d(code), as2d(shipdate),
+          as2d(qty), as2d(extp), as2d(disc), as2d(tax))
 
     # epilogue: reduce blocks + lanes in int64, recombine limbs
     p = out.astype(jnp.int64).sum(axis=(0, 2)).reshape(domain, _NLIMB)
@@ -150,13 +154,16 @@ def grouped_sum_limbs(code, values, mask, *, domain: int):
     grid = n // _BLOCK
     shape2 = (n // _LANES, _LANES)
     spec = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
-    out = pl.pallas_call(
-        functools.partial(_gsum_kernel, domain=domain),
-        grid=(grid,),
-        in_specs=[spec] * 3,
-        out_specs=pl.BlockSpec((1, domain * 3, _LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, domain * 3, _LANES), jnp.int32),
-    )(code.reshape(shape2), values.reshape(shape2),
-      mask.astype(jnp.int32).reshape(shape2))
+    with jax.enable_x64(False):   # see q1_grouped_sums
+        out = pl.pallas_call(
+            functools.partial(_gsum_kernel, domain=domain),
+            grid=(grid,),
+            in_specs=[spec] * 3,
+            out_specs=pl.BlockSpec((1, domain * 3, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((grid, domain * 3, _LANES),
+                                           jnp.int32),
+        )(code.reshape(shape2), values.reshape(shape2),
+          mask.astype(jnp.int32).reshape(shape2))
     p = out.astype(jnp.int64).sum(axis=(0, 2)).reshape(domain, 3)
     return p[:, 0] + (p[:, 1] << 16), p[:, 2]
