@@ -28,6 +28,10 @@ _defaults: Dict[str, Any] = {
     # raise on integer/decimal overflow like the reference's BATcalc*
     # (gdk/gdk_calc_addsub.c ON_OVERFLOW macros)
     "overflow_checks": True,
+    # compile whole plans into one fused XLA fragment when supported
+    # (exec/fragment.py; analog of running the compiled MAL program as one
+    # artifact, mal_interpreter.c:491). Falls back per-plan automatically.
+    "fragment_exec": True,
     # bucketed capacity growth factor for device arrays (see column.capacity_for)
     "growth": 2.0,
     "min_capacity": 1024,

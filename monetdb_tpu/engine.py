@@ -38,35 +38,54 @@ class Result:
         return "\n".join(out)
 
 
-def _decode_column(col) -> list:
-    typ = col.typ
-    raw = np.asarray(col.data[: col.count])
+def _decode_np(raw: np.ndarray, typ, sdict=None) -> list:
+    """Physical numpy column -> python values, vectorized (one numpy pass
+    per column instead of per-value conversions; the reference's
+    mvc_export_table formats per column the same way, sql_result.c:1243)."""
+    raw = np.asarray(raw)
     if typ.kind == Kind.STR:
-        vals = col.sdict.decode(raw)
-        return [None if v is None else str(v) for v in vals]
-    if typ.np_dtype.kind == "f":
-        return [None if np.isnan(v) else float(v) for v in raw]
-    nil = np.iinfo(typ.np_dtype).min if typ.np_dtype.kind == "i" else None
-    out = []
-    for v in raw:
-        v = int(v) if typ.np_dtype.kind == "i" else bool(v)
-        if nil is not None and v == nil:
-            out.append(None)
-        elif typ.kind == Kind.DECIMAL:
-            out.append(PyDecimal(v).scaleb(-typ.scale))
-        elif typ.kind == Kind.DATE:
-            out.append(_EPOCH + datetime.timedelta(days=v))
-        elif typ.kind == Kind.TIMESTAMP:
-            out.append(datetime.datetime(1970, 1, 1)
-                       + datetime.timedelta(microseconds=v))
-        elif typ.kind == Kind.TIME:
+        if sdict is None or len(sdict.values) == 0:
+            return [None] * len(raw)
+        vals = sdict.values[np.clip(raw, 0, len(sdict.values) - 1)]
+        lst = vals.tolist()
+        bad = raw < 0
+        if bad.any():
+            return [None if b else str(v) for b, v in zip(bad.tolist(), lst)]
+        return [str(v) for v in lst]
+    k = typ.np_dtype.kind
+    if k == "f":
+        lst = raw.tolist()
+        return [None if v != v else v for v in lst]
+    if k == "b":
+        return raw.astype(bool).tolist()
+    nil = int(np.iinfo(typ.np_dtype).min)
+    lst = raw.tolist()
+    if typ.kind == Kind.DECIMAL:
+        s = typ.scale
+        return [None if v == nil else PyDecimal(v).scaleb(-s) for v in lst]
+    if typ.kind == Kind.DATE:
+        dates = raw.astype("datetime64[D]").tolist()
+        return [None if v == nil else d for v, d in zip(lst, dates)]
+    if typ.kind == Kind.TIMESTAMP:
+        ts = raw.astype("datetime64[us]").tolist()
+        return [None if v == nil else t for v, t in zip(lst, ts)]
+    if typ.kind == Kind.TIME:
+        out = []
+        for v in lst:
+            if v == nil:
+                out.append(None)
+                continue
             s, us = divmod(v, 1_000_000)
             h, rem = divmod(s, 3600)
             m, sec = divmod(rem, 60)
             out.append(datetime.time(int(h) % 24, int(m), int(sec), int(us)))
-        else:
-            out.append(v)
-    return out
+        return out
+    return [None if v == nil else v for v in lst]
+
+
+def _decode_column(col) -> list:
+    raw = np.asarray(col.data[: col.count])
+    return _decode_np(raw, col.typ, col.sdict)
 
 
 class Engine:
@@ -86,7 +105,30 @@ class Engine:
     def execute_plan(self, rel, out_cols, trace: bool = False) -> Result:
         """TRACE mode mirrors the reference's SQLsetTrace
         (sql/backends/monet5/sql_execute.c:61): per-operator events with
-        timings, row counts and the chosen kernel algorithm."""
+        timings, row counts and the chosen kernel algorithm.
+
+        Fast path: the whole plan compiles to ONE fused XLA fragment
+        (exec/fragment.py) - a single device dispatch, like the
+        reference's compiled MAL program (mal_interpreter.c:491).
+        Plans outside the fragment compiler (and TRACE runs, which want
+        per-operator events) take the op-at-a-time executor."""
+        from . import config as _cfg
+        if not trace and bool(_cfg.get("fragment_exec")):
+            from .exec.fragment import Unsupported, run_fragment
+            from .sql.syscat import CURRENT_QUERY, QUEUE
+            try:
+                QUEUE.check(CURRENT_QUERY.tag)
+                names = [getattr(c, "display", None) or c.name
+                         for c in out_cols]
+                fr = run_fragment(self.catalog, rel,
+                                  [c.name for c in out_cols])
+                QUEUE.check(CURRENT_QUERY.tag)
+                decoded = [_decode_np(a[:fr.count], pt.typ, pt.sdict)
+                           for a, pt in zip(fr.arrays, fr.pts)]
+                rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
+                return Result(names, [c.typ for c in out_cols], rows)
+            except Unsupported:
+                pass
         events = None
         if trace:
             from .obs import PROFILER
