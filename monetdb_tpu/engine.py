@@ -128,7 +128,8 @@ class Engine:
                 rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
                 return Result(names, [c.typ for c in out_cols], rows)
             except Unsupported:
-                pass
+                from .exec import fragment as _frag
+                _frag.STATS["fallbacks"] += 1
         events = None
         if trace:
             from .obs import PROFILER

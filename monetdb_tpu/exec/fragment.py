@@ -82,6 +82,7 @@ class PT:
     sdict: Optional[StrDict] = None
     minval: Optional[int] = None
     maxval: Optional[int] = None
+    key: bool = False        # provably unique among live rows (BAT tkey)
 
     @property
     def dt(self) -> str:
@@ -230,7 +231,8 @@ class Lowering:
             idx = self._add_input(c.data)
             cols.append(((r.alias, n), idx))
             penv[(r.alias, n)] = PT(c.typ, nonil=c.nonil, sdict=c.sdict,
-                                    minval=c.minval, maxval=c.maxval)
+                                    minval=c.minval, maxval=c.maxval,
+                                    key=bool(getattr(c, "key", False)))
         cnt_idx = self._add_lut(np.int64(t.count))
         ir = ("scan", tuple(cols), cnt_idx, cap)
         return ir, penv, cap
@@ -287,6 +289,147 @@ class Lowering:
         keys = tuple((("env", t, n), False, None) for (t, n) in penv.keys())
         return ("distinct", cir, keys), penv, cap
 
+    # -- joins ----------------------------------------------------------------
+    # In-jit equi-joins keep the mask-carrying shape: the PROBE side's rows
+    # stay at their capacity; the BUILD side must match each probe row at
+    # most once (PK side of the FK joins that dominate analytics - the
+    # reference's joincost picks the same probe/build split,
+    # gdk/gdk_join.c:3586).  Build rows land in a direct-address table when
+    # the packed key domain is small (fetchjoin/hashjoin analog) else a
+    # device sort + binary-search probe (mergejoin analog).  Non-unique
+    # build sides are detected *on device* (error flag) and the engine
+    # falls back to the op-at-a-time executor.
+
+    _JOIN_DENSE_MAX = 1 << 25
+
+    @staticmethod
+    def _env_resolves(env, t, n) -> bool:
+        if t is not None:
+            return (t, n) in env
+        return sum(1 for k in env if k[1] == n) == 1
+
+    def _expr_side(self, e: Expr, lenv, renv) -> str:
+        """'l' / 'r' when every column reference resolves in exactly one
+        child env, '?' otherwise (mixed or no references)."""
+        names = [(n.table, n.name) for n in walk(e) if isinstance(n, ColRef)]
+        if not names:
+            return "?"
+        inl = all(self._env_resolves(lenv, t, n) for t, n in names)
+        inr = all(self._env_resolves(renv, t, n) for t, n in names)
+        if inl and not inr:
+            return "l"
+        if inr and not inl:
+            return "r"
+        return "?"
+
+    def _rel_join(self, r: L.Join):
+        kind = r.kind
+        if kind == "right":
+            return self._rel_join(L.Join(r.right, r.left, "left",
+                                         on=r.on, extra=r.extra))
+        if kind not in ("inner", "left", "semi", "anti"):
+            raise Unsupported(f"join kind {kind}")
+        if not r.on:
+            raise Unsupported("join without equi keys")
+        lir, lenv, lcap = self.rel(r.left)
+        rir, renv, rcap = self.rel(r.right)
+
+        # lower each equi pair against the side that resolves it
+        pairs = []                      # [(a_ir, a_pt, b_ir, b_pt)]
+        for a, b in r.on:
+            sa, sb = self._expr_side(a, lenv, renv), \
+                self._expr_side(b, lenv, renv)
+            if sa == "r" or (sa == "?" and sb == "l"):
+                a, b = b, a
+            a_ir, a_pt = self.expr(a, lenv)
+            b_ir, b_pt = self.expr(b, renv)
+            if a_pt.is_str or b_pt.is_str:
+                a_ir, a_pt, b_ir, b_pt = self._align_str(a_ir, a_pt,
+                                                         b_ir, b_pt)
+            elif a_pt.is_float or b_pt.is_float:
+                raise Unsupported("float join key")
+            else:
+                ssa, ssb = a_pt.scale, b_pt.scale
+                if ssa < ssb:
+                    a_ir, a_pt = self._upscale(a_ir, a_pt, ssb - ssa)
+                elif ssb < ssa:
+                    b_ir, b_pt = self._upscale(b_ir, b_pt, ssa - ssb)
+            pairs.append((a_ir, a_pt, b_ir, b_pt))
+
+        runique = any(b_pt.key for _a, _ap, _b, b_pt in pairs)
+        lunique = any(a_pt.key for _a, a_pt, _b, _bp in pairs)
+        swap = False
+        if kind == "inner" and not runique and lunique:
+            # probe from the right side instead (env merge is symmetric)
+            swap = True
+            lir, rir = rir, lir
+            lenv, renv = renv, lenv
+            lcap, rcap = rcap, lcap
+            pairs = [(b, bp, a, ap) for a, ap, b, bp in pairs]
+            runique = True
+
+        # key bounds for packing (union of both sides' stats)
+        keyspecs = []
+        domain = 1
+        for a_ir, a_pt, b_ir, b_pt in pairs:
+            if a_pt.is_str:
+                lo, hi = 0, max(len(a_pt.sdict) - 1, 0)
+            else:
+                if a_pt.minval is None or b_pt.minval is None or \
+                        a_pt.maxval is None or b_pt.maxval is None:
+                    lo = hi = None
+                else:
+                    lo = min(int(a_pt.minval), int(b_pt.minval))
+                    hi = max(int(a_pt.maxval), int(b_pt.maxval))
+            if lo is None:
+                domain = None
+            elif domain is not None:
+                span = hi - lo + 1
+                if span <= 0 or (domain > 0 and
+                                 domain * span > (1 << 62)):
+                    domain = None
+                else:
+                    domain *= span
+            keyspecs.append((a_ir, not a_pt.nonil, b_ir, not b_pt.nonil,
+                             lo, None if lo is None else hi - lo + 1,
+                             a_pt.is_str))
+        if domain is None and len(pairs) > 1:
+            raise Unsupported("multi-key join without packable bounds")
+        if domain is not None and \
+                domain <= max(65536, min(self._JOIN_DENSE_MAX, 16 * rcap)):
+            strat = "dense"
+        else:
+            strat = "sort"
+            domain = 0
+
+        uniq_check = kind in ("inner", "left") and not runique
+
+        # residual predicate: build-side-only -> prefilter the build rows;
+        # cross-side -> evaluate on the merged env (needs unique build)
+        bfilter = extra = None
+        menv: Dict[Tuple[str, str], PT] = dict(lenv)
+        for k, pt in renv.items():
+            if k in menv:
+                raise Unsupported(f"duplicate column {k} across join")
+            menv[k] = dataclasses.replace(
+                pt, nonil=pt.nonil and kind == "inner", key=False)
+        if r.extra is not None:
+            if self._expr_side(r.extra, lenv, renv) == "r":
+                # references only the build side: prefilter its rows
+                bfilter = self.pred(r.extra, renv)
+            else:
+                extra = self.pred(r.extra, menv)
+                if kind in ("semi", "anti") and not runique:
+                    uniq_check = True
+
+        ir = ("join", kind, lir, rir, tuple(keyspecs), strat, int(domain),
+              bool(uniq_check), bfilter, extra,
+              tuple(sorted(renv.keys())))
+        if kind in ("semi", "anti"):
+            out = {k: pt for k, pt in lenv.items()}
+            return ir, out, lcap
+        return ir, menv, lcap
+
     # -- group by -------------------------------------------------------------
     def _rel_groupby(self, r: L.GroupBy):
         cir, penv, cap = self.rel(r.child)
@@ -316,7 +459,8 @@ class Lowering:
         penv2: Dict[Tuple[str, str], PT] = {}
         for k, _ir, pt in key_irs:
             penv2[k] = dataclasses.replace(pt, nonil=False,
-                                           minval=None, maxval=None)
+                                           minval=None, maxval=None,
+                                           key=len(key_irs) == 1)
         for name, func, arg, distinct in r.aggs:
             if distinct:
                 raise Unsupported("distinct aggregate")
@@ -1223,6 +1367,100 @@ class _Interp:
         env2 = {k: _gather_nil(a, ext, live_out) for k, a in env.items()}
         return env2, ng, None, cap
 
+    # joins ------------------------------------------------------------------
+    def _join_codes(self, keyspecs, env, live, cap, side: str):
+        """Evaluate one side's join keys -> (packed int64 code, valid).
+        valid excludes dead rows, nil keys and out-of-bounds values (a
+        probe value outside the build stats range cannot match)."""
+        comb = None
+        valid = live
+        for a_ir, anil, b_ir, bnil, lo, span, is_str in keyspecs:
+            ir = a_ir if side == "l" else b_ir
+            mnil = anil if side == "l" else bnil
+            k = self.ev(ir, env, live)
+            if k.ndim == 0:
+                k = jnp.broadcast_to(k, (cap,))
+            if mnil and not is_str:
+                valid = valid & ~_nilm_arr(k)
+            k = k.astype(jnp.int64)
+            if span is not None:
+                c = k - lo
+                valid = valid & (c >= 0) & (c < span)
+                comb = c if comb is None else comb * span + c
+            else:
+                if is_str:
+                    valid = valid & (k >= 0)
+                comb = k
+        return comb, valid
+
+    def r_join(self, ir):
+        (_, kind, lir, rir, keyspecs, strat, domain, uniq_check,
+         bfilter, extra, rkeys) = ir
+        lenv, lcount, lmask, lcap = self.rel(lir)
+        renv, rcount, rmask, rcap = self.rel(rir)
+        llive = self.live_of(lcap, lcount, lmask)
+        rlive = self.live_of(rcap, rcount, rmask)
+        if bfilter is not None:
+            rlive = rlive & jnp.broadcast_to(
+                self.pv(bfilter, renv, rlive), (rcap,))
+        code_l, lvalid = self._join_codes(keyspecs, lenv, llive, lcap, "l")
+        code_r, rvalid = self._join_codes(keyspecs, renv, rlive, rcap, "r")
+
+        rid = jax.lax.iota(jnp.int32, rcap)
+        big = jnp.int32(rcap)
+        if strat == "dense":
+            # direct-address build (fetchjoin/hashjoin analog)
+            safe_r = jnp.where(rvalid, code_r, domain)
+            tmin = jnp.full(domain + 1, big, jnp.int32).at[safe_r].min(
+                jnp.where(rvalid, rid, big))[:domain]
+            if uniq_check:
+                tmax = jnp.full(domain + 1, jnp.int32(-1),
+                                jnp.int32).at[safe_r].max(
+                    jnp.where(rvalid, rid, -1))[:domain]
+                dup = (tmin < big) & (tmax != tmin)
+                self.flag(jnp.any(dup), 5)
+            safe_l = jnp.where(lvalid, code_l, 0)
+            hit = tmin[safe_l]
+            matched = lvalid & (hit < big)
+            rowid = jnp.where(matched, hit, -1)
+        else:
+            # sort + binary-search probe (mergejoin analog)
+            kr = jnp.where(rvalid, code_r, _I64_MAX)
+            ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
+            if uniq_check:
+                dup = (ks[1:] == ks[:-1]) & (ks[1:] != _I64_MAX)
+                self.flag(jnp.any(dup), 5)
+            kl = jnp.where(lvalid, code_l, _I64_MAX)
+            pos = jnp.clip(jnp.searchsorted(ks, kl), 0, rcap - 1)
+            matched = lvalid & (ks[pos] == kl) & (kl != _I64_MAX)
+            rowid = jnp.where(matched, rs[pos], -1)
+
+        if kind in ("semi", "anti") and extra is None:
+            m = matched if kind == "semi" else ~matched
+            mask2 = m if lmask is None else (lmask & m)
+            return lenv, lcount, mask2, lcap
+
+        menv = dict(lenv)
+        ok = rowid >= 0
+        for k in rkeys:
+            menv[k] = _gather_nil(renv[k], rowid.astype(jnp.int64), ok)
+        if extra is not None:
+            ex = jnp.broadcast_to(self.pv(extra, menv, llive), (lcap,))
+            matched2 = matched & ex
+            if kind != "inner":
+                for k in rkeys:
+                    a = menv[k]
+                    menv[k] = jnp.where(matched2, a, _nil_const(a.dtype))
+            matched = matched2
+            if kind in ("semi", "anti"):
+                m = matched if kind == "semi" else ~matched
+                mask2 = m if lmask is None else (lmask & m)
+                return lenv, lcount, mask2, lcap
+        if kind == "inner":
+            mask2 = matched if lmask is None else (lmask & matched)
+            return menv, lcount, mask2, lcap
+        return menv, lcount, lmask, lcap     # left outer
+
     # group-by machinery ----------------------------------------------------
     @staticmethod
     def _sort_ids(keys, live, cap):
@@ -1874,6 +2112,10 @@ def _raise_err(code: int):
         raise CalcOverflow("22003!value exceeds limits of type")
     if code == 4:
         raise CalcOverflow("22003!overflow in sum aggregate")
+    if code == 5:
+        # join build side turned out non-unique: not an SQL error - the
+        # plan shape needs the op-at-a-time executor's expanding join
+        raise Unsupported("non-unique join build side")
     raise CalcOverflow(f"22003!error {code}")
 
 
@@ -1904,6 +2146,13 @@ def compile_fragment(catalog, rel: L.Rel, out_names: List[str]):
     return rel_ir, tuple(low.inputs), tuple(out_keys), pts, cap
 
 
+_UNIQ_FAILED: set = set()       # rel_ir shapes whose join build was non-unique
+
+#: observability: how many plans ran fused vs fell back (engine increments
+#: "fallback"); tests use this to prove the fused path actually executed
+STATS = {"runs": 0, "fallbacks": 0}
+
+
 def run_fragment(catalog, rel: L.Rel, out_names: List[str]) -> FragmentResult:
     """Execute a plan as one compiled fragment; 1 RPC when the result
     capacity is small (the common analytics shape: group-by / limit root),
@@ -1911,17 +2160,27 @@ def run_fragment(catalog, rel: L.Rel, out_names: List[str]) -> FragmentResult:
     compiler - the caller falls back to the op-at-a-time executor."""
     rel_ir, inputs, out_keys, pts, cap = compile_fragment(
         catalog, rel, out_names)
+    if rel_ir in _UNIQ_FAILED:
+        raise Unsupported("non-unique join build side (memoized)")
     from ..obs import set_algorithm
     set_algorithm("fragment:jit")
+    def _check(code: int):
+        try:
+            _raise_err(code)
+        except Unsupported:
+            _UNIQ_FAILED.add(rel_ir)
+            raise
+
+    STATS["runs"] += 1
     if cap <= _SINGLE_PHASE_CAP:
         err, count, arrays = _run_single((rel_ir, out_keys, cap), inputs)
         err_v, count_v, arrs = jax.device_get((err, count, arrays))
-        _raise_err(int(err_v))
+        _check(int(err_v))
         return FragmentResult(int(count_v), [np.asarray(a) for a in arrs],
                               pts)
     err, count, live, arrays = _run_raw((rel_ir, out_keys), inputs)
     err_v, count_v = jax.device_get((err, count))
-    _raise_err(int(err_v))
+    _check(int(err_v))
     n = int(count_v)
     out_cap = min(cap, capacity_for(max(n, 1)))
     if live is None:
