@@ -4,8 +4,10 @@ rel → optimize → codegen → run → export result)."""
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import datetime
+import threading
 from decimal import Decimal as PyDecimal
 from typing import List, Optional, Tuple
 
@@ -19,6 +21,55 @@ from .table import Catalog
 __all__ = ["Engine", "Result"]
 
 _EPOCH = datetime.date(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# plan cache - the reference's query cache (sql/server/sql_qc.c): repeat
+# queries skip parse + bind + lowering entirely.  Keyed by SQL text; each
+# entry pins the exact Table objects it was bound against (the storage layer
+# hands out a new Table object whenever a table version changes,
+# storage/database.py _materialize), so validity is an identity check.
+# ---------------------------------------------------------------------------
+
+_PLAN_CACHE: "collections.OrderedDict[str, list]" = collections.OrderedDict()
+_PLAN_LOCK = threading.Lock()
+_PLAN_MAX = 256        # distinct SQL texts
+_PLAN_VARIANTS = 4     # catalog snapshots per SQL text (concurrent txns)
+
+
+@dataclasses.dataclass
+class _CachedPlan:
+    tables: dict           # name -> Table identity pins
+    views: dict
+    udfs: dict
+    rel: object
+    out_cols: list
+    fragment: object       # exec.fragment.CompiledFragment, or None
+    unsupported: Optional[str]   # lowering-time fallback reason
+    frag_enabled: bool = True    # fragment_exec config at bind time
+
+
+def _plan_valid(e: "_CachedPlan", cat: Catalog) -> bool:
+    from . import config as _cfg
+    if e.frag_enabled != bool(_cfg.get("fragment_exec")):
+        return False
+    if len(e.tables) != len(cat.tables) or e.views != cat.views:
+        return False
+    if len(e.udfs) != len(cat.udfs) or \
+            any(cat.udfs.get(k) is not v for k, v in e.udfs.items()):
+        return False
+    return all(cat.tables.get(k) is v for k, v in e.tables.items())
+
+
+def plan_cache_clear() -> None:
+    with _PLAN_LOCK:
+        _PLAN_CACHE.clear()
+
+
+def plan_cache_stats() -> dict:
+    with _PLAN_LOCK:
+        return {"entries": sum(len(v) for v in _PLAN_CACHE.values()),
+                "sqls": len(_PLAN_CACHE)}
 
 
 @dataclasses.dataclass
@@ -95,45 +146,124 @@ class Engine:
     def plan(self, sql: str):
         return bind_select(self.catalog, sql)
 
+    def _cached_plan(self, sql: str) -> "_CachedPlan":
+        """Bind + lower once per (SQL text, catalog snapshot) - the
+        reference's query cache (sql_qc.c qc entries keyed by query text,
+        invalidated on DDL)."""
+        from .exec.fragment import CompiledFragment, Unsupported
+        with _PLAN_LOCK:
+            entries = _PLAN_CACHE.get(sql)
+            if entries is not None:
+                _PLAN_CACHE.move_to_end(sql)
+                for e in entries:
+                    if _plan_valid(e, self.catalog):
+                        return e
+        rel, out_cols = bind_select(self.catalog, sql)
+        fragment = unsupported = None
+        from . import config as _cfg
+        if bool(_cfg.get("fragment_exec")):
+            try:
+                fragment = CompiledFragment(self.catalog, rel,
+                                            [c.name for c in out_cols])
+            except Unsupported as exc:
+                unsupported = str(exc)
+        entry = _CachedPlan(dict(self.catalog.tables),
+                            dict(self.catalog.views),
+                            dict(self.catalog.udfs),
+                            rel, out_cols, fragment, unsupported,
+                            frag_enabled=bool(_cfg.get("fragment_exec")))
+        with _PLAN_LOCK:
+            lst = _PLAN_CACHE.setdefault(sql, [])
+            lst[:] = [e for e in lst if _plan_valid(e, self.catalog)]
+            lst.append(entry)
+            del lst[:-_PLAN_VARIANTS]
+            _PLAN_CACHE.move_to_end(sql)
+            while len(_PLAN_CACHE) > _PLAN_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        return entry
+
     def query(self, sql: str, trace: bool = False) -> Result:
         return self.query_stmt(sql, trace=trace)
 
     def query_stmt(self, sql_or_stmt, trace: bool = False) -> Result:
+        if isinstance(sql_or_stmt, str):
+            plan = self._cached_plan(sql_or_stmt)
+            return self._execute_cached(plan, trace=trace)
         rel, out_cols = bind_select(self.catalog, sql_or_stmt)
         return self.execute_plan(rel, out_cols, trace=trace)
 
-    def execute_plan(self, rel, out_cols, trace: bool = False) -> Result:
-        """TRACE mode mirrors the reference's SQLsetTrace
-        (sql/backends/monet5/sql_execute.c:61): per-operator events with
-        timings, row counts and the chosen kernel algorithm.
-
-        Fast path: the whole plan compiles to ONE fused XLA fragment
-        (exec/fragment.py) - a single device dispatch, like the
-        reference's compiled MAL program (mal_interpreter.c:491).
-        Plans outside the fragment compiler (and TRACE runs, which want
-        per-operator events) take the op-at-a-time executor."""
+    def _execute_cached(self, plan: "_CachedPlan", trace: bool) -> Result:
         from . import config as _cfg
-        if not trace and bool(_cfg.get("fragment_exec")):
-            from .exec.fragment import Unsupported, run_fragment
-            from .sql.syscat import CURRENT_QUERY, QUEUE
+        if plan.fragment is not None and bool(_cfg.get("fragment_exec")):
+            res = self._run_fragment(plan.fragment, plan.out_cols,
+                                     trace=trace)
+            if res is not None:
+                return res
+        return self._run_executor(plan.rel, plan.out_cols, trace=trace,
+                                  why=plan.unsupported)
+
+    def execute_plan(self, rel, out_cols, trace: bool = False) -> Result:
+        """Fast path: the whole plan compiles to ONE fused XLA fragment
+        (exec/fragment.py) - a single device dispatch, like the
+        reference's compiled MAL program (mal_interpreter.c:491).  Plans
+        outside the fragment compiler take the op-at-a-time executor.
+
+        TRACE mode mirrors the reference's SQLsetTrace
+        (sql/backends/monet5/sql_execute.c:61) and measures the path that
+        actually runs: fused plans emit per-fragment events (lower ms,
+        compile hit/miss, RPC count), fallback plans per-operator events."""
+        from . import config as _cfg
+        if bool(_cfg.get("fragment_exec")):
+            from .exec.fragment import CompiledFragment, Unsupported
+            why = None
             try:
-                QUEUE.check(CURRENT_QUERY.tag)
-                names = [getattr(c, "display", None) or c.name
-                         for c in out_cols]
-                fr = run_fragment(self.catalog, rel,
-                                  [c.name for c in out_cols])
-                QUEUE.check(CURRENT_QUERY.tag)
-                decoded = [_decode_np(a[:fr.count], pt.typ, pt.sdict)
-                           for a, pt in zip(fr.arrays, fr.pts)]
-                rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
-                return Result(names, [c.typ for c in out_cols], rows)
-            except Unsupported:
-                from .exec import fragment as _frag
-                _frag.STATS["fallbacks"] += 1
+                fragment = CompiledFragment(self.catalog, rel,
+                                            [c.name for c in out_cols])
+            except Unsupported as exc:
+                why = str(exc)
+            else:
+                res = self._run_fragment(fragment, out_cols, trace=trace)
+                if res is not None:
+                    return res
+            return self._run_executor(rel, out_cols, trace=trace, why=why)
+        return self._run_executor(rel, out_cols, trace=trace)
+
+    def _run_fragment(self, fragment, out_cols,
+                      trace: bool) -> Optional[Result]:
+        """Run a compiled fragment; None = fall back to the executor."""
+        from .exec.fragment import Unsupported, stats_inc
+        from .sql.syscat import CURRENT_QUERY, QUEUE
+        events = [] if trace else None
+        try:
+            QUEUE.check(CURRENT_QUERY.tag)
+            names = [getattr(c, "display", None) or c.name
+                     for c in out_cols]
+            if trace:
+                events.append({"op": "fragment.lower",
+                               "usec": int(fragment.lower_ms * 1e3)})
+            fr = fragment.run(events=events)
+            QUEUE.check(CURRENT_QUERY.tag)
+            decoded = [_decode_np(a[:fr.count], pt.typ, pt.sdict)
+                       for a, pt in zip(fr.arrays, fr.pts)]
+            rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
+            return Result(names, [c.typ for c in out_cols], rows,
+                          trace=events)
+        except Unsupported:
+            stats_inc("fallbacks")
+            return None
+
+    def _run_executor(self, rel, out_cols, trace: bool = False,
+                      why: Optional[str] = None) -> Result:
+        if why is not None:
+            from .exec.fragment import stats_inc
+            stats_inc("fallbacks")
         events = None
         if trace:
             from .obs import PROFILER
             PROFILER.start()
+            if why is not None:
+                PROFILER.events.append({"op": "fragment.fallback",
+                                        "reason": why})
         try:
             frame = Executor(self.catalog).run(rel)
         finally:

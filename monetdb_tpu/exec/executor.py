@@ -633,20 +633,38 @@ class Executor:
 
     def _agg(self, func: str, col: Optional[Column], g: G.GroupResult,
              distinct: bool, fr: Frame, col2=None) -> Column:
+        if distinct and func in ("min", "max"):
+            distinct = False             # DISTINCT is a no-op for min/max
         if distinct:
-            if func != "count":
+            if func not in ("count", "sum", "avg"):
                 raise ExecError(f"distinct {func} unsupported")
             g2 = G.group(col, None, prev=g, with_extents=True)
             ext = g2.extents
-            if not col.nonil:
-                vals = col.data[jnp.where(ext >= 0, ext, 0)]
-                nil_at = (vals == jnp.iinfo(vals.dtype).min) if \
-                    vals.dtype.kind != "f" else jnp.isnan(vals)
-            else:
-                nil_at = jnp.zeros(ext.shape[0], jnp.bool_)
-            cnt = _distinct_counts(g.ids, ext, jnp.int64(g2.ngroups), nil_at,
-                                   seg_cap=g.seg_cap)
-            return Column(I64, cnt, g.ngroups, nonil=True)
+            if func == "count":
+                if not col.nonil:
+                    vals = col.data[jnp.where(ext >= 0, ext, 0)]
+                    nil_at = (vals == jnp.iinfo(vals.dtype).min) if \
+                        vals.dtype.kind != "f" else jnp.isnan(vals)
+                else:
+                    nil_at = jnp.zeros(ext.shape[0], jnp.bool_)
+                cnt = _distinct_counts(g.ids, ext, jnp.int64(g2.ngroups),
+                                       nil_at, seg_cap=g.seg_cap)
+                return Column(I64, cnt, g.ngroups, nonil=True)
+            # sum/avg DISTINCT: nil out every duplicate (group, value)
+            # occurrence, then the plain skip-nils aggregate reduces each
+            # distinct value exactly once (gdk_aggr.c distinct paths)
+            cap2 = ext.shape[0]
+            live = valid_mask(cap2, jnp.int64(g2.ngroups)) & (ext >= 0)
+            first = jnp.zeros(col.cap, jnp.bool_).at[
+                jnp.where(live, ext, 0)].max(live)
+            nil = np.nan if col.data.dtype.kind == "f" else \
+                np.iinfo(col.data.dtype).min
+            col2 = col.with_props(
+                data=jnp.where(first, col.data,
+                               col.data.dtype.type(nil)), nonil=False)
+            if func == "sum":
+                return A.group_sum(col2, g)
+            return A.group_avg(col2, g)[0]
         if func in ("count_star",):
             return A.group_count(None, g)
         if func == "count":

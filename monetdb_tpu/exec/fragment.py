@@ -53,11 +53,14 @@ from ..plan.exprs import (Between, BinOp, BoolOp, Case, Cast, Cmp, ColRef,
                           Const, Expr, Func, InList, IsNull, Like, Not,
                           Subquery, walk)
 
-__all__ = ["Unsupported", "FragmentResult", "compile_fragment",
-           "run_fragment"]
+__all__ = ["Unsupported", "FragmentResult", "CompiledFragment",
+           "compile_fragment", "run_fragment", "STATS", "stats_inc"]
 
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
 _I64_MAX = np.int64(np.iinfo(np.int64).max)
+# error codes >= this encode "join build side <ordinal> was non-unique":
+# the host re-lowers that join as an expanding join and retries
+_ERR_DUP_BASE = 16
 _DENSE_DOMAIN_MAX = 1 << 20
 # results whose final capacity is at most this are fetched in one RPC;
 # larger ones sync the count first and compact to a tight capacity
@@ -149,11 +152,18 @@ class Lowering:
     * ``penv``   - final env key -> PT for result decoding
     """
 
-    def __init__(self, catalog):
+    def __init__(self, catalog, expand: Optional[Dict[int, int]] = None):
         self.catalog = catalog
         self.inputs: List[jax.Array] = []
         self._input_ids: Dict[int, int] = {}
         self.refs: Dict[str, set] = {}
+        # joins whose build side proved non-unique at runtime are re-lowered
+        # as *expanding* joins (the reference's N:M hashjoin,
+        # gdk/gdk_join.c:2900): ordinal -> output capacity (None = pick a
+        # default; the host retries with the measured total on overflow)
+        self.expand: Dict[int, Optional[int]] = expand or {}
+        self.expand_used: Dict[int, int] = {}
+        self._join_ord = 0
 
     # -- inputs --------------------------------------------------------------
     def _add_input(self, arr) -> int:
@@ -268,9 +278,8 @@ class Lowering:
             keys.append((ir, bool(desc), nl if nl is None else bool(nl)))
         if not keys:
             return cir, penv, cap
-        out = {k: dataclasses.replace(pt, minval=None, maxval=None)
-               for k, pt in penv.items()}
-        return ("orderby", cir, tuple(keys)), out, cap
+        # reordering permutes rows but keeps the value set: stats survive
+        return ("orderby", cir, tuple(keys)), dict(penv), cap
 
     def _rel_limit(self, r: L.Limit):
         cir, penv, cap = self.rel(r.child)
@@ -333,6 +342,8 @@ class Lowering:
             raise Unsupported("join without equi keys")
         lir, lenv, lcap = self.rel(r.left)
         rir, renv, rcap = self.rel(r.right)
+        ordinal = self._join_ord
+        self._join_ord += 1
 
         # lower each equi pair against the side that resolves it
         pairs = []                      # [(a_ir, a_pt, b_ir, b_pt)]
@@ -422,13 +433,50 @@ class Lowering:
                 if kind in ("semi", "anti") and not runique:
                     uniq_check = True
 
+        if uniq_check and ordinal in self.expand:
+            return self._lower_join_expand(
+                ordinal, kind, lir, rir, lenv, renv, lcap, rcap,
+                keyspecs, bfilter, extra, menv)
+
         ir = ("join", kind, lir, rir, tuple(keyspecs), strat, int(domain),
               bool(uniq_check), bfilter, extra,
-              tuple(sorted(renv.keys())))
+              tuple(sorted(renv.keys())), ordinal)
         if kind in ("semi", "anti"):
             out = {k: pt for k, pt in lenv.items()}
             return ir, out, lcap
         return ir, menv, lcap
+
+    def _lower_join_expand(self, ordinal, kind, lir, rir, lenv, renv,
+                           lcap, rcap, keyspecs, bfilter, extra, menv):
+        """N:M join via match enumeration (gdk/gdk_join.c:2900 hashjoin
+        with duplicate build keys).  Inner/left joins materialize one
+        output row per (probe, match) pair into a static expansion
+        capacity (count-then-retry on overflow - the XLA static-shape
+        answer to data-dependent join cardinality); semi/anti joins with a
+        cross-side residual evaluate it per pair and scatter-OR back onto
+        the probe rows, so their output stays mask-carrying at probe
+        capacity."""
+        if kind == "left" and extra is not None:
+            raise Unsupported("expanding left join with cross-side residual")
+        ecap = self.expand.get(ordinal)
+        if not ecap:
+            ecap = capacity_for(2 * max(lcap, rcap))
+        self.expand_used[ordinal] = ecap
+        ir = ("join_expand", kind, lir, rir, tuple(keyspecs), bfilter,
+              extra, tuple(sorted(lenv.keys())), tuple(sorted(renv.keys())),
+              int(ecap), ordinal)
+        if kind in ("semi", "anti"):
+            out = {k: pt for k, pt in lenv.items()}
+            return ir, out, lcap
+        # probe rows may repeat in the output: every column loses key;
+        # value ranges/dicts survive (outputs are copies of input rows)
+        oenv = {}
+        for k, pt in lenv.items():
+            oenv[k] = dataclasses.replace(pt, key=False)
+        for k, pt in renv.items():
+            oenv[k] = dataclasses.replace(
+                pt, nonil=pt.nonil and kind == "inner", key=False)
+        return ir, oenv, int(ecap)
 
     # -- group by -------------------------------------------------------------
     def _rel_groupby(self, r: L.GroupBy):
@@ -458,13 +506,13 @@ class Lowering:
         aggs = []
         penv2: Dict[Tuple[str, str], PT] = {}
         for k, _ir, pt in key_irs:
+            # key outputs are a subset of the input values: min/max bounds
+            # survive grouping (rel_statistics.c propagates the same way) -
+            # they keep downstream joins on grouped keys packable
             penv2[k] = dataclasses.replace(pt, nonil=False,
-                                           minval=None, maxval=None,
                                            key=len(key_irs) == 1)
         for name, func, arg, distinct in r.aggs:
-            if distinct:
-                raise Unsupported("distinct aggregate")
-            spec, pt = self._lower_agg(func, arg, penv)
+            spec, pt = self._lower_agg(func, arg, penv, distinct=distinct)
             aggs.append(((("#grp", name)), spec))
             penv2[("#grp", name)] = pt
 
@@ -497,9 +545,11 @@ class Lowering:
                 return ("dcode_range", ir, int(pt.minval)), d
         return None
 
-    def _lower_agg(self, func: str, arg, penv):
+    def _lower_agg(self, func: str, arg, penv, distinct: bool = False):
         """Aggregate spec mirroring ops/aggr.py semantics (gdk_aggr.c:900
-        BATgroupsum family): returns (spec_ir, out PT)."""
+        BATgroupsum family): returns (spec_ir, out PT).  DISTINCT
+        aggregates dedup (group, value) pairs by sort before reducing
+        (the reference's count-distinct path in gdk_aggr.c)."""
         if isinstance(arg, list):
             raise Unsupported(f"2-ary aggregate")
         if func == "count_star":
@@ -508,6 +558,29 @@ class Lowering:
             raise Unsupported(f"aggregate {func} without argument")
         air, apt = self.expr(arg, penv)
         anil = not apt.nonil
+        if distinct and func in ("min", "max"):
+            distinct = False            # DISTINCT is a no-op for min/max
+        if distinct:
+            if func == "count":
+                return ("count_distinct", air, anil, apt.dt), \
+                    PT(I64, nonil=True)
+            if func in ("sum", "avg"):
+                if apt.is_float:
+                    acc = F64
+                elif apt.typ.kind == Kind.DECIMAL:
+                    acc = dec_t(18, apt.typ.scale)
+                elif apt.typ.np_dtype.kind in ("i", "b"):
+                    acc = I64
+                else:
+                    raise Unsupported(f"{func} over {apt.typ!r}")
+                if func == "avg":
+                    return ("avg_distinct", air, anil, apt.dt, apt.scale), \
+                        PT(F64, nonil=False)
+                check = acc.np_dtype.kind == "i" \
+                    and apt.typ.np_dtype.itemsize == 8
+                return ("sum_distinct", air, anil, apt.dt,
+                        acc.np_dtype.str, check), PT(acc, nonil=False)
+            raise Unsupported(f"distinct aggregate {func}")
         if func == "count":
             return ("count", air, anil, apt.dt), PT(I64, nonil=True)
         if func in ("sum", "avg", "prod"):
@@ -1257,6 +1330,9 @@ class _Interp:
     def __init__(self, inputs):
         self.inputs = inputs
         self.errs: list = []
+        # traced total match counts per expanding join (host compares with
+        # the static expansion capacity and retries with a bigger one)
+        self.exp_totals: Dict[int, jax.Array] = {}
 
     def flag(self, cond_scalar, code: int):
         self.errs.append(jnp.where(cond_scalar, jnp.int32(code),
@@ -1395,7 +1471,7 @@ class _Interp:
 
     def r_join(self, ir):
         (_, kind, lir, rir, keyspecs, strat, domain, uniq_check,
-         bfilter, extra, rkeys) = ir
+         bfilter, extra, rkeys, ordinal) = ir
         lenv, lcount, lmask, lcap = self.rel(lir)
         renv, rcount, rmask, rcap = self.rel(rir)
         llive = self.live_of(lcap, lcount, lmask)
@@ -1418,7 +1494,7 @@ class _Interp:
                                 jnp.int32).at[safe_r].max(
                     jnp.where(rvalid, rid, -1))[:domain]
                 dup = (tmin < big) & (tmax != tmin)
-                self.flag(jnp.any(dup), 5)
+                self.flag(jnp.any(dup), _ERR_DUP_BASE + ordinal)
             safe_l = jnp.where(lvalid, code_l, 0)
             hit = tmin[safe_l]
             matched = lvalid & (hit < big)
@@ -1429,7 +1505,7 @@ class _Interp:
             ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
             if uniq_check:
                 dup = (ks[1:] == ks[:-1]) & (ks[1:] != _I64_MAX)
-                self.flag(jnp.any(dup), 5)
+                self.flag(jnp.any(dup), _ERR_DUP_BASE + ordinal)
             kl = jnp.where(lvalid, code_l, _I64_MAX)
             pos = jnp.clip(jnp.searchsorted(ks, kl), 0, rcap - 1)
             matched = lvalid & (ks[pos] == kl) & (kl != _I64_MAX)
@@ -1460,6 +1536,76 @@ class _Interp:
             mask2 = matched if lmask is None else (lmask & matched)
             return menv, lcount, mask2, lcap
         return menv, lcount, lmask, lcap     # left outer
+
+    def r_join_expand(self, ir):
+        """N:M join by match enumeration (gdk/gdk_join.c:2900 hashjoin with
+        duplicate keys).  Build side sorted by key; per probe row the match
+        run is [searchsorted_left, searchsorted_right); output slot j maps
+        back to (probe row, k-th match) through a cumsum of per-probe
+        output counts.  Total match count is returned to the host, which
+        retries with a larger static capacity on overflow."""
+        (_, kind, lir, rir, keyspecs, bfilter, extra, lkeys, rkeys,
+         ecap, ordinal) = ir
+        lenv, lcount, lmask, lcap = self.rel(lir)
+        renv, rcount, rmask, rcap = self.rel(rir)
+        llive = self.live_of(lcap, lcount, lmask)
+        rlive = self.live_of(rcap, rcount, rmask)
+        if bfilter is not None:
+            rlive = rlive & jnp.broadcast_to(
+                self.pv(bfilter, renv, rlive), (rcap,))
+        code_l, lvalid = self._join_codes(keyspecs, lenv, llive, lcap, "l")
+        code_r, rvalid = self._join_codes(keyspecs, renv, rlive, rcap, "r")
+
+        rid = jax.lax.iota(jnp.int64, rcap)
+        kr = jnp.where(rvalid, code_r, _I64_MAX)
+        ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
+        kl = jnp.where(lvalid, code_l, _I64_MAX)
+        s = jnp.searchsorted(ks, kl, side="left")
+        e = jnp.searchsorted(ks, kl, side="right")
+        c = jnp.where(lvalid, e - s, 0).astype(jnp.int64)
+        if kind == "left":
+            # probe rows with no match still emit one (nil-right) row
+            c_out = jnp.where(llive, jnp.maximum(c, 1), 0)
+        else:
+            c_out = c
+        csum = jnp.cumsum(c_out)
+        total = csum[-1] if lcap else jnp.int64(0)
+        self.exp_totals[ordinal] = total
+
+        j = jax.lax.iota(jnp.int64, ecap)
+        i = jnp.searchsorted(csum, j, side="right")
+        i_safe = jnp.clip(i, 0, lcap - 1)
+        ok = j < total
+        start = csum[i_safe] - c_out[i_safe]
+        k = j - start
+        has_match = k < c[i_safe]
+        ridx = rs[jnp.clip(s[i_safe] + k, 0, rcap - 1)]
+        rok = ok & has_match
+
+        if kind in ("semi", "anti"):
+            # evaluate the residual per pair, scatter-OR onto probe rows
+            env2 = {key: _gather_nil(lenv[key], i_safe, ok) for key in lkeys}
+            for key in rkeys:
+                env2[key] = _gather_nil(renv[key], ridx, rok)
+            live_out = ok
+            ex = rok
+            if extra is not None:
+                ex = ex & jnp.broadcast_to(
+                    self.pv(extra, env2, live_out), (ecap,))
+            hit = jnp.zeros(lcap, jnp.bool_).at[
+                jnp.where(ex, i_safe, lcap)].max(ex, mode="drop")
+            m = hit if kind == "semi" else ~hit
+            mask2 = m if lmask is None else (lmask & m)
+            return lenv, lcount, mask2, lcap
+
+        env2 = {key: _gather_nil(lenv[key], i_safe, ok) for key in lkeys}
+        for key in rkeys:
+            env2[key] = _gather_nil(renv[key], ridx, rok)
+        if extra is not None:
+            live_out = ok
+            ex = jnp.broadcast_to(self.pv(extra, env2, live_out), (ecap,))
+            return env2, total, ok & ex, ecap
+        return env2, total, None, ecap
 
     # group-by machinery ----------------------------------------------------
     @staticmethod
@@ -1608,6 +1754,41 @@ class _Interp:
         if op == "count":
             return jnp.zeros(seg + 1, jnp.int64).at[sid].add(
                 use.astype(jnp.int64))[:seg]
+        if op in ("count_distinct", "sum_distinct", "avg_distinct"):
+            # dedup (group, value) pairs by sort, reduce first occurrences
+            # (gdk_aggr.c count-distinct; the fused form of
+            # BATgroup-refine + BATgroupcount)
+            from ..ops.sort import sort_key
+            k1 = sid.astype(jnp.int64)   # already seg for unused rows
+            k2 = sort_key(arr, False, None)
+            k1s, k2s, vs = jax.lax.sort((k1, k2, arr), num_keys=2,
+                                        is_stable=True)
+            first = (jax.lax.iota(jnp.int32, cap) == 0) | \
+                (k1s != jnp.roll(k1s, 1)) | (k2s != jnp.roll(k2s, 1))
+            fu = first & (k1s < seg)
+            sidx = jnp.where(fu, k1s, jnp.int64(seg))
+            cnt_d = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
+                fu.astype(jnp.int64))[:seg]
+            if op == "count_distinct":
+                return cnt_d
+            if op == "sum_distinct":
+                acc_dt = np.dtype(spec[4])
+                vals = jnp.where(fu, vs.astype(acc_dt), acc_dt.type(0))
+                out = jnp.zeros(seg + 1, acc_dt).at[sidx].add(vals)[:seg]
+                if spec[5]:   # int64 overflow re-check via f64 shadow
+                    fsum = jnp.zeros(seg + 1, jnp.float64).at[sidx].add(
+                        jnp.where(fu, vs.astype(jnp.float64), 0.0))[:seg]
+                    self.flag(jnp.max(jnp.where(jnp.abs(fsum) > 9.1e18,
+                                                1, 0)) > 0, 4)
+                return jnp.where(cnt_d == 0, _nil_const(acc_dt), out)
+            # avg_distinct
+            scale = spec[4]
+            sd = jnp.zeros(seg + 1, jnp.float64).at[sidx].add(
+                jnp.where(fu, vs.astype(jnp.float64), 0.0))[:seg]
+            if scale:
+                sd = sd / (10.0 ** scale)
+            a = sd / jnp.maximum(cnt_d, 1)
+            return jnp.where(cnt_d == 0, jnp.nan, a)
         cnt = jnp.zeros(seg + 1, jnp.int64).at[sid].add(
             use.astype(jnp.int64))[:seg]
         if op in ("sum", "prod"):
@@ -2062,7 +2243,7 @@ def _run_single(ir, inputs):
         oids = jnp.full(out_cap, jnp.int64(-1)).at[pos].set(io, mode="drop")
         live_out = jax.lax.iota(jnp.int64, out_cap) < nlive
         arrays = tuple(_gather_nil(env[k], oids, live_out) for k in out_keys)
-    return itp.err(), nlive, arrays
+    return itp.err(), itp.exp_totals, nlive, arrays
 
 
 @functools.partial(jax.jit, static_argnames=("ir",))
@@ -2079,7 +2260,7 @@ def _run_raw(ir, inputs):
         live = itp.live_of(cap, count, mask)
         nlive = jnp.sum(live.astype(jnp.int64))
     arrays = tuple(env[k] for k in out_keys)
-    return itp.err(), nlive, live, arrays
+    return itp.err(), itp.exp_totals, nlive, live, arrays
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
@@ -2112,10 +2293,6 @@ def _raise_err(code: int):
         raise CalcOverflow("22003!value exceeds limits of type")
     if code == 4:
         raise CalcOverflow("22003!overflow in sum aggregate")
-    if code == 5:
-        # join build side turned out non-unique: not an SQL error - the
-        # plan shape needs the op-at-a-time executor's expanding join
-        raise Unsupported("non-unique join build side")
     raise CalcOverflow(f"22003!error {code}")
 
 
@@ -2126,65 +2303,151 @@ class FragmentResult:
     pts: List[PT]
 
 
-def compile_fragment(catalog, rel: L.Rel, out_names: List[str]):
-    """Lower a plan; returns (ir_bundle, inputs, pts, cap) or raises
-    Unsupported.  Cheap (host-only, no device work)."""
-    low = Lowering(catalog)
-    low.collect_refs(rel)
-    rel_ir, penv, cap = low.rel(rel)
-    out_keys, pts = [], []
-    for name in out_names:
-        if ("#out", name) in penv:
-            key = ("#out", name)
-        else:
-            hits = [k for k in penv if k[1] == name]
-            if len(hits) != 1:
-                raise Unsupported(f"ambiguous output column {name}")
-            key = hits[0]
-        out_keys.append(key)
-        pts.append(penv[key])
-    return rel_ir, tuple(low.inputs), tuple(out_keys), pts, cap
+#: per-plan memo: naive plan IR -> {join ordinal: expansion capacity} for
+#: joins whose build side proved non-unique (the reference discovers the
+#: same thing from hash stats, gdk/gdk_join.c joincost). Guarded by _LOCK.
+_JOIN_MEMO: Dict[tuple, Dict[int, int]] = {}
 
+import threading as _threading
 
-_UNIQ_FAILED: set = set()       # rel_ir shapes whose join build was non-unique
+_LOCK = _threading.Lock()
 
 #: observability: how many plans ran fused vs fell back (engine increments
-#: "fallback"); tests use this to prove the fused path actually executed
-STATS = {"runs": 0, "fallbacks": 0}
+#: "fallback"); tests use this to prove the fused path actually executed.
+#: "uniq_retries"/"cap_retries" count expanding-join re-lowerings.
+STATS = {"runs": 0, "fallbacks": 0, "uniq_retries": 0, "cap_retries": 0}
 
 
-def run_fragment(catalog, rel: L.Rel, out_names: List[str]) -> FragmentResult:
-    """Execute a plan as one compiled fragment; 1 RPC when the result
-    capacity is small (the common analytics shape: group-by / limit root),
-    2 RPCs otherwise.  Raises Unsupported for plan shapes outside the
-    compiler - the caller falls back to the op-at-a-time executor."""
-    rel_ir, inputs, out_keys, pts, cap = compile_fragment(
-        catalog, rel, out_names)
-    if rel_ir in _UNIQ_FAILED:
-        raise Unsupported("non-unique join build side (memoized)")
-    from ..obs import set_algorithm
-    set_algorithm("fragment:jit")
-    def _check(code: int):
-        try:
+def stats_inc(key: str, n: int = 1) -> None:
+    with _LOCK:
+        STATS[key] += n
+
+
+class CompiledFragment:
+    """A lowered plan ready to execute (the engine's plan-cache value; the
+    reference's query-cache entry, sql/server/sql_qc.c).  Holds the input
+    device arrays by reference - validity is pinned by the engine cache
+    checking table identity."""
+
+    def __init__(self, catalog, rel: L.Rel, out_names: List[str]):
+        import time as _time
+        t0 = _time.perf_counter()
+        self.catalog = catalog
+        self.rel = rel
+        self.out_names = list(out_names)
+        self._lower({})
+        self.plan_key = self.rel_ir       # naive IR identifies the plan
+        with _LOCK:
+            memo = dict(_JOIN_MEMO.get(self.plan_key, ()))
+        if memo:
+            self._lower(memo)
+        self.lower_ms = (_time.perf_counter() - t0) * 1e3
+
+    def _lower(self, expand: Dict[int, int]) -> None:
+        low = Lowering(self.catalog, expand=expand)
+        low.collect_refs(self.rel)
+        rel_ir, penv, cap = low.rel(self.rel)
+        out_keys, pts = [], []
+        for name in self.out_names:
+            if ("#out", name) in penv:
+                key = ("#out", name)
+            else:
+                hits = [k for k in penv if k[1] == name]
+                if len(hits) != 1:
+                    raise Unsupported(f"ambiguous output column {name}")
+                key = hits[0]
+            out_keys.append(key)
+            pts.append(penv[key])
+        self.expand = expand
+        self.expand_used = dict(low.expand_used)
+        self.rel_ir = rel_ir
+        self.inputs = tuple(low.inputs)
+        self.out_keys = tuple(out_keys)
+        self.pts = pts
+        self.cap = cap
+
+    def _memoize(self) -> None:
+        with _LOCK:
+            _JOIN_MEMO[self.plan_key] = dict(self.expand)
+
+    def run(self, events: Optional[list] = None) -> FragmentResult:
+        """Execute; 1 RPC when the result capacity is small (the common
+        analytics shape: group-by / limit root), 2 RPCs otherwise, plus
+        one re-lowered retry per newly-discovered non-unique join build
+        or expansion-capacity overflow (memoized across runs)."""
+        import time as _time
+        from ..obs import set_algorithm
+        set_algorithm("fragment:jit")
+        stats_inc("runs")
+        t0 = _time.perf_counter()
+        rpcs = 0
+        compiles0 = _run_single._cache_size() + _run_raw._cache_size()
+        for _attempt in range(8):
+            single = self.cap <= _SINGLE_PHASE_CAP
+            if single:
+                err, tots, count, arrays = _run_single(
+                    (self.rel_ir, self.out_keys, self.cap), self.inputs)
+                err_v, tots_v, count_v, arrs = jax.device_get(
+                    (err, tots, count, arrays))
+            else:
+                err, tots, count, live, arrays = _run_raw(
+                    (self.rel_ir, self.out_keys), self.inputs)
+                err_v, tots_v, count_v = jax.device_get((err, tots, count))
+            rpcs += 1
+            code = int(err_v)
+            if code >= _ERR_DUP_BASE:
+                # join <ordinal> build side is non-unique: re-lower it as
+                # an expanding join and retry
+                expand = dict(self.expand)
+                expand[code - _ERR_DUP_BASE] = None
+                self._lower(expand)
+                self.expand = {**expand, **self.expand_used}
+                self._memoize()
+                stats_inc("uniq_retries")
+                continue
+            over = {o: int(t) for o, t in tots_v.items()
+                    if int(t) > self.expand_used.get(o, 0)}
+            if over:
+                expand = dict(self.expand)
+                for o, t in over.items():
+                    expand[o] = capacity_for(max(t, 1))
+                self._lower(expand)
+                self._memoize()
+                stats_inc("cap_retries")
+                continue
             _raise_err(code)
-        except Unsupported:
-            _UNIQ_FAILED.add(rel_ir)
-            raise
+            n = int(count_v)
+            if not single:
+                out_cap = min(self.cap, capacity_for(max(n, 1)))
+                if live is None:
+                    arrs = jax.device_get(
+                        _finish_slice(arrays, out_cap=out_cap))
+                else:
+                    arrs = jax.device_get(
+                        _finish_mask(live, arrays, out_cap=out_cap))
+                rpcs += 1
+            if events is not None:
+                compiled = (_run_single._cache_size() +
+                            _run_raw._cache_size()) - compiles0
+                events.append({
+                    "op": "fragment.run", "algorithm": "fragment:jit",
+                    "rows": n, "rpcs": rpcs,
+                    "compile": "miss" if compiled else "hit",
+                    "expanding_joins": len(self.expand_used),
+                    "usec": int((_time.perf_counter() - t0) * 1e6)})
+            return FragmentResult(n, [np.asarray(a) for a in arrs],
+                                  self.pts)
+        raise Unsupported("expanding-join retry limit exceeded")
 
-    STATS["runs"] += 1
-    if cap <= _SINGLE_PHASE_CAP:
-        err, count, arrays = _run_single((rel_ir, out_keys, cap), inputs)
-        err_v, count_v, arrs = jax.device_get((err, count, arrays))
-        _check(int(err_v))
-        return FragmentResult(int(count_v), [np.asarray(a) for a in arrs],
-                              pts)
-    err, count, live, arrays = _run_raw((rel_ir, out_keys), inputs)
-    err_v, count_v = jax.device_get((err, count))
-    _check(int(err_v))
-    n = int(count_v)
-    out_cap = min(cap, capacity_for(max(n, 1)))
-    if live is None:
-        arrs = jax.device_get(_finish_slice(arrays, out_cap=out_cap))
-    else:
-        arrs = jax.device_get(_finish_mask(live, arrays, out_cap=out_cap))
-    return FragmentResult(n, [np.asarray(a) for a in arrs], pts)
+
+def compile_fragment(catalog, rel: L.Rel, out_names: List[str]):
+    """Lower a plan (host-only, no device work); raises Unsupported for
+    plan shapes outside the compiler."""
+    return CompiledFragment(catalog, rel, out_names)
+
+
+def run_fragment(catalog, rel: L.Rel, out_names: List[str],
+                 events: Optional[list] = None) -> FragmentResult:
+    """One-shot lower + execute (see CompiledFragment; the engine caches
+    the compiled object instead, engine._PLAN_CACHE)."""
+    return CompiledFragment(catalog, rel, out_names).run(events=events)

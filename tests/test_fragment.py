@@ -139,3 +139,49 @@ def test_fragment_divzero_raises(tpch_engine):
                 "from lineitem")
     finally:
         config.reset("fragment_exec")
+
+
+def test_all_22_tpch_fused(tpch_engine):
+    """Every TPC-H query executes through the fused fragment path — zero
+    fallbacks (the reference runs every plan through one executor;
+    expanding joins cover non-unique build sides gdk/gdk_join.c:2900,
+    sort-dedup covers DISTINCT aggregates, stat propagation keeps
+    grouped-key joins packable)."""
+    from monetdb_tpu.exec import fragment as frag
+    config.set("fragment_exec", True)
+    try:
+        before = dict(frag.STATS)
+        for q in sorted(QUERIES):
+            tpch_engine.query(QUERIES[q])
+        after = dict(frag.STATS)
+        assert after["fallbacks"] == before["fallbacks"], \
+            "a TPC-H query silently fell back to the op-at-a-time executor"
+        assert after["runs"] - before["runs"] == 22
+    finally:
+        config.reset("fragment_exec")
+
+
+def test_expanding_join_parity(tpch_engine):
+    """N:M joins (non-unique build side) through the expanding-join path:
+    results must match the op-at-a-time executor exactly, including the
+    capacity-overflow retry (forced tiny initial capacity)."""
+    sql = ("select c_custkey, count(o_orderkey) as cnt from customer "
+           "left outer join orders on c_custkey = o_custkey "
+           "group by c_custkey order by cnt desc, c_custkey limit 10")
+    a, b = both_ways(tpch_engine, sql)
+    assert_same(a, b, sql)
+    # inner N:M with residual + aggregation over expanded rows
+    sql2 = ("select o_orderpriority, count(*) from orders, lineitem "
+            "where o_orderkey = l_orderkey and l_quantity > 45 "
+            "group by o_orderpriority order by o_orderpriority")
+    a, b = both_ways(tpch_engine, sql2)
+    assert_same(a, b, sql2)
+
+
+def test_distinct_aggregate_parity(tpch_engine):
+    sql = ("select p_brand, count(distinct ps_suppkey), "
+           "sum(distinct ps_supplycost), avg(distinct ps_supplycost) "
+           "from partsupp, part where p_partkey = ps_partkey "
+           "group by p_brand order by p_brand")
+    a, b = both_ways(tpch_engine, sql)
+    assert_same(a, b, sql)

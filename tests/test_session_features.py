@@ -27,8 +27,21 @@ def test_trace():
     s = mk()
     r = s.sql("trace select c, sum(b) from t group by c")
     assert r.names == ["usec", "rows", "algorithm", "statement"]
-    assert any("GroupBy" in row[3] for row in r.rows)
-    assert any(row[2].startswith("group:") for row in r.rows)
+    # TRACE reports the path that actually runs: the fused fragment
+    assert any(row[3] == "fragment.run" and row[2] == "fragment:jit"
+               for row in r.rows)
+
+
+def test_trace_operator_path():
+    from monetdb_tpu import config
+    config.set("fragment_exec", False)
+    try:
+        s = mk()
+        r = s.sql("trace select c, sum(b) from t group by c")
+        assert any("GroupBy" in row[3] for row in r.rows)
+        assert any(row[2].startswith("group:") for row in r.rows)
+    finally:
+        config.reset("fragment_exec")
 
 
 def test_prepared():
