@@ -140,8 +140,14 @@ def _decode_column(col) -> list:
 
 
 class Engine:
-    def __init__(self, catalog: Catalog):
+    """SQL in, rows out.  With a ``mesh`` (jax.sharding.Mesh over >1
+    devices) fused plans execute SPMD across the mesh - the reference's
+    mitosis/mergetable intra-query parallelism (opt_mitosis.c:21) realized
+    as shard_map + psum over ICI (exec/fragment.py _run_spmd)."""
+
+    def __init__(self, catalog: Catalog, mesh=None):
         self.catalog = catalog
+        self.mesh = mesh
 
     def plan(self, sql: str):
         return bind_select(self.catalog, sql)
@@ -241,7 +247,7 @@ class Engine:
             if trace:
                 events.append({"op": "fragment.lower",
                                "usec": int(fragment.lower_ms * 1e3)})
-            fr = fragment.run(events=events)
+            fr = fragment.run(events=events, mesh=self.mesh)
             QUEUE.check(CURRENT_QUERY.tag)
             decoded = [_decode_np(a[:fr.count], pt.typ, pt.sdict)
                        for a, pt in zip(fr.arrays, fr.pts)]

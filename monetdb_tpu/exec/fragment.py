@@ -155,6 +155,10 @@ class Lowering:
     def __init__(self, catalog, expand: Optional[Dict[int, int]] = None):
         self.catalog = catalog
         self.inputs: List[jax.Array] = []
+        # owning table name per input (None = lut/constant); drives the
+        # SPMD shard-table choice (the mitosis partition pick,
+        # monetdb5/optimizer/opt_mitosis.c:150-190)
+        self.input_tables: List[Optional[str]] = []
         self._input_ids: Dict[int, int] = {}
         self.refs: Dict[str, set] = {}
         # joins whose build side proved non-unique at runtime are re-lowered
@@ -173,12 +177,14 @@ class Lowering:
             return got
         idx = len(self.inputs)
         self.inputs.append(arr)
+        self.input_tables.append(None)
         self._input_ids[k] = idx
         return idx
 
     def _add_lut(self, np_arr: np.ndarray) -> int:
         idx = len(self.inputs)
         self.inputs.append(jnp.asarray(np_arr))
+        self.input_tables.append(None)
         return idx
 
     # -- column reference collection (executor._collect_refs analog) ---------
@@ -239,6 +245,7 @@ class Lowering:
             elif c.cap != cap:
                 raise Unsupported("misaligned scan capacities")
             idx = self._add_input(c.data)
+            self.input_tables[idx] = t.name
             cols.append(((r.alias, n), idx))
             penv[(r.alias, n)] = PT(c.typ, nonil=c.nonil, sdict=c.sdict,
                                     minval=c.minval, maxval=c.maxval,
@@ -497,7 +504,7 @@ class Lowering:
                 dense_ok = False
                 break
             code_ir, d = spec
-            dense_specs.append((code_ir, d))
+            dense_specs.append((code_ir, d, pt.dt))
             domain *= d
             if domain > _DENSE_DOMAIN_MAX:
                 dense_ok = False
@@ -1327,8 +1334,12 @@ def _gather_nil(arr, oids, live_out):
 class _Interp:
     """IR interpreter; every method traces jnp ops (no host syncs)."""
 
-    def __init__(self, inputs):
+    def __init__(self, inputs, axis: Optional[str] = None, nsh: int = 1):
         self.inputs = inputs
+        # SPMD mode (inside shard_map over a device mesh): axis name +
+        # shard count; None = single-device trace
+        self.axis = axis
+        self.nsh = nsh
         self.errs: list = []
         # traced total match counts per expanding join (host compares with
         # the static expansion capacity and retries with a bigger one)
@@ -1340,10 +1351,13 @@ class _Interp:
 
     def err(self):
         if not self.errs:
-            return jnp.int32(0)
-        e = self.errs[0]
-        for x in self.errs[1:]:
-            e = jnp.maximum(e, x)
+            e = jnp.int32(0)
+        else:
+            e = self.errs[0]
+            for x in self.errs[1:]:
+                e = jnp.maximum(e, x)
+        if self.axis is not None:
+            e = jax.lax.pmax(e, self.axis)
         return e
 
     # -- relational nodes --------------------------------------------------
@@ -1358,10 +1372,42 @@ class _Interp:
         return live
 
     def r_scan(self, ir):
-        _, cols, cnt_idx, cap = ir
+        _, cols, cnt_idx, _cap = ir
         env = {key: self.inputs[i] for key, i in cols}
         count = self.inputs[cnt_idx]
+        # capacity from the array shape (inside shard_map the arrays are
+        # the per-device shards, so this is the LOCAL capacity)
+        cap = env[cols[0][0]].shape[0]
         return env, count, None, cap
+
+    def r_scan_sharded(self, ir):
+        """Row-sharded scan (the mitosis slice, opt_mitosis.c:21): each
+        device holds rows [i*lcap, (i+1)*lcap) of the base column; the
+        global count becomes a per-shard liveness mask against the global
+        row index."""
+        _, cols, cnt_idx, _cap = ir
+        env = {key: self.inputs[i] for key, i in cols}
+        count = self.inputs[cnt_idx]            # global count (replicated)
+        lcap = env[cols[0][0]].shape[0]
+        if self.axis is None:
+            return env, count, None, lcap
+        base = jax.lax.axis_index(self.axis).astype(jnp.int64) * lcap
+        mask = (jax.lax.iota(jnp.int64, lcap) + base) < count
+        return env, jnp.int64(lcap), mask, lcap
+
+    def r_gather(self, ir):
+        """Shard -> replicated barrier: all_gather every column + the
+        liveness mask over the mesh axis (the reference's mat.pack merge
+        of mitosis pieces, monetdb5/modules/mal/mat.c:124)."""
+        env, count, mask, cap = self.rel(ir[1])
+        if self.axis is None:
+            return env, count, mask, cap
+        live = self.live_of(cap, count, mask)
+        env2 = {k: jax.lax.all_gather(v, self.axis, tiled=True)
+                for k, v in env.items()}
+        live_g = jax.lax.all_gather(live, self.axis, tiled=True)
+        gcap = cap * self.nsh
+        return env2, jnp.int64(gcap), live_g, gcap
 
     def r_rename(self, ir):
         env, count, mask, cap = self.rel(ir[1])
@@ -1570,7 +1616,10 @@ class _Interp:
             c_out = c
         csum = jnp.cumsum(c_out)
         total = csum[-1] if lcap else jnp.int64(0)
-        self.exp_totals[ordinal] = total
+        # host capacity check needs the max over shards (each shard
+        # expands its own probe rows into the same static capacity)
+        self.exp_totals[ordinal] = total if self.axis is None else \
+            jax.lax.pmax(total, self.axis)
 
         j = jax.lax.iota(jnp.int64, ecap)
         i = jnp.searchsorted(csum, j, side="right")
@@ -1640,22 +1689,31 @@ class _Interp:
             jnp.where(live, io, big))[:seg]
         return jnp.where(hist > 0, ext, -1), hist
 
-    def r_groupby_dense(self, ir):
+    def r_groupby_dense(self, ir, spmd: bool = False):
         """Histogram grouping over a combined small domain
         (gdk/gdk_group.c:20-60 strategies 4-5; ops/group.py dense path).
         Aggregates land in domain slots then compact by presence rank -
-        the psum-alignable two-phase form (opt_mergetable.c mat_grp)."""
+        the psum-alignable two-phase form (opt_mergetable.c mat_grp).
+        SPMD mode: per-shard slot partials are combined across the mesh
+        with psum/pmin/pmax (the mat_grp + BATgroupavg3combine shape,
+        gdk/gdk_aggr.c:2634) - the whole group-by costs one collective.
+        Group keys are decoded from the slot index itself (the slot IS the
+        packed key combination), so every shard materializes identical,
+        replicated outputs without gathering rows."""
         _, cir, key_outs, dense_specs, domain, aggs = ir
         env, count, mask, cap = self.rel(cir)
+        comb_axis = self.axis if (spmd and self.axis is not None) else None
         live = self.live_of(cap, count, mask)
         comb = jnp.zeros(cap, jnp.int64)
-        for code_ir, d in dense_specs:
+        for code_ir, d, _dt in dense_specs:
             code = self._dcode(code_ir, env, live, cap)
             comb = comb * d + code
         if dense_specs:
             safe = jnp.where(live, comb, domain)
             ones = live.astype(jnp.int64)
             hist = jnp.zeros(domain + 1, jnp.int64).at[safe].add(ones)
+            if comb_axis is not None:
+                hist = jax.lax.psum(hist, comb_axis)
             present = hist[:domain] > 0
             newid = jnp.cumsum(present.astype(jnp.int32)) - 1
             ng = jnp.sum(present.astype(jnp.int64))
@@ -1674,21 +1732,48 @@ class _Interp:
 
         env2 = {}
         if key_outs:
-            io = jax.lax.iota(jnp.int64, cap)
-            big = jnp.int64(cap + 1)
-            minoid = jnp.full(domain + 1, big, jnp.int64).at[safe].min(
-                jnp.where(live, io, big))[:domain]
-            ext = compact(jnp.where(present, minoid, -1), jnp.int64(-1))
+            # compact rank -> slot index -> key values (mixed-radix decode)
+            slot_of = jnp.full(domain, jnp.int64(-1)).at[pos].set(
+                jax.lax.iota(jnp.int64, domain), mode="drop")
             live_out = jax.lax.iota(jnp.int64, domain) < ng
-            for key, e in key_outs:
-                arr = self.ev(e, env, live)
-                if arr.ndim == 0:
-                    arr = jnp.broadcast_to(arr, (cap,))
-                env2[key] = _gather_nil(arr, ext, live_out)
+            ok = live_out & (slot_of >= 0)
+            rem = jnp.where(ok, slot_of, 0)
+            vals = []
+            for code_ir, d, dt in reversed(dense_specs):
+                code = rem % d
+                rem = rem // d
+                vals.append(self._decode_dcode(code_ir, code, dt, ok))
+            vals.reverse()
+            for (key, _e), v in zip(key_outs, vals):
+                env2[key] = v
         for key, spec in aggs:
-            slot = self._agg_slots(spec, env, live, safe, domain, cap)
+            slot = self._agg_slots(spec, env, live, safe, domain, cap,
+                                   comb_axis)
             env2[key] = compact(slot, _nil_const(slot.dtype))
         return env2, ng, None, domain
+
+    def r_groupby_dense_spmd(self, ir):
+        return self.r_groupby_dense(ir, spmd=True)
+
+    @staticmethod
+    def _decode_dcode(code_ir, code, dt, ok):
+        """Inverse of _dcode: slot code -> key value (nil where ~ok)."""
+        kind = code_ir[0]
+        dtype = np.dtype(dt)
+        if kind == "dcode_str":
+            d = code_ir[2]
+            v = code.astype(jnp.int32)
+            ok = ok & (v != d - 1)        # last slot = the nil string
+        elif kind == "dcode_bool":
+            return ok & (code > 0) if dtype.kind == "b" else \
+                jnp.where(ok, code.astype(dtype), _nil_const(dtype))
+        elif kind == "dcode_i8":
+            v = (code - 128).astype(jnp.int8)
+            return jnp.where(ok, v, _nil_const(dtype))
+        else:  # dcode_range
+            v = (code + code_ir[2]).astype(dtype)
+            return jnp.where(ok, v, _nil_const(dtype))
+        return jnp.where(ok, v, _nil_const(dtype))
 
     def r_groupby_sort(self, ir):
         """General grouping: device lexsort + boundary scan (replaces the
@@ -1737,13 +1822,21 @@ class _Interp:
         return arr.astype(jnp.int64) - code_ir[2]
 
     # aggregates into [0, seg) slots (gdk_aggr.c BATgroupsum family;
-    # mirrors ops/aggr.py _seg_reduce + _fix_empty_and_nil)
-    def _agg_slots(self, spec, env, live, sid_live, seg, cap):
+    # mirrors ops/aggr.py _seg_reduce + _fix_empty_and_nil).  comb_axis:
+    # SPMD mesh axis - per-shard slot partials are combined (psum for
+    # sums/counts, pmin/pmax for extrema) before finalization, the
+    # associative decomposition the reference uses for partitioned
+    # aggregation (BATgroupavg3combine, gdk/gdk_aggr.c:2634).
+    def _agg_slots(self, spec, env, live, sid_live, seg, cap,
+                   comb_axis: Optional[str] = None):
+        def comb_sum(x):
+            return x if comb_axis is None else jax.lax.psum(x, comb_axis)
+
         op = spec[0]
         if op == "count_star":
             sid = jnp.where(live, sid_live, seg)
-            return jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                live.astype(jnp.int64))[:seg]
+            return comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
+                live.astype(jnp.int64))[:seg])
         arr = self.ev(spec[1], env, live)
         if arr.ndim == 0:
             arr = jnp.broadcast_to(arr, (cap,))
@@ -1752,12 +1845,15 @@ class _Interp:
         use = live & ~nilm
         sid = jnp.where(use, sid_live, seg)
         if op == "count":
-            return jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                use.astype(jnp.int64))[:seg]
+            return comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
+                use.astype(jnp.int64))[:seg])
         if op in ("count_distinct", "sum_distinct", "avg_distinct"):
             # dedup (group, value) pairs by sort, reduce first occurrences
             # (gdk_aggr.c count-distinct; the fused form of
-            # BATgroup-refine + BATgroupcount)
+            # BATgroup-refine + BATgroupcount).  Not shard-combinable:
+            # the SPMD rewrite gathers before a distinct aggregate.
+            if comb_axis is not None:
+                raise Unsupported("distinct aggregate under SPMD combine")
             from ..ops.sort import sort_key
             k1 = sid.astype(jnp.int64)   # already seg for unused rows
             k2 = sort_key(arr, False, None)
@@ -1789,32 +1885,39 @@ class _Interp:
                 sd = sd / (10.0 ** scale)
             a = sd / jnp.maximum(cnt_d, 1)
             return jnp.where(cnt_d == 0, jnp.nan, a)
-        cnt = jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-            use.astype(jnp.int64))[:seg]
+        cnt = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
+            use.astype(jnp.int64))[:seg])
         if op in ("sum", "prod"):
             acc_dt = np.dtype(spec[4])
             xa = arr.astype(acc_dt)
             if op == "sum":
                 vals = jnp.where(use, xa, acc_dt.type(0))
-                out = jnp.zeros(seg + 1, acc_dt).at[sid].add(vals)[:seg]
+                out = comb_sum(
+                    jnp.zeros(seg + 1, acc_dt).at[sid].add(vals)[:seg])
                 if spec[5]:   # int64 overflow re-check via f64 shadow
-                    fsum = jnp.zeros(seg + 1, jnp.float64).at[sid].add(
-                        jnp.where(use, arr.astype(jnp.float64), 0.0))[:seg]
+                    fsum = comb_sum(
+                        jnp.zeros(seg + 1, jnp.float64).at[sid].add(
+                            jnp.where(use, arr.astype(jnp.float64),
+                                      0.0))[:seg])
                     self.flag(jnp.max(jnp.where(jnp.abs(fsum) > 9.1e18,
                                                 1, 0)) > 0, 4)
             else:
                 vals = jnp.where(use, xa, acc_dt.type(1))
                 out = jnp.ones(seg + 1, acc_dt).at[sid].mul(vals)[:seg]
+                if comb_axis is not None:
+                    # no pprod primitive: gather partial products, reduce
+                    out = jnp.prod(
+                        jax.lax.all_gather(out, comb_axis), axis=0)
             return jnp.where(cnt == 0, _nil_const(acc_dt), out)
         if op == "avg":
             scale = spec[4]
             if arr.dtype.kind == "f":
-                s = jnp.zeros(seg + 1, jnp.float64).at[sid].add(
-                    jnp.where(use, arr.astype(jnp.float64), 0.0))[:seg]
+                s = comb_sum(jnp.zeros(seg + 1, jnp.float64).at[sid].add(
+                    jnp.where(use, arr.astype(jnp.float64), 0.0))[:seg])
                 f = s
             else:
-                s = jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                    jnp.where(use, arr.astype(jnp.int64), 0))[:seg]
+                s = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
+                    jnp.where(use, arr.astype(jnp.int64), 0))[:seg])
                 f = s.astype(jnp.float64)
             if scale:
                 f = f / (10.0 ** scale)
@@ -1827,17 +1930,23 @@ class _Interp:
                     dt.type(np.iinfo(dt).max)
                 vals = jnp.where(use, arr, fill)
                 out = jnp.full(seg + 1, fill, dt).at[sid].min(vals)[:seg]
+                if comb_axis is not None:
+                    out = jax.lax.pmin(out, comb_axis)
             else:
                 fill = dt.type(-np.inf) if dt.kind == "f" else \
                     dt.type(np.iinfo(dt).min)
                 vals = jnp.where(use, arr, fill)
                 out = jnp.full(seg + 1, fill, dt).at[sid].max(vals)[:seg]
+                if comb_axis is not None:
+                    out = jax.lax.pmax(out, comb_axis)
             return jnp.where(cnt == 0, _nil_const(dt), out)
         if op == "moment2":
             want, sample, scale = spec[4], spec[5], spec[6]
             xf = jnp.where(use, arr.astype(jnp.float64), 0.0)
-            s1 = jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf)[:seg]
-            s2 = jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf * xf)[:seg]
+            s1 = comb_sum(
+                jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf)[:seg])
+            s2 = comb_sum(
+                jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf * xf)[:seg])
             denom = jnp.maximum(cnt - 1, 1) if sample else jnp.maximum(cnt, 1)
             var = (s2 - s1 * s1 / jnp.maximum(cnt, 1)) / denom
             var = jnp.maximum(var, 0.0)
@@ -2223,12 +2332,9 @@ class _Interp:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("ir",))
-def _run_single(ir, inputs):
-    """Whole plan + result compaction in ONE dispatch (final capacity is
-    small enough to fetch padded)."""
-    rel_ir, out_keys, out_cap = ir
-    itp = _Interp(inputs)
+def _root_compact(itp, rel_ir, out_keys, out_cap):
+    """Run the plan and compact the result to out_cap (shared by the
+    single-device and SPMD entry points)."""
     env, count, mask, cap = itp.rel(rel_ir)
     if mask is None:
         nlive = count
@@ -2244,6 +2350,14 @@ def _run_single(ir, inputs):
         live_out = jax.lax.iota(jnp.int64, out_cap) < nlive
         arrays = tuple(_gather_nil(env[k], oids, live_out) for k in out_keys)
     return itp.err(), itp.exp_totals, nlive, arrays
+
+
+@functools.partial(jax.jit, static_argnames=("ir",))
+def _run_single(ir, inputs):
+    """Whole plan + result compaction in ONE dispatch (final capacity is
+    small enough to fetch padded)."""
+    rel_ir, out_keys, out_cap = ir
+    return _root_compact(_Interp(inputs), rel_ir, out_keys, out_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("ir",))
@@ -2281,6 +2395,87 @@ def _finish_slice(arrays, *, out_cap: int):
     return tuple(a[:out_cap] for a in arrays)
 
 
+# ---------------------------------------------------------------------------
+# SPMD execution over a device mesh - the reference's mitosis + mergetable
+# pipeline (opt_mitosis.c:21 slices every eligible plan across workers;
+# opt_mergetable.c:15-27 replicates operators per piece and two-phase-
+# combines aggregates; mat.c:124 packs the pieces).  Here: the largest
+# scanned table is row-sharded over the mesh, the mask-carrying operator
+# pipeline runs shard-local, dense group-bys combine slot partials with
+# psum over ICI, and order/limit/distinct/build-side barriers all_gather.
+# ---------------------------------------------------------------------------
+
+
+def _spmd_rewrite(ir, sharded: frozenset):
+    """Single-device plan IR -> mesh IR.  Returns (ir', dist) with dist in
+    {"shard", "repl"}: whether the node's rows live sharded over the mesh
+    axis or replicated on every device."""
+    k = ir[0]
+    if k == "scan":
+        if ir[1][0][1] in sharded:
+            return ("scan_sharded",) + ir[1:], "shard"
+        return ir, "repl"
+    if k == "rename":
+        c, d = _spmd_rewrite(ir[1], sharded)
+        return ("rename", c, ir[2]), d
+    if k in ("filter", "project"):
+        c, d = _spmd_rewrite(ir[1], sharded)
+        return (k, c) + ir[2:], d
+    if k in ("orderby", "limit", "distinct", "groupby_sort"):
+        # global-order / global-dedup barriers: gather the shards first
+        # (mat.pack before the order-sensitive consumer)
+        c, d = _spmd_rewrite(ir[1], sharded)
+        if d == "shard":
+            c = ("gather", c)
+        return (k, c) + ir[2:], "repl"
+    if k == "groupby_dense":
+        c, d = _spmd_rewrite(ir[1], sharded)
+        if d == "shard":
+            if any(spec[0].endswith("_distinct") for _key, spec in ir[5]):
+                # distinct aggregates need global value sets: barrier
+                return ("groupby_dense", ("gather", c)) + ir[2:], "repl"
+            return ("groupby_dense_spmd", c) + ir[2:], "repl"
+        return ("groupby_dense", c) + ir[2:], "repl"
+    if k in ("join", "join_expand"):
+        # probe side stays sharded (row-local matching); a sharded build
+        # side is gathered - every device needs the full build table
+        l, dl = _spmd_rewrite(ir[2], sharded)
+        r, dr = _spmd_rewrite(ir[3], sharded)
+        if dr == "shard":
+            r = ("gather", r)
+        return ir[:2] + (l, r) + ir[4:], dl
+    raise Unsupported(f"spmd rewrite: {k}")
+
+
+_SPMD_CACHE: Dict[tuple, object] = {}
+
+
+def _spmd_callable(ir_bundle, mesh, shard_flags: tuple):
+    """jit(shard_map(plan)) cached by (IR, mesh, input sharding)."""
+    key = (ir_bundle, mesh, shard_flags)
+    fn = _SPMD_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    nsh = int(mesh.shape[axis])
+    rel_ir, out_keys, out_cap = ir_bundle
+
+    def f(inputs):
+        itp = _Interp(inputs, axis=axis, nsh=nsh)
+        return _root_compact(itp, rel_ir, out_keys, out_cap)
+
+    in_specs = (tuple(P(axis) if s else P() for s in shard_flags),)
+    # outputs are replicated by construction (psum-combined aggregates or
+    # all_gather-ed rows + deterministic per-device compute); the static
+    # vma checker cannot infer replication through all_gather, so it is
+    # disabled and P() takes the (identical) per-device value
+    fn = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                               out_specs=P(), check_vma=False))
+    _SPMD_CACHE[key] = fn
+    return fn
+
+
 def _raise_err(code: int):
     from ..ops.calc import CalcDivZero, CalcOverflow
     if code == 0:
@@ -2315,7 +2510,8 @@ _LOCK = _threading.Lock()
 #: observability: how many plans ran fused vs fell back (engine increments
 #: "fallback"); tests use this to prove the fused path actually executed.
 #: "uniq_retries"/"cap_retries" count expanding-join re-lowerings.
-STATS = {"runs": 0, "fallbacks": 0, "uniq_retries": 0, "cap_retries": 0}
+STATS = {"runs": 0, "fallbacks": 0, "uniq_retries": 0, "cap_retries": 0,
+         "spmd_runs": 0}
 
 
 def stats_inc(key: str, n: int = 1) -> None:
@@ -2362,6 +2558,7 @@ class CompiledFragment:
         self.expand_used = dict(low.expand_used)
         self.rel_ir = rel_ir
         self.inputs = tuple(low.inputs)
+        self.input_tables = list(low.input_tables)
         self.out_keys = tuple(out_keys)
         self.pts = pts
         self.cap = cap
@@ -2370,12 +2567,99 @@ class CompiledFragment:
         with _LOCK:
             _JOIN_MEMO[self.plan_key] = dict(self.expand)
 
-    def run(self, events: Optional[list] = None) -> FragmentResult:
+    def _pick_shard_inputs(self, nsh: int) -> Optional[frozenset]:
+        """Input indices of the table to row-shard: the largest scanned
+        table whose capacity divides over the mesh (opt_mitosis.c picks
+        pieces from the largest bound column the same way)."""
+        caps: Dict[str, int] = {}
+        idxs: Dict[str, set] = {}
+        for i, tname in enumerate(self.input_tables):
+            if tname is None:
+                continue
+            caps[tname] = self.inputs[i].shape[0]
+            idxs.setdefault(tname, set()).add(i)
+        best = None
+        for tname, cap in caps.items():
+            if cap % nsh or cap < nsh:
+                continue
+            if best is None or cap > caps[best]:
+                best = tname
+        return frozenset(idxs[best]) if best is not None else None
+
+    def _run_spmd(self, mesh, events: Optional[list]) -> FragmentResult:
+        """Execute over a device mesh: SQL in, SPMD out.  The same retry
+        discipline as the single-device path (non-unique build discovery,
+        expansion-capacity overflow) applies."""
+        import time as _time
+        if len(mesh.axis_names) != 1:
+            raise Unsupported("spmd fragment needs a 1-D mesh")
+        nsh = int(mesh.shape[mesh.axis_names[0]])
+        if nsh <= 1:
+            raise Unsupported("single-device mesh")
+        from ..obs import set_algorithm
+        set_algorithm("fragment:spmd")
+        stats_inc("runs")
+        stats_inc("spmd_runs")
+        t0 = _time.perf_counter()
+        rpcs = 0
+        for _attempt in range(8):
+            sharded = self._pick_shard_inputs(nsh)
+            if sharded is None:
+                raise Unsupported("no shardable scan for the mesh")
+            sp_ir, d = _spmd_rewrite(self.rel_ir, sharded)
+            if d == "shard":
+                sp_ir = ("gather", sp_ir)
+            flags = tuple(i in sharded for i in range(len(self.inputs)))
+            fn = _spmd_callable((sp_ir, self.out_keys, self.cap), mesh,
+                                flags)
+            err, tots, count, arrays = fn(self.inputs)
+            err_v, tots_v, count_v, arrs = jax.device_get(
+                (err, tots, count, arrays))
+            rpcs += 1
+            code = int(err_v)
+            if code >= _ERR_DUP_BASE:
+                expand = dict(self.expand)
+                expand[code - _ERR_DUP_BASE] = None
+                self._lower(expand)
+                self.expand = {**expand, **self.expand_used}
+                self._memoize()
+                stats_inc("uniq_retries")
+                continue
+            over = {o: int(t) for o, t in tots_v.items()
+                    if int(t) > self.expand_used.get(o, 0)}
+            if over:
+                expand = dict(self.expand)
+                for o, t in over.items():
+                    expand[o] = capacity_for(max(t, 1))
+                self._lower(expand)
+                self._memoize()
+                stats_inc("cap_retries")
+                continue
+            _raise_err(code)
+            n = int(count_v)
+            if events is not None:
+                events.append({
+                    "op": "fragment.run", "algorithm": "fragment:spmd",
+                    "rows": n, "rpcs": rpcs, "devices": nsh,
+                    "usec": int((_time.perf_counter() - t0) * 1e6)})
+            return FragmentResult(n, [np.asarray(a) for a in arrs],
+                                  self.pts)
+        raise Unsupported("expanding-join retry limit exceeded")
+
+    def run(self, events: Optional[list] = None,
+            mesh=None) -> FragmentResult:
         """Execute; 1 RPC when the result capacity is small (the common
         analytics shape: group-by / limit root), 2 RPCs otherwise, plus
         one re-lowered retry per newly-discovered non-unique join build
-        or expansion-capacity overflow (memoized across runs)."""
+        or expansion-capacity overflow (memoized across runs).  With a
+        mesh (>1 device), the plan runs SPMD (see _run_spmd); plans with
+        no shardable scan fall back to single-device execution."""
         import time as _time
+        if mesh is not None:
+            try:
+                return self._run_spmd(mesh, events)
+            except Unsupported:
+                pass    # e.g. tiny/unshardable plan: run single-device
         from ..obs import set_algorithm
         set_algorithm("fragment:jit")
         stats_inc("runs")

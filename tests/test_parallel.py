@@ -68,3 +68,47 @@ def test_sharded_q1_matches_host(data):
         assert int(sdp[g]) == int(dp.sum())
         assert int(sch[g]) == int((dp * (100 + li["l_tax"][gm]
                                          .astype(object))).sum())
+
+
+# ---------------------------------------------------------------------------
+# SQL queries executed SPMD over the mesh through the fragment compiler
+# (exec/fragment.py _run_spmd) — the plan-integrated analog of the
+# reference's mitosis+mergetable pipeline (opt_mitosis.c:21,
+# opt_mergetable.c:15-27): largest scan row-sharded, dense group-bys
+# psum-combined, order/limit/build-side barriers all_gather-ed.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engines(data):
+    from jax.sharding import Mesh
+    from monetdb_tpu.bench.tpch_load import load_tables
+    from monetdb_tpu.engine import Engine
+    cat = load_tables(data)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    return Engine(cat), Engine(cat, mesh=mesh)
+
+
+def _rows_equal(a, b):
+    assert len(a.rows) == len(b.rows)
+    for ra, rb in zip(a.rows, b.rows):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                assert x == pytest.approx(y, rel=1e-9)
+            else:
+                assert x == y
+
+
+@pytest.mark.parametrize("q", [1, 3, 5, 6, 13, 16, 18, 21])
+def test_sql_multichip_parity(engines, q):
+    """Engine.query over the 8-device mesh == single-device, row for row
+    (covers psum group-by, gather barriers, expanding joins and distinct
+    aggregates under SPMD)."""
+    from monetdb_tpu.bench.tpch_queries import QUERIES
+    from monetdb_tpu.exec import fragment as frag
+    e1, e8 = engines
+    spmd0 = frag.STATS["spmd_runs"]
+    a = e1.query(QUERIES[q])
+    b = e8.query(QUERIES[q])
+    _rows_equal(a, b)
+    assert frag.STATS["spmd_runs"] > spmd0, "mesh engine did not run SPMD"
