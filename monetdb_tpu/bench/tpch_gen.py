@@ -341,8 +341,39 @@ SCHEMA = {
 }
 
 
-def gen_tpch(sf: float = 0.01) -> Dict[str, Dict[str, np.ndarray]]:
-    """Generate all 8 tables at scale factor sf."""
+def gen_tpch(sf: float = 0.01, cache: bool = None) \
+        -> Dict[str, Dict[str, np.ndarray]]:
+    """Generate all 8 tables at scale factor sf.  Large scale factors are
+    cached on disk (deterministic generator, so the cache is pure); set
+    cache=False to force regeneration."""
+    if cache is None:
+        cache = sf >= 0.5
+    if cache:
+        import os
+        import tempfile
+        path = os.path.join(tempfile.gettempdir(),
+                            f"mtpu_tpch_sf{sf}_v1.npz")
+        if os.path.exists(path):
+            try:
+                z = np.load(path, allow_pickle=False)
+                out: Dict[str, Dict[str, np.ndarray]] = {}
+                for k in z.files:
+                    t, c = k.split("::", 1)
+                    out.setdefault(t, {})[c] = z[k]
+                return out
+            except Exception:
+                pass
+        data = gen_tpch(sf, cache=False)
+        try:
+            flat = {f"{t}::{c}": a for t, cols in data.items()
+                    for c, a in cols.items()}
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **flat)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+        return data
     region = gen_region()
     nation = gen_nation()
     supplier = gen_supplier(sf)
