@@ -134,6 +134,25 @@ def _decode_np(raw: np.ndarray, typ, sdict=None) -> list:
     return [None if v == nil else v for v in lst]
 
 
+def _decode_wide(lo: np.ndarray, hi: np.ndarray, typ) -> list:
+    """Wide (int128-range) sum column -> python values: exact total =
+    hi*2^32 + lo recombined in arbitrary-precision python ints (the
+    reference's hge result export, sql_result.c over gdk.h:441 hge)."""
+    nil = int(np.iinfo(np.int64).min)
+    los = np.asarray(lo).tolist()
+    his = np.asarray(hi).tolist()
+    dec = typ.kind == Kind.DECIMAL
+    s = typ.scale if dec else 0
+    out = []
+    for l, h in zip(los, his):
+        if l == nil:
+            out.append(None)
+        else:
+            v = (h << 32) + l
+            out.append(PyDecimal(v).scaleb(-s) if dec else v)
+    return out
+
+
 def _decode_column(col) -> list:
     raw = np.asarray(col.data[: col.count])
     return _decode_np(raw, col.typ, col.sdict)
@@ -249,8 +268,12 @@ class Engine:
                                "usec": int(fragment.lower_ms * 1e3)})
             fr = fragment.run(events=events, mesh=self.mesh)
             QUEUE.check(CURRENT_QUERY.tag)
-            decoded = [_decode_np(a[:fr.count], pt.typ, pt.sdict)
-                       for a, pt in zip(fr.arrays, fr.pts)]
+            decoded = [
+                _decode_wide(a[:fr.count], fr.arrays[fr.wide[i]][:fr.count],
+                             pt.typ)
+                if i in fr.wide
+                else _decode_np(a[:fr.count], pt.typ, pt.sdict)
+                for i, (a, pt) in enumerate(zip(fr.arrays, fr.pts))]
             rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
             return Result(names, [c.typ for c in out_cols], rows,
                           trace=events)

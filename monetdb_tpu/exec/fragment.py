@@ -86,6 +86,12 @@ class PT:
     minval: Optional[int] = None
     maxval: Optional[int] = None
     key: bool = False        # provably unique among live rows (BAT tkey)
+    #: int128-equivalent sum (the reference's hge accumulator,
+    #: gdk/gdk.h:441): the value is carried as TWO int64 arrays - this
+    #: key holds the low 32 bits (in [0, 2^32), int64-min = nil) and a
+    #: companion key (same name + "#hi") holds value >> 32.  Exact total
+    #: = hi * 2^32 + lo, recombined into python ints at result decode.
+    wide: bool = False
 
     @property
     def dt(self) -> str:
@@ -102,6 +108,11 @@ class PT:
     @property
     def is_str(self) -> bool:
         return self.typ.kind == Kind.STR
+
+
+def _hikey(key: Tuple[str, str]) -> Tuple[str, str]:
+    """Companion env key carrying the high 32-bit limbs of a wide sum."""
+    return (key[0], key[1] + "#hi")
 
 
 def _nil_np(dt: str):
@@ -270,6 +281,16 @@ class Lowering:
         items = []
         penv2: Dict[Tuple[str, str], PT] = {}
         for name, e in r.exprs:
+            if isinstance(e, ColRef):
+                key = self._resolve(e, penv)
+                if penv[key].wide:
+                    # pass a wide sum through whole: both limb arrays
+                    items.append((("#out", name), ("env",) + key))
+                    items.append(((_hikey(("#out", name))),
+                                  ("env",) + _hikey(key)))
+                    penv2[("#out", name)] = penv[key]
+                    penv2[_hikey(("#out", name))] = PT(I64, nonil=True)
+                    continue
             ir, pt = self.expr(e, penv)
             items.append((("#out", name), ir))
             penv2[("#out", name)] = pt
@@ -279,6 +300,16 @@ class Lowering:
         cir, penv, cap = self.rel(r.child)
         keys = []
         for e, desc, nl in r.keys:
+            if isinstance(e, ColRef):
+                key = self._resolve(e, penv)
+                if penv[key].wide:
+                    # order a wide sum without narrowing: (hi, lo) is
+                    # value order because lo is kept in [0, 2^32)
+                    nlb = nl if nl is None else bool(nl)
+                    keys.append((("whi", key, _hikey(key)),
+                                 bool(desc), nlb))
+                    keys.append((("env",) + key, bool(desc), nlb))
+                    continue
             ir, pt = self.expr(e, penv)
             if ir[0] == "lit":
                 continue
@@ -522,6 +553,8 @@ class Lowering:
             spec, pt = self._lower_agg(func, arg, penv, distinct=distinct)
             aggs.append(((("#grp", name)), spec))
             penv2[("#grp", name)] = pt
+            if pt.wide:
+                penv2[_hikey(("#grp", name))] = PT(I64, nonil=True)
 
         if dense_ok:
             ir = ("groupby_dense", cir,
@@ -586,7 +619,8 @@ class Lowering:
                 check = acc.np_dtype.kind == "i" \
                     and apt.typ.np_dtype.itemsize == 8
                 return ("sum_distinct", air, anil, apt.dt,
-                        acc.np_dtype.str, check), PT(acc, nonil=False)
+                        acc.np_dtype.str, check), \
+                    PT(acc, nonil=False, wide=check)
             raise Unsupported(f"distinct aggregate {func}")
         if func == "count":
             return ("count", air, anil, apt.dt), PT(I64, nonil=True)
@@ -605,7 +639,7 @@ class Lowering:
             check = func == "sum" and acc.np_dtype.kind == "i" \
                 and apt.typ.np_dtype.itemsize == 8
             return (func, air, anil, apt.dt, acc.np_dtype.str, check), \
-                PT(acc, nonil=False)
+                PT(acc, nonil=False, wide=check)
         if func in ("min", "max"):
             return (func, air, anil, apt.dt), \
                 dataclasses.replace(apt, nonil=False, minval=None,
@@ -623,7 +657,16 @@ class Lowering:
     def expr(self, e: Expr, penv) -> Tuple[tuple, PT]:
         if isinstance(e, ColRef):
             key = self._resolve(e, penv)
-            return ("env",) + key, penv[key]
+            pt = penv[key]
+            if pt.wide:
+                # expression consumption of a wide sum narrows it to
+                # int64 with an exact fits-check (22003 beyond int64 -
+                # replaces the old f64-shadow heuristic); root outputs
+                # bypass this via the project passthrough and decode
+                # the full value exactly
+                return ("wnarrow", key, _hikey(key)), \
+                    dataclasses.replace(pt, wide=False)
+            return ("env",) + key, pt
         if isinstance(e, Const):
             s = self._const(e)
             return self._lit(s)
@@ -1749,7 +1792,12 @@ class _Interp:
         for key, spec in aggs:
             slot = self._agg_slots(spec, env, live, safe, domain, cap,
                                    comb_axis)
-            env2[key] = compact(slot, _nil_const(slot.dtype))
+            if isinstance(slot, tuple):     # wide sum: (lo, hi) limbs
+                lo, hi = slot
+                env2[key] = compact(lo, _nil_const(lo.dtype))
+                env2[_hikey(key)] = compact(hi, jnp.int64(0))
+            else:
+                env2[key] = compact(slot, _nil_const(slot.dtype))
         return env2, ng, None, domain
 
     def r_groupby_dense_spmd(self, ir):
@@ -1801,7 +1849,11 @@ class _Interp:
                 env2[key] = _gather_nil(arr, ext, live_out)
         glive = ids >= 0
         for key, spec in aggs:
-            env2[key] = self._agg_slots(spec, env, glive, sid, cap, cap)
+            slot = self._agg_slots(spec, env, glive, sid, cap, cap)
+            if isinstance(slot, tuple):     # wide sum: (lo, hi) limbs
+                env2[key], env2[_hikey(key)] = slot
+            else:
+                env2[key] = slot
         return env2, ng, None, cap
 
     def _dcode(self, code_ir, env, live, cap):
@@ -1870,12 +1922,18 @@ class _Interp:
             if op == "sum_distinct":
                 acc_dt = np.dtype(spec[4])
                 vals = jnp.where(fu, vs.astype(acc_dt), acc_dt.type(0))
+                if spec[5]:   # exact wide accumulation (see "sum" below)
+                    v64 = vals.astype(jnp.int64)
+                    lo = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
+                        v64 & 0xFFFFFFFF)[:seg]
+                    hi = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
+                        v64 >> 32)[:seg]
+                    hi = hi + (lo >> 32)
+                    lo = lo & 0xFFFFFFFF
+                    lo = jnp.where(cnt_d == 0,
+                                   _nil_const(np.dtype(np.int64)), lo)
+                    return lo, hi
                 out = jnp.zeros(seg + 1, acc_dt).at[sidx].add(vals)[:seg]
-                if spec[5]:   # int64 overflow re-check via f64 shadow
-                    fsum = jnp.zeros(seg + 1, jnp.float64).at[sidx].add(
-                        jnp.where(fu, vs.astype(jnp.float64), 0.0))[:seg]
-                    self.flag(jnp.max(jnp.where(jnp.abs(fsum) > 9.1e18,
-                                                1, 0)) > 0, 4)
                 return jnp.where(cnt_d == 0, _nil_const(acc_dt), out)
             # avg_distinct
             scale = spec[4]
@@ -1892,15 +1950,25 @@ class _Interp:
             xa = arr.astype(acc_dt)
             if op == "sum":
                 vals = jnp.where(use, xa, acc_dt.type(0))
+                if spec[5]:
+                    # exact int128-range accumulation (the reference's
+                    # hge accumulator, gdk/gdk.h:441 + hge sums in
+                    # gdk_aggr.c) via paired 32-bit limbs: lo = sum of
+                    # the low halves, hi = sum of the arithmetic high
+                    # halves; both int64, both psum-combinable, exact
+                    # total = hi*2^32 + lo.  Safe to 2^31 rows/group.
+                    v64 = vals.astype(jnp.int64)
+                    lo = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid]
+                                  .add(v64 & 0xFFFFFFFF)[:seg])
+                    hi = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid]
+                                  .add(v64 >> 32)[:seg])
+                    hi = hi + (lo >> 32)   # carry: lo into [0, 2^32)
+                    lo = lo & 0xFFFFFFFF
+                    lo = jnp.where(cnt == 0,
+                                   _nil_const(np.dtype(np.int64)), lo)
+                    return lo, hi
                 out = comb_sum(
                     jnp.zeros(seg + 1, acc_dt).at[sid].add(vals)[:seg])
-                if spec[5]:   # int64 overflow re-check via f64 shadow
-                    fsum = comb_sum(
-                        jnp.zeros(seg + 1, jnp.float64).at[sid].add(
-                            jnp.where(use, arr.astype(jnp.float64),
-                                      0.0))[:seg])
-                    self.flag(jnp.max(jnp.where(jnp.abs(fsum) > 9.1e18,
-                                                1, 0)) > 0, 4)
             else:
                 vals = jnp.where(use, xa, acc_dt.type(1))
                 out = jnp.ones(seg + 1, acc_dt).at[sid].mul(vals)[:seg]
@@ -1963,6 +2031,27 @@ class _Interp:
 
     def e_env(self, ir, env, live):
         return env[(ir[1], ir[2])]
+
+    def e_whi(self, ir, env, live):
+        """High-limb order key of a wide sum: hi, with the lo nil
+        sentinel propagated so nil groups sort by the nulls rule."""
+        lo = env[ir[1]]
+        hi = env[ir[2]]
+        nil = _nil_const(np.dtype(np.int64))
+        return jnp.where(lo == nil, nil, hi)
+
+    def e_wnarrow(self, ir, env, live):
+        """Wide (int128-range) sum -> int64, exact fits-check.  The limb
+        invariant (lo in [0, 2^32), total = hi*2^32 + lo) makes the check
+        precise: the value fits int64 iff hi is in [-2^31, 2^31)."""
+        lo = env[ir[1]]
+        hi = env[ir[2]]
+        isnil = lo == _nil_const(np.dtype(np.int64))
+        fits = (hi >= -(1 << 31)) & (hi < (1 << 31))
+        self.flag(jnp.any(jnp.broadcast_to(live, lo.shape)
+                          & ~isnil & ~fits), 4)
+        v = hi * (1 << 32) + lo
+        return jnp.where(isnil, _nil_const(np.dtype(np.int64)), v)
 
     def e_in(self, ir, env, live):
         return self.inputs[ir[1]]
@@ -2495,7 +2584,10 @@ def _raise_err(code: int):
 class FragmentResult:
     count: int
     arrays: List[np.ndarray]   # live prefix = rows [0, count)
-    pts: List[PT]
+    pts: List[PT]              # one per result column (≤ len(arrays))
+    #: column index -> index (into arrays) of its high-limb companion
+    #: for wide (int128-range) sums; exact value = hi*2^32 + lo
+    wide: Dict[int, int] = dataclasses.field(default_factory=dict)
 
 
 #: per-plan memo: naive plan IR -> {join ordinal: expansion capacity} for
@@ -2554,6 +2646,14 @@ class CompiledFragment:
                 key = hits[0]
             out_keys.append(key)
             pts.append(penv[key])
+        # wide sums ship both limb arrays: hi companions ride after the
+        # column arrays; decode recombines exactly (engine._decode_wide)
+        wide: Dict[int, int] = {}
+        for i, (key, pt) in enumerate(zip(list(out_keys), pts)):
+            if pt.wide:
+                wide[i] = len(out_keys)
+                out_keys.append(_hikey(key))
+        self.wide = wide
         self.expand = expand
         self.expand_used = dict(low.expand_used)
         self.rel_ir = rel_ir
@@ -2643,7 +2743,7 @@ class CompiledFragment:
                     "rows": n, "rpcs": rpcs, "devices": nsh,
                     "usec": int((_time.perf_counter() - t0) * 1e6)})
             return FragmentResult(n, [np.asarray(a) for a in arrs],
-                                  self.pts)
+                                  self.pts, self.wide)
         raise Unsupported("expanding-join retry limit exceeded")
 
     def run(self, events: Optional[list] = None,
@@ -2720,7 +2820,7 @@ class CompiledFragment:
                     "expanding_joins": len(self.expand_used),
                     "usec": int((_time.perf_counter() - t0) * 1e6)})
             return FragmentResult(n, [np.asarray(a) for a in arrs],
-                                  self.pts)
+                                  self.pts, self.wide)
         raise Unsupported("expanding-join retry limit exceeded")
 
 
