@@ -35,6 +35,10 @@ class Farm:
         self._servers: Dict[str, Server] = {}
         self._dbs: Dict[str, Database] = {}
         self._mu = threading.RLock()
+        self._restarts: Dict[str, List[float]] = {}
+        self._crashed: Dict[str, bool] = {}
+        self._sup_stop: Optional[threading.Event] = None
+        self._sup_thread: Optional[threading.Thread] = None
 
     # -- db lifecycle -----------------------------------------------------
     def _dbdir(self, name: str) -> str:
@@ -90,8 +94,82 @@ class Farm:
             self._write_status()
 
     def stop_all(self) -> None:
+        self.stop_supervisor()
         for name in list(self._servers):
             self.stop(name)
+
+    # -- supervision (forkmserver.c:189: monetdbd babysits mservers and
+    # restarts them on crash; here servers are threads, so "crash" = the
+    # accept loop dying, and restart = reopen the Database - which runs
+    # WAL replay / manifest recovery - and relisten on the same port) ----
+    def supervise(self, interval: float = 0.5, max_restarts: int = 5,
+                  window: float = 60.0) -> None:
+        """Start the babysitter thread: dead servers are restarted, with
+        a crash-loop budget of max_restarts per window seconds (after
+        which the database is marked 'crashed' and left down, like
+        merovingian giving up on a flapping mserver)."""
+        with self._mu:
+            if self._sup_thread is not None:
+                return
+            self._sup_stop = threading.Event()
+            self._sup_thread = threading.Thread(
+                target=self._sup_loop,
+                args=(interval, max_restarts, window), daemon=True)
+            self._sup_thread.start()
+
+    def stop_supervisor(self) -> None:
+        with self._mu:
+            stop, t = self._sup_stop, self._sup_thread
+            self._sup_stop = self._sup_thread = None
+        if stop is not None:
+            stop.set()
+            t.join(timeout=5)
+
+    def _sup_loop(self, interval: float, max_restarts: int,
+                  window: float) -> None:
+        while True:
+            stop = self._sup_stop
+            if stop is None or stop.wait(interval):
+                return
+            self.check_once(max_restarts, window)
+
+    def check_once(self, max_restarts: int = 5,
+                   window: float = 60.0) -> List[str]:
+        """One supervision sweep; returns the names restarted."""
+        restarted = []
+        with self._mu:
+            for name, srv in list(self._servers.items()):
+                if srv.alive:
+                    continue
+                hist = self._restarts.setdefault(name, [])
+                now = time.time()
+                hist[:] = [t for t in hist if now - t < window]
+                host, port = srv.address
+                try:
+                    srv.stop()
+                except Exception:
+                    pass
+                self._servers.pop(name, None)
+                old_db = self._dbs.pop(name, None)
+                if old_db is not None:
+                    try:
+                        old_db.close()
+                    except Exception:
+                        pass
+                if len(hist) >= max_restarts:
+                    self._crashed[name] = True   # flapping: give up
+                    self._write_status()
+                    continue
+                hist.append(now)
+                db = Database(self._dbdir(name))   # WAL replay recovery
+                self._dbs[name] = db
+                self._servers[name] = Server(db, host=host,
+                                             port=port).start()
+                self._crashed.pop(name, None)
+                restarted.append(name)
+            if restarted:
+                self._write_status()
+        return restarted
 
     def db(self, name: str) -> Database:
         """In-process handle of a running database (embedded access)."""
@@ -106,10 +184,13 @@ class Farm:
         with self._mu:
             for name in self.databases():
                 srv = self._servers.get(name)
-                ent = {"name": name,
-                       "state": "running" if srv else "stopped"}
+                state = "running" if srv else (
+                    "crashed" if self._crashed.get(name) else "stopped")
+                ent = {"name": name, "state": state}
                 if srv:
                     ent["host"], ent["port"] = srv.address
+                if self._restarts.get(name):
+                    ent["restarts"] = len(self._restarts[name])
                 out.append(ent)
         return out
 

@@ -158,6 +158,12 @@ class Server:
         self._thread.start()
         return self
 
+    @property
+    def alive(self) -> bool:
+        """Accept loop still running (sabaoth liveness,
+        common/utils/msabaoth.h:78-87: the daemon watches this state)."""
+        return self._thread is not None and self._thread.is_alive()
+
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()

@@ -41,3 +41,58 @@ def test_farm_lifecycle_and_funnel(tmp_path):
     assert sorted(c.sql("select a from t").rows) == [(1,), (2,), (99,)]
     c.close()
     farm.stop_all()
+
+
+def test_supervisor_restarts_crashed_server(tmp_path):
+    """forkmserver.c:189 analog: the babysitter restarts a dead server on
+    the same port (Database reopen = WAL-replay recovery) and gives up on
+    a flapping one after the restart budget."""
+    import time
+
+    farm = Farm(str(tmp_path / "farm"))
+    farm.create("db")
+    h, p = farm.start("db")
+    c = Client(h, p)
+    c.sql("create table t (a int)")
+    c.sql("insert into t values (7)")
+    c.close()
+
+    def crash(name):
+        # simulate a crash: make the accept loop die with an exception
+        import socket as _s
+        srv = farm._servers[name]
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash")
+        srv._srv._handle_request_noblock = boom
+        try:
+            _s.create_connection((h, p), timeout=2).close()
+        except Exception:
+            pass
+        srv._thread.join(timeout=5)
+        assert not srv.alive
+
+    crash("db")
+    restarted = farm.check_once()
+    assert restarted == ["db"]
+    st = {e["name"]: e for e in farm.status()}
+    assert st["db"]["state"] == "running"
+    assert st["db"]["port"] == p                 # same address
+    assert st["db"]["restarts"] == 1
+
+    c = Client(h, p)                             # data survived recovery
+    assert c.sql("select a from t").rows == [(7,)]
+    c.close()
+
+    # crash-loop budget: repeated crashes within the window -> give up
+    for _ in range(5):
+        if "db" not in farm._servers:
+            break
+        crash("db")
+        farm.check_once(max_restarts=3, window=60.0)
+    st = {e["name"]: e for e in farm.status()}
+    assert st["db"]["state"] == "crashed"
+
+    # background babysitter thread start/stop is clean
+    farm.supervise(interval=0.05)
+    time.sleep(0.15)
+    farm.stop_all()
