@@ -942,6 +942,8 @@ class Executor:
         if isinstance(e, Case):
             return self._eval_case(e, fr)
         if isinstance(e, Subquery):
+            if e.kind == "mark_in":
+                return self._eval_mark_in(e, fr)
             return self._eval_subquery(e)
         if isinstance(e, WinRef):
             return self._eval_winref(e, fr)
@@ -978,6 +980,82 @@ class Executor:
         if isinstance(v, tuple):
             return Scalar(v, None)    # interval pseudo-const
         raise ExecError(f"cannot lower constant {v!r}")
+
+    def _eval_mark_in(self, e: Subquery, fr: Frame) -> Column:
+        """x = ANY(S) / x <> ALL(S) in value position: per-row membership
+        with the 3-valued certainty of BATmarkjoin (gdk/gdk_join.c:4367) —
+        i8 1/0/nil: nil when no match but x is nil or S holds nils."""
+        _tag, rel, scols = e.select
+        frame = Executor(self.catalog).run(rel)
+        scol = frame.get("#out", scols[0].name)
+        xv = self.eval(e.outer, fr)
+        nil8 = np.int8(np.iinfo(np.int8).min)
+        n = fr.count
+        if scol.typ.kind == Kind.STR:
+            sl = [None if v is None else str(v)
+                  for v in scol.to_numpy(decode=True)[:frame.count]]
+            svals = np.asarray([v for v in sl if v is not None], object)
+            s_nil = np.asarray([v is None for v in sl], bool)
+            if isinstance(xv, Scalar):
+                xs = np.full(n, xv.value, object)
+                x_nil = np.full(n, xv.value is None, bool)
+            else:
+                xl = [None if v is None else str(v)
+                      for v in xv.to_numpy(decode=True)[:n]]
+                xs = np.asarray([("" if v is None else v) for v in xl],
+                                object)
+                x_nil = np.asarray([v is None for v in xl], bool)
+            member = np.isin(xs, svals) & ~x_nil
+        else:
+            svals = np.asarray(scol.data)[:frame.count]
+            if scol.typ.np_dtype.kind == "i":
+                s_nil = svals == np.iinfo(scol.typ.np_dtype).min
+            elif scol.typ.np_dtype.kind == "f":
+                s_nil = np.isnan(svals)
+            else:
+                s_nil = np.zeros(len(svals), bool)
+            if isinstance(xv, Scalar):
+                x_nil = np.full(n, xv.value is None, bool)
+                xs = np.zeros(n) if xv.value is None else \
+                    np.full(n, xv.value)
+            else:
+                xs = np.asarray(xv.data)[:n]
+                if xv.typ.np_dtype.kind == "i":
+                    x_nil = xs == np.iinfo(xv.typ.np_dtype).min
+                elif xv.typ.np_dtype.kind == "f":
+                    x_nil = np.isnan(xs)
+                else:
+                    x_nil = np.zeros(n, bool)
+            # align decimal scales / float-vs-decimal physicals (the
+            # binder's coercion rules, executor._eval_binop analog)
+            sv = svals[~s_nil]
+            ss = scol.typ.scale if scol.typ.kind == Kind.DECIMAL else 0
+            xt = xv.typ
+            sx = xt.scale if xt is not None and \
+                xt.kind == Kind.DECIMAL else 0
+            xf = xt is not None and xt.np_dtype.kind == "f"
+            sf = scol.typ.np_dtype.kind == "f"
+            if xf and not sf:
+                sv = sv / (10.0 ** ss)
+            elif sf and not xf:
+                xs = xs / (10.0 ** sx)
+            elif sx > ss:
+                sv = sv * (10 ** (sx - ss))
+            elif ss > sx:
+                xs = xs * (10 ** (ss - sx))
+            member = np.isin(xs, sv) & ~x_nil
+        has_nil_s = bool(s_nil.any())
+        empty = frame.count == 0
+        out = np.where(member, np.int8(1), np.int8(0))
+        if e.negated:
+            out = np.where(member, np.int8(0), np.int8(1))
+        if not empty:
+            unknown = (~member) & (x_nil | has_nil_s)
+            out = np.where(unknown, nil8, out)
+        full = np.full(fr.cap, nil8)
+        full[:n] = out
+        from ..dtypes import I8 as _I8
+        return Column(_I8, jnp.asarray(full), fr.count, nonil=False)
 
     def _eval_subquery(self, e: Subquery) -> Scalar:
         if not (isinstance(e.select, tuple) and e.select[0] == "bound"):
@@ -1826,6 +1904,10 @@ class Executor:
                                 regex=getattr(e, "regex", False))
         if isinstance(e, IsNull):
             col = self.eval(e.arg, fr)
+            if isinstance(col, Scalar):
+                hit = (col.value is None) != bool(e.negated)
+                return Cand.all(fr.count) if hit else \
+                    Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
             m = C.isnil(col)
             cand = Cand.from_mask(m.data, fr.count)
             return S.cand_not(cand, fr.cap) if e.negated else cand

@@ -738,6 +738,8 @@ class Lowering:
         which keys the compile cache correctly)."""
         if not (isinstance(e.select, tuple) and e.select[0] == "bound"):
             raise Unsupported("unbound subquery")
+        if e.kind != "scalar":
+            raise Unsupported(f"{e.kind} subquery in fragment expression")
         from .executor import Executor
         _tag, rel, scols = e.select
         frame = Executor(self.catalog).run(rel)

@@ -609,6 +609,18 @@ class Binder:
                 return self._bind_exists(rel, p.select, negated)
             if p.kind == "in":
                 return self._bind_in_subquery(rel, p, negated)
+            if p.kind in ("any", "all"):
+                op = p.cmp_op
+                if (p.kind == "any" and op == "=") or \
+                        (p.kind == "all" and op == "<>"):
+                    # = ANY is IN; <> ALL is NOT IN (sql_subquery.c
+                    # anyequal / allnotequal)
+                    inv = p.kind == "all"
+                    return self._bind_in_subquery(rel, p, negated ^ inv)
+                # negation is pushed into the CASE (NOT of UNKNOWN must
+                # stay UNKNOWN, i.e. excluded by WHERE - a Not() wrapper
+                # over a null-less bool would wrongly admit it)
+                return L.Filter(rel, self._bind_quant(p, negated=negated))
         if isinstance(p, Cmp):
             sq = None
             other = None
@@ -678,7 +690,59 @@ class Binder:
             ref = ColRef("#out", nm)
             ref.typ = i.typ
             eq.append((o, ref))
-        return L.Join(rel, srel, "anti" if negated else "semi", on=eq)
+        j = L.Join(rel, srel, "anti" if negated else "semi", on=eq)
+        if negated and not sub.correlations:
+            # three-valued NOT IN (the mark-join certainty flag,
+            # gdk/gdk_join.c:4367): x NOT IN S is TRUE only when S is
+            # empty, or x is nonnull and S holds no nulls — a non-match
+            # against a null-bearing set is UNKNOWN, which a WHERE
+            # excludes.  The anti join alone would wrongly keep null x
+            # and ignore nulls in S.
+            sub2 = self._sub(outer_scope=self.scope)
+            srel2, scols2 = sub2._bind_query(p.select, collect_corr=True)
+            arg2 = self._out_ref(scols2[0])
+            g = L.GroupBy(srel2, [], [("_qc", "count_star", None, False),
+                                      ("_qn", "count", arg2, False)])
+            refs = {}
+            for nm2 in ("_qc", "_qn"):
+                r2 = ColRef("#grp", nm2)
+                r2.typ = I64
+                refs[nm2] = r2
+            proj = L.Project(g, [("_qc", refs["_qc"]),
+                                 ("_qn", refs["_qn"])])
+
+            def scalar(nm2):
+                sq = Subquery(
+                    ("bound", L.Project(proj, [(nm2, self._ref_out(nm2))]),
+                     [ColInfo("#out", nm2, I64)]), "scalar")
+                sq.typ = I64
+                return sq
+
+            zero = Const(0, I64)
+            zero.typ = I64
+            empty = self._mk_cmp("=", scalar("_qc"), zero)
+            no_nulls = self._mk_cmp("=",
+                                    self._mk_sub(scalar("_qc"),
+                                                 scalar("_qn")), zero)
+            nonnull_x = IsNull(outer, negated=True)
+            nonnull_x.typ = BOOL
+            ok = BoolOp("or", [empty,
+                               _and([nonnull_x, no_nulls])])
+            ok.typ = BOOL
+            return L.Filter(j, ok)
+        return j
+
+    @staticmethod
+    def _ref_out(nm):
+        r = ColRef("#out", nm)
+        r.typ = I64
+        return r
+
+    @staticmethod
+    def _mk_sub(a, b):
+        e = BinOp("-", a, b)
+        e.typ = I64
+        return e
 
     def _bind_scalar_cmp(self, rel, outer_expr: Expr, op: str,
                          sq: Subquery) -> L.Rel:
@@ -706,6 +770,112 @@ class Binder:
             eq.append((o, ref))
         j = L.Join(rel, srel, "inner", on=eq)
         return L.Filter(j, self._mk_cmp(op, outer_b, val_ref))
+
+    def _bind_quant(self, e: Subquery, value_pos: bool = False,
+                    negated: bool = False) -> Expr:
+        """x op ANY/ALL(subq) -> 3-valued CASE over (count, nonnull count,
+        min, max) scalar subqueries — the associative decomposition of the
+        reference's quantified-comparison rewrite (rel_unnest.c +
+        sql_subquery.c anyequal/allnotequal family): for ordered ops the
+        only adversary that matters is the extreme value, so the subquery
+        reduces to four scalars and the tri-state null logic becomes a
+        CASE.  Membership forms (= ANY / <> ALL) bind as IN in predicate
+        position (_apply_subquery_pred); in value position they would
+        need a mark join (gdk/gdk_join.c:4367) and are rejected."""
+        op = e.cmp_op
+        if op in ("=", "<>") and not (
+                (e.kind == "all" and op == "=") or
+                (e.kind == "any" and op == "<>")):
+            # membership in value position: a mark join
+            # (gdk/gdk_join.c:4367 BATmarkjoin's 3-valued certainty flag),
+            # evaluated rowwise by the executor as kind "mark_in"
+            sub = self._sub(outer_scope=self.scope)
+            srel, scols = sub._bind_query(e.select, collect_corr=True)
+            if sub.correlations:
+                raise BindError("correlated ANY/ALL subquery unsupported")
+            from ..dtypes import I8
+            c = Subquery(("bound", srel, scols), "mark_in",
+                         outer=self.bind_expr(e.outer),
+                         negated=(op == "<>"))
+            c.typ = I8
+            return c
+        sub = self._sub(outer_scope=self.scope)
+        srel, scols = sub._bind_query(e.select, collect_corr=True)
+        if sub.correlations:
+            raise BindError("correlated ANY/ALL subquery unsupported")
+        if not scols:
+            raise BindError("ANY/ALL subquery with no output")
+        vt = scols[0].typ
+        arg = self._out_ref(scols[0])
+
+        def agg(name, func, a, typ):
+            g = L.GroupBy(srel, [], [(name, func, a, False)])
+            ref = ColRef("#grp", name)
+            ref.typ = typ
+            proj = L.Project(g, [(name, ref)])
+            sq = Subquery(("bound", proj, [ColInfo("#out", name, typ)]),
+                          "scalar")
+            sq.typ = typ
+            return sq
+
+        cnt = agg("_qc", "count_star", None, I64)
+        cn = agg("_qn", "count", arg, I64)
+        mn = agg("_qmn", "min", arg, vt)
+        mx = agg("_qmx", "max", arg, vt)
+        x = self.bind_expr(e.outer)
+
+        def K(v, t):
+            k = Const(v, t)
+            k.typ = t
+            return k
+
+        def B(node):
+            node.typ = BOOL
+            return node
+
+        # value position: i8 1/0/NULL so UNKNOWN survives decode (BOOL
+        # is physically numpy bool_, which has no nil - the reference's
+        # bit type reserves -128); filter position: BOOL, where the
+        # nil-less UNKNOWN collapsing to False is exactly WHERE semantics
+        if value_pos:
+            from ..dtypes import I8
+            out_t = I8
+            TRUE, FALSE = K(1, I8), K(0, I8)
+        else:
+            out_t = BOOL
+            TRUE, FALSE = K(True, BOOL), K(False, BOOL)
+        if negated:
+            TRUE, FALSE = FALSE, TRUE
+        NULLB = Const(None)
+        NULLB.typ = out_t
+        zero = K(0, I64)
+        empty = self._mk_cmp("=", cnt, zero)
+        xnull = B(IsNull(x))
+        has_null = self._mk_cmp("<", cn, cnt)  # incl. the all-null set
+        bnd_any, bnd_all = (mx, mn) if op in ("<", "<=") else (mn, mx)
+        if op in ("=", "<>"):
+            neq = B(BoolOp("or", [self._mk_cmp("<>", mn, x),
+                                  self._mk_cmp("<>", mx, x)]))
+            if e.kind == "all":    # = ALL
+                case = Case([(empty, TRUE), (xnull, NULLB), (neq, FALSE),
+                             (has_null, NULLB)], TRUE)
+            else:                  # <> ANY
+                case = Case([(empty, FALSE), (xnull, NULLB), (neq, TRUE),
+                             (has_null, NULLB)], FALSE)
+        elif e.kind == "any":
+            # true iff x beats the friendliest nonnull value; else null
+            # when x is null or the set has nulls; else false
+            hit = self._mk_cmp(op, x, bnd_any)
+            case = Case([(empty, FALSE), (hit, TRUE),
+                         (B(BoolOp("or", [xnull, has_null])), NULLB)],
+                        FALSE)
+        else:
+            # ALL: false iff x loses to the harshest nonnull value
+            viol = B(Not(self._mk_cmp(op, x, bnd_all)))
+            case = Case([(empty, TRUE), (xnull, NULLB), (viol, FALSE),
+                         (has_null, NULLB)], TRUE)
+        case.typ = out_t
+        return case
 
     def _try_correlation(self, c: Expr):
         if not isinstance(c, Cmp):
@@ -994,6 +1164,8 @@ class Binder:
             self._retype(c)
             return c
         if isinstance(e, Subquery):
+            if e.kind in ("any", "all"):
+                return self._bind_quant(e, value_pos=True)
             c = copy.copy(e)
             if c.outer is not None:
                 c.outer = self.bind_expr(c.outer)
