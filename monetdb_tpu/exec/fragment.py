@@ -62,6 +62,18 @@ _I64_MAX = np.int64(np.iinfo(np.int64).max)
 # the host re-lowers that join as an expanding join and retries
 _ERR_DUP_BASE = 16
 _DENSE_DOMAIN_MAX = 1 << 20
+
+#: segment count at or below which grouped aggregation uses a fused
+#: masked one-hot broadcast-reduce instead of sort-based reduction.
+#: TPU scatter-add serializes (~20x slower than the one-hot form at 6M
+#: rows on v5e, and s64 scatters at multi-M rows can fault the worker);
+#: the one-hot reduce is the VPU-friendly shape XLA fuses without
+#: materializing the cap x seg intermediate.
+_ONEHOT_MAX = 128
+
+#: largest build-side capacity that still uses the direct-address
+#: (scatter-built) join table; bigger builds sort + binary-search probe.
+_JOIN_DENSE_BUILD_MAX = 1 << 16
 # results whose final capacity is at most this are fetched in one RPC;
 # larger ones sync the count first and compact to a tight capacity
 _SINGLE_PHASE_CAP = 1 << 16
@@ -444,7 +456,14 @@ class Lowering:
                              a_pt.is_str))
         if domain is None and len(pairs) > 1:
             raise Unsupported("multi-key join without packable bounds")
-        if domain is not None and \
+        # direct-address build writes one table slot per build row - a
+        # scatter, which TPU serializes (~20x slower than a device sort
+        # at multi-M rows and a worker-fault risk).  It only wins for
+        # small dimension-table builds where the probe's single gather
+        # beats the sort path's binary search; big builds take the
+        # sort + searchsorted mergejoin (the same trade joincost makes,
+        # gdk/gdk_join.c:3586).
+        if domain is not None and rcap <= _JOIN_DENSE_BUILD_MAX and \
                 domain <= max(65536, min(self._JOIN_DENSE_MAX, 16 * rcap)):
             strat = "dense"
         else:
@@ -1360,6 +1379,107 @@ def _nilm_arr(x):
     return x == jnp.iinfo(x.dtype).min
 
 
+def _ss(sorted_arr, targets, side: str):
+    """Device searchsorted, sort-based: the default 'scan' method is a
+    sequential binary search whose random gathers run ~8x slower on TPU
+    than re-sorting the combined array (measured 253 ms vs 33 ms at 512k
+    needles x 512k haystack on v5e)."""
+    return jnp.searchsorted(sorted_arr, targets, side=side, method="sort")
+
+
+class _SegReduce:
+    """Scatter-free segmented reduction (the TPU form of the reference's
+    BATgroup* aggregation loops, gdk/gdk_aggr.c:900).
+
+    sid must hold the segment id in [0, seg) for contributing rows and
+    seg for excluded rows.  Two strategies, picked by segment count:
+
+    * seg <= _ONEHOT_MAX: masked one-hot broadcast-reduce - XLA fuses
+      the (cap, seg) comparison into the reduction, no intermediate.
+    * else: ONE shared device sort of (sid, iota) (GDKrsort analog,
+      gdk/gdk_rsort.c:20); per-aggregate reductions then gather values
+      into segment order and use log-depth prefix ops: cumsum +
+      boundary-diff for sums (exact for ints; ~eps*log n error for
+      floats), segmented associative_scan for min/max.  A caller that
+      already sorted (groupby_sort) passes its (sorted_sid, perm) so no
+      second sort happens.
+
+    Per-aggregate validity (skip_nils) is handled by the caller masking
+    values to the reduction identity; excluded rows keep their slot in
+    the shared sort, so one sort serves every aggregate of a group-by.
+    """
+
+    def __init__(self, sid, seg: int, cap: int, sorted_ctx=None):
+        self.seg = int(seg)
+        self.cap = int(cap)
+        if sorted_ctx is None and self.seg <= _ONEHOT_MAX:
+            self.mode = "onehot"
+            slots = jax.lax.iota(jnp.int64, self.seg)[None, :]
+            self.oh = sid[:, None] == slots
+            return
+        self.mode = "sorted"
+        if sorted_ctx is None:
+            s, perm = jax.lax.sort(
+                (sid, jax.lax.iota(jnp.int64, cap)), num_keys=1)
+            sorted_ctx = (s, perm)
+        self.s, self.perm = sorted_ctx
+        self.ends = _ss(
+            self.s, jnp.arange(self.seg, dtype=self.s.dtype), "right")
+        self.starts = jnp.concatenate(
+            [jnp.zeros(1, self.ends.dtype), self.ends[:-1]])
+
+    def sum(self, vals, dtype=None):
+        """Per-segment sum; vals must be 0 outside the contributing set."""
+        dt = np.dtype(dtype) if dtype is not None else vals.dtype
+        if self.mode == "onehot":
+            return jnp.sum(jnp.where(self.oh, vals.astype(dt)[:, None],
+                                     dt.type(0)), axis=0)
+        v = vals.astype(dt)[self.perm]
+        c = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(v)])
+        return c[self.ends] - c[self.starts]
+
+    def extreme(self, vals, fill, is_min: bool):
+        """Per-segment min/max; vals must be `fill` outside the set."""
+        if self.mode == "onehot":
+            red = jnp.min if is_min else jnp.max
+            return red(jnp.where(self.oh, vals[:, None], fill), axis=0)
+        v = vals[self.perm]
+        first = (jax.lax.iota(jnp.int64, self.cap) == 0) | \
+            (self.s != jnp.roll(self.s, 1))
+
+        def op(a, b):
+            fa, va = a
+            fb, vb = b
+            m = jnp.minimum(va, vb) if is_min else jnp.maximum(va, vb)
+            return fa | fb, jnp.where(fb, vb, m)
+
+        _f, m = jax.lax.associative_scan(op, (first, v))
+        out = m[jnp.clip(self.ends - 1, 0, self.cap - 1)]
+        return jnp.where(self.ends > self.starts, out, fill)
+
+    def prod(self, vals):
+        """Per-segment product; vals must be 1 outside the set.  The
+        sorted strategy keeps the (small, seg-sized) scatter: cumprod
+        would overflow where the product itself does not."""
+        if self.mode == "onehot":
+            return jnp.prod(jnp.where(self.oh, vals[:, None],
+                                      vals.dtype.type(1)), axis=0)
+        v = vals[self.perm]
+        out = jnp.ones(self.seg + 1, vals.dtype)
+        return out.at[self.s].mul(v, mode="drop")[:self.seg]
+
+    def first_index(self):
+        """Original-row index of each segment's first sorted element
+        (-1 for empty segments) - BATgroup extents."""
+        if self.mode == "onehot":
+            io = jax.lax.iota(jnp.int64, self.oh.shape[0])
+            big = jnp.int64(self.cap + 1)
+            ext = jnp.min(jnp.where(self.oh, io[:, None], big), axis=0)
+            return jnp.where(ext > self.cap, jnp.int64(-1), ext)
+        ext = self.perm[jnp.clip(self.starts, 0, self.cap - 1)]
+        return jnp.where(self.ends > self.starts, ext, jnp.int64(-1))
+
+
 def _nil_const(dtype):
     d = np.dtype(dtype)
     if d.kind == "f":
@@ -1505,19 +1625,17 @@ class _Interp:
             oids = jax.lax.iota(jnp.int64, out_cap) + offset
             oids = jnp.where(oids < count, oids, -1)
         else:
+            # scatter-free: oids[r] = index of the (offset+r+1)-th live
+            # row via inclusive-cumsum + searchsorted (see _compact_oids)
             nlive = jnp.sum(live.astype(jnp.int64))
-            mi = live.astype(jnp.int64)
-            idx = jnp.cumsum(mi) - mi           # rank among live rows
-            tgt = idx - offset
-            hi = jnp.int64(out_cap if n is None else min(n, out_cap))
-            sel = live & (tgt >= 0) & (tgt < hi)
-            pos = jnp.where(sel, tgt, out_cap)
-            io = jax.lax.iota(jnp.int64, cap)
-            oids = jnp.full(out_cap, jnp.int64(-1)).at[pos].set(
-                io, mode="drop")
+            csum = jnp.cumsum(live.astype(jnp.int64))
+            ranks = jax.lax.iota(jnp.int64, out_cap) + offset + 1
+            oids = _ss(csum, ranks, "left")
         count2 = jnp.clip(nlive - offset, 0,
                           out_cap if n is None else min(n, out_cap))
         live_out = jax.lax.iota(jnp.int64, out_cap) < count2
+        if mask is not None:
+            oids = jnp.where(live_out, oids, -1)
         env2 = {k: _gather_nil(a, oids, live_out) for k, a in env.items()}
         return env2, count2, None, out_cap
 
@@ -1528,8 +1646,8 @@ class _Interp:
         env, count, mask, cap = self.rel(ir[1])
         live = self.live_of(cap, count, mask)
         keys = [sort_key(env[(e[1], e[2])], False, None) for e, _d, _n in ir[2]]
-        ids, ng, _ = self._sort_ids(keys, live, cap)
-        ext, _hist = self._extents(ids, cap, cap)
+        ng, _rows, sctx = self._sort_ids(keys, live, cap)
+        ext = _SegReduce(None, cap, cap, sorted_ctx=sctx).first_index()
         live_out = jax.lax.iota(jnp.int64, cap) < ng
         env2 = {k: _gather_nil(a, ext, live_out) for k, a in env.items()}
         return env2, ng, None, cap
@@ -1598,7 +1716,7 @@ class _Interp:
                 dup = (ks[1:] == ks[:-1]) & (ks[1:] != _I64_MAX)
                 self.flag(jnp.any(dup), _ERR_DUP_BASE + ordinal)
             kl = jnp.where(lvalid, code_l, _I64_MAX)
-            pos = jnp.clip(jnp.searchsorted(ks, kl), 0, rcap - 1)
+            pos = jnp.clip(_ss(ks, kl, "left"), 0, rcap - 1)
             matched = lvalid & (ks[pos] == kl) & (kl != _I64_MAX)
             rowid = jnp.where(matched, rs[pos], -1)
 
@@ -1651,8 +1769,8 @@ class _Interp:
         kr = jnp.where(rvalid, code_r, _I64_MAX)
         ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
         kl = jnp.where(lvalid, code_l, _I64_MAX)
-        s = jnp.searchsorted(ks, kl, side="left")
-        e = jnp.searchsorted(ks, kl, side="right")
+        s = _ss(ks, kl, "left")
+        e = _ss(ks, kl, "right")
         c = jnp.where(lvalid, e - s, 0).astype(jnp.int64)
         if kind == "left":
             # probe rows with no match still emit one (nil-right) row
@@ -1667,7 +1785,7 @@ class _Interp:
             jax.lax.pmax(total, self.axis)
 
         j = jax.lax.iota(jnp.int64, ecap)
-        i = jnp.searchsorted(csum, j, side="right")
+        i = _ss(csum, j, "right")
         i_safe = jnp.clip(i, 0, lcap - 1)
         ok = j < total
         start = csum[i_safe] - c_out[i_safe]
@@ -1686,8 +1804,14 @@ class _Interp:
             if extra is not None:
                 ex = ex & jnp.broadcast_to(
                     self.pv(extra, env2, live_out), (ecap,))
-            hit = jnp.zeros(lcap, jnp.bool_).at[
-                jnp.where(ex, i_safe, lcap)].max(ex, mode="drop")
+            # pairs are emitted in probe-row order, so "any pair of probe
+            # row i passed" is a range-sum over [csum[i]-c_out[i], csum[i])
+            # - scatter-free (cumsum + two gathers), unlike a scatter-OR
+            cs = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                  jnp.cumsum(ex.astype(jnp.int64))])
+            hi_i = jnp.clip(csum, 0, ecap)
+            lo_i = jnp.clip(csum - c_out, 0, ecap)
+            hit = (cs[hi_i] - cs[lo_i]) > 0
             m = hit if kind == "semi" else ~hit
             mask2 = m if lmask is None else (lmask & m)
             return lenv, lcount, mask2, lcap
@@ -1704,7 +1828,10 @@ class _Interp:
     # group-by machinery ----------------------------------------------------
     @staticmethod
     def _sort_ids(keys, live, cap):
-        """Per-row group ids via device sort (ops/group.py _sort_group)."""
+        """Per-row group ids via device sort (ops/group.py _sort_group).
+        Also returns the sorted context (sorted segment ids + the
+        permutation) so segment reductions reuse this sort instead of
+        re-sorting (_SegReduce sorted strategy)."""
         dead = (~live).astype(jnp.int8)
         io = jax.lax.iota(jnp.int64, cap)
         out = jax.lax.sort((dead, *keys, io), num_keys=1 + len(keys),
@@ -1718,21 +1845,18 @@ class _Interp:
         live_s = d_s == 0
         gid_s = jnp.cumsum((bound & live_s).astype(jnp.int32)) - 1
         ng = (jnp.max(jnp.where(live_s, gid_s, -1)) + 1).astype(jnp.int64)
-        ids = jnp.full(cap, jnp.int32(-1)).at[rows].set(
-            jnp.where(live_s, gid_s, -1))
-        return ids, ng, rows
+        sid_sorted = jnp.where(live_s, gid_s.astype(jnp.int64),
+                               jnp.int64(cap))
+        return ng, rows, (sid_sorted, rows)
 
     @staticmethod
-    def _extents(ids, cap, seg):
-        live = ids >= 0
-        safe = jnp.where(live, ids.astype(jnp.int64), seg)
-        ones = live.astype(jnp.int64)
-        hist = jnp.zeros(seg + 1, jnp.int64).at[safe].add(ones)[:seg]
-        io = jax.lax.iota(jnp.int64, cap)
-        big = jnp.int64(cap + 1)
-        ext = jnp.full(seg + 1, big, jnp.int64).at[safe].min(
-            jnp.where(live, io, big))[:seg]
-        return jnp.where(hist > 0, ext, -1), hist
+    def _ids_of(sctx, cap):
+        """Per-original-row group id (-1 dead) - the inverse permutation,
+        a cap-size scatter; only built when an aggregate needs ids in
+        original row order (distinct aggregates)."""
+        sid_sorted, rows = sctx
+        gid = jnp.where(sid_sorted < cap, sid_sorted, -1)
+        return jnp.full(cap, jnp.int64(-1)).at[rows].set(gid)
 
     def r_groupby_dense(self, ir, spmd: bool = False):
         """Histogram grouping over a combined small domain
@@ -1753,19 +1877,18 @@ class _Interp:
         for code_ir, d, _dt in dense_specs:
             code = self._dcode(code_ir, env, live, cap)
             comb = comb * d + code
+        safe = jnp.where(live, comb, domain)
+        red = _SegReduce(safe, domain, cap)
         if dense_specs:
-            safe = jnp.where(live, comb, domain)
-            ones = live.astype(jnp.int64)
-            hist = jnp.zeros(domain + 1, jnp.int64).at[safe].add(ones)
+            hist = red.sum(live.astype(jnp.int64))
             if comb_axis is not None:
                 hist = jax.lax.psum(hist, comb_axis)
-            present = hist[:domain] > 0
+            present = hist > 0
             newid = jnp.cumsum(present.astype(jnp.int32)) - 1
             ng = jnp.sum(present.astype(jnp.int64))
         else:
             # scalar aggregation: always exactly one output row, even for
             # empty input (SQL: SELECT sum(x) over nothing -> one nil row)
-            safe = jnp.where(live, comb, domain)
             present = jnp.ones(1, jnp.bool_)
             newid = jnp.zeros(1, jnp.int32)
             ng = jnp.int64(1)
@@ -1793,7 +1916,7 @@ class _Interp:
                 env2[key] = v
         for key, spec in aggs:
             slot = self._agg_slots(spec, env, live, safe, domain, cap,
-                                   comb_axis)
+                                   comb_axis, red=red)
             if isinstance(slot, tuple):     # wide sum: (lo, hi) limbs
                 lo, hi = slot
                 env2[key] = compact(lo, _nil_const(lo.dtype))
@@ -1838,20 +1961,25 @@ class _Interp:
             if arr.ndim == 0:
                 arr = jnp.broadcast_to(arr, (cap,))
             karrs.append(sort_key(arr, False, None))
-        ids, ng, _rows = self._sort_ids(karrs, live, cap)
-        sid = jnp.where(ids >= 0, ids.astype(jnp.int64), cap)
+        ng, _rows, sctx = self._sort_ids(karrs, live, cap)
+        red = _SegReduce(None, cap, cap, sorted_ctx=sctx)
+        # per-original-row ids (a cap-size scatter) only for distinct aggs
+        sid = None
+        if any(spec[0].endswith("_distinct") for _k, spec in aggs):
+            ids = self._ids_of(sctx, cap)
+            sid = jnp.where(ids >= 0, ids, cap)
         env2 = {}
         if key_outs:
-            ext, _h = self._extents(ids, cap, cap)
+            ext = red.first_index()
             live_out = jax.lax.iota(jnp.int64, cap) < ng
             for key, e in key_outs:
                 arr = self.ev(e, env, live)
                 if arr.ndim == 0:
                     arr = jnp.broadcast_to(arr, (cap,))
                 env2[key] = _gather_nil(arr, ext, live_out)
-        glive = ids >= 0
         for key, spec in aggs:
-            slot = self._agg_slots(spec, env, glive, sid, cap, cap)
+            slot = self._agg_slots(spec, env, live, sid, cap, cap,
+                                   red=red)
             if isinstance(slot, tuple):     # wide sum: (lo, hi) limbs
                 env2[key], env2[_hikey(key)] = slot
             else:
@@ -1882,25 +2010,23 @@ class _Interp:
     # associative decomposition the reference uses for partitioned
     # aggregation (BATgroupavg3combine, gdk/gdk_aggr.c:2634).
     def _agg_slots(self, spec, env, live, sid_live, seg, cap,
-                   comb_axis: Optional[str] = None):
+                   comb_axis: Optional[str] = None, red=None):
         def comb_sum(x):
             return x if comb_axis is None else jax.lax.psum(x, comb_axis)
 
+        if red is None:
+            red = _SegReduce(jnp.where(live, sid_live, seg), seg, cap)
         op = spec[0]
         if op == "count_star":
-            sid = jnp.where(live, sid_live, seg)
-            return comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                live.astype(jnp.int64))[:seg])
+            return comb_sum(red.sum(live.astype(jnp.int64)))
         arr = self.ev(spec[1], env, live)
         if arr.ndim == 0:
             arr = jnp.broadcast_to(arr, (cap,))
         anil = spec[2]
         nilm = _nilm_arr(arr) if anil else jnp.zeros(cap, jnp.bool_)
         use = live & ~nilm
-        sid = jnp.where(use, sid_live, seg)
         if op == "count":
-            return comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                use.astype(jnp.int64))[:seg])
+            return comb_sum(red.sum(use.astype(jnp.int64)))
         if op in ("count_distinct", "sum_distinct", "avg_distinct"):
             # dedup (group, value) pairs by sort, reduce first occurrences
             # (gdk_aggr.c count-distinct; the fused form of
@@ -1909,16 +2035,18 @@ class _Interp:
             if comb_axis is not None:
                 raise Unsupported("distinct aggregate under SPMD combine")
             from ..ops.sort import sort_key
-            k1 = sid.astype(jnp.int64)   # already seg for unused rows
+            k1 = jnp.where(use, sid_live, seg).astype(jnp.int64)
             k2 = sort_key(arr, False, None)
             k1s, k2s, vs = jax.lax.sort((k1, k2, arr), num_keys=2,
                                         is_stable=True)
             first = (jax.lax.iota(jnp.int32, cap) == 0) | \
                 (k1s != jnp.roll(k1s, 1)) | (k2s != jnp.roll(k2s, 1))
             fu = first & (k1s < seg)
-            sidx = jnp.where(fu, k1s, jnp.int64(seg))
-            cnt_d = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
-                fu.astype(jnp.int64))[:seg]
+            # k1s is sorted by group: reduce via the shared sorted
+            # strategy with an identity permutation (no second sort)
+            dred = _SegReduce(k1s, seg, cap, sorted_ctx=(
+                k1s, jax.lax.iota(jnp.int64, cap)))
+            cnt_d = dred.sum(fu.astype(jnp.int64))
             if op == "count_distinct":
                 return cnt_d
             if op == "sum_distinct":
@@ -1926,27 +2054,23 @@ class _Interp:
                 vals = jnp.where(fu, vs.astype(acc_dt), acc_dt.type(0))
                 if spec[5]:   # exact wide accumulation (see "sum" below)
                     v64 = vals.astype(jnp.int64)
-                    lo = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
-                        v64 & 0xFFFFFFFF)[:seg]
-                    hi = jnp.zeros(seg + 1, jnp.int64).at[sidx].add(
-                        v64 >> 32)[:seg]
+                    lo = dred.sum(v64 & 0xFFFFFFFF)
+                    hi = dred.sum(v64 >> 32)
                     hi = hi + (lo >> 32)
                     lo = lo & 0xFFFFFFFF
                     lo = jnp.where(cnt_d == 0,
                                    _nil_const(np.dtype(np.int64)), lo)
                     return lo, hi
-                out = jnp.zeros(seg + 1, acc_dt).at[sidx].add(vals)[:seg]
+                out = dred.sum(vals, acc_dt)
                 return jnp.where(cnt_d == 0, _nil_const(acc_dt), out)
             # avg_distinct
             scale = spec[4]
-            sd = jnp.zeros(seg + 1, jnp.float64).at[sidx].add(
-                jnp.where(fu, vs.astype(jnp.float64), 0.0))[:seg]
+            sd = dred.sum(jnp.where(fu, vs.astype(jnp.float64), 0.0))
             if scale:
                 sd = sd / (10.0 ** scale)
             a = sd / jnp.maximum(cnt_d, 1)
             return jnp.where(cnt_d == 0, jnp.nan, a)
-        cnt = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-            use.astype(jnp.int64))[:seg])
+        cnt = comb_sum(red.sum(use.astype(jnp.int64)))
         if op in ("sum", "prod"):
             acc_dt = np.dtype(spec[4])
             xa = arr.astype(acc_dt)
@@ -1960,20 +2084,17 @@ class _Interp:
                     # halves; both int64, both psum-combinable, exact
                     # total = hi*2^32 + lo.  Safe to 2^31 rows/group.
                     v64 = vals.astype(jnp.int64)
-                    lo = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid]
-                                  .add(v64 & 0xFFFFFFFF)[:seg])
-                    hi = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid]
-                                  .add(v64 >> 32)[:seg])
+                    lo = comb_sum(red.sum(v64 & 0xFFFFFFFF))
+                    hi = comb_sum(red.sum(v64 >> 32))
                     hi = hi + (lo >> 32)   # carry: lo into [0, 2^32)
                     lo = lo & 0xFFFFFFFF
                     lo = jnp.where(cnt == 0,
                                    _nil_const(np.dtype(np.int64)), lo)
                     return lo, hi
-                out = comb_sum(
-                    jnp.zeros(seg + 1, acc_dt).at[sid].add(vals)[:seg])
+                out = comb_sum(red.sum(vals, acc_dt))
             else:
                 vals = jnp.where(use, xa, acc_dt.type(1))
-                out = jnp.ones(seg + 1, acc_dt).at[sid].mul(vals)[:seg]
+                out = red.prod(vals)
                 if comb_axis is not None:
                     # no pprod primitive: gather partial products, reduce
                     out = jnp.prod(
@@ -1982,12 +2103,11 @@ class _Interp:
         if op == "avg":
             scale = spec[4]
             if arr.dtype.kind == "f":
-                s = comb_sum(jnp.zeros(seg + 1, jnp.float64).at[sid].add(
-                    jnp.where(use, arr.astype(jnp.float64), 0.0))[:seg])
-                f = s
+                f = comb_sum(red.sum(
+                    jnp.where(use, arr.astype(jnp.float64), 0.0)))
             else:
-                s = comb_sum(jnp.zeros(seg + 1, jnp.int64).at[sid].add(
-                    jnp.where(use, arr.astype(jnp.int64), 0))[:seg])
+                s = comb_sum(red.sum(
+                    jnp.where(use, arr.astype(jnp.int64), 0)))
                 f = s.astype(jnp.float64)
             if scale:
                 f = f / (10.0 ** scale)
@@ -1998,25 +2118,21 @@ class _Interp:
             if op == "min":
                 fill = dt.type(np.inf) if dt.kind == "f" else \
                     dt.type(np.iinfo(dt).max)
-                vals = jnp.where(use, arr, fill)
-                out = jnp.full(seg + 1, fill, dt).at[sid].min(vals)[:seg]
+                out = red.extreme(jnp.where(use, arr, fill), fill, True)
                 if comb_axis is not None:
                     out = jax.lax.pmin(out, comb_axis)
             else:
                 fill = dt.type(-np.inf) if dt.kind == "f" else \
                     dt.type(np.iinfo(dt).min)
-                vals = jnp.where(use, arr, fill)
-                out = jnp.full(seg + 1, fill, dt).at[sid].max(vals)[:seg]
+                out = red.extreme(jnp.where(use, arr, fill), fill, False)
                 if comb_axis is not None:
                     out = jax.lax.pmax(out, comb_axis)
             return jnp.where(cnt == 0, _nil_const(dt), out)
         if op == "moment2":
             want, sample, scale = spec[4], spec[5], spec[6]
             xf = jnp.where(use, arr.astype(jnp.float64), 0.0)
-            s1 = comb_sum(
-                jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf)[:seg])
-            s2 = comb_sum(
-                jnp.zeros(seg + 1, jnp.float64).at[sid].add(xf * xf)[:seg])
+            s1 = comb_sum(red.sum(xf))
+            s2 = comb_sum(red.sum(xf * xf))
             denom = jnp.maximum(cnt - 1, 1) if sample else jnp.maximum(cnt, 1)
             var = (s2 - s1 * s1 / jnp.maximum(cnt, 1)) / denom
             var = jnp.maximum(var, 0.0)
@@ -2432,13 +2548,7 @@ def _root_compact(itp, rel_ir, out_keys, out_cap):
         arrays = tuple(env[k][:out_cap] for k in out_keys)
     else:
         live = itp.live_of(cap, count, mask)
-        nlive = jnp.sum(live.astype(jnp.int64))
-        mi = live.astype(jnp.int64)
-        idx = jnp.cumsum(mi) - mi
-        io = jax.lax.iota(jnp.int64, cap)
-        pos = jnp.where(live, idx, out_cap)
-        oids = jnp.full(out_cap, jnp.int64(-1)).at[pos].set(io, mode="drop")
-        live_out = jax.lax.iota(jnp.int64, out_cap) < nlive
+        oids, nlive, live_out = _compact_oids(live, out_cap)
         arrays = tuple(_gather_nil(env[k], oids, live_out) for k in out_keys)
     return itp.err(), itp.exp_totals, nlive, arrays
 
@@ -2468,16 +2578,22 @@ def _run_raw(ir, inputs):
     return itp.err(), itp.exp_totals, nlive, live, arrays
 
 
+def _compact_oids(live, out_cap: int):
+    """Scatter-free compaction map: oids[r] = index of the (r+1)-th live
+    row, -1 past the live count (TPU: inclusive-cumsum + searchsorted
+    gather replaces the serialized scatter-set; same virtualize role as
+    gdk/gdk_select.c:30)."""
+    csum = jnp.cumsum(live.astype(jnp.int64))
+    nlive = csum[-1] if live.shape[0] else jnp.int64(0)
+    ranks = jax.lax.iota(jnp.int64, out_cap) + 1
+    oids = _ss(csum, ranks, "left")
+    live_out = ranks <= nlive
+    return jnp.where(live_out, oids, -1), nlive, live_out
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def _finish_mask(live, arrays, *, out_cap: int):
-    cap = live.shape[0]
-    mi = live.astype(jnp.int64)
-    idx = jnp.cumsum(mi) - mi
-    io = jax.lax.iota(jnp.int64, cap)
-    pos = jnp.where(live, idx, out_cap)
-    oids = jnp.full(out_cap, jnp.int64(-1)).at[pos].set(io, mode="drop")
-    nlive = jnp.sum(mi)
-    live_out = jax.lax.iota(jnp.int64, out_cap) < nlive
+    oids, _nlive, live_out = _compact_oids(live, out_cap)
     return tuple(_gather_nil(a, oids, live_out) for a in arrays)
 
 

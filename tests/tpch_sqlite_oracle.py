@@ -25,6 +25,11 @@ def _days(s: str) -> int:
 
 def load_sqlite(data: Dict[str, Dict[str, np.ndarray]]) -> sqlite3.Connection:
     con = sqlite3.connect(":memory:")
+    # sqlite LIKE is case-insensitive by default; MonetDB's (and the
+    # TPC-H spec queries') LIKE is case-sensitive (ILIKE is the
+    # insensitive form).  Without this, SF1 data hits case variants
+    # ("customer ... complaints") and the oracle diverges on Q9/Q13/Q16.
+    con.execute("pragma case_sensitive_like = ON")
     for tname, cols in data.items():
         names = list(cols)
         con.execute(f"create table {tname} ({', '.join(names)})")
