@@ -118,3 +118,46 @@ def test_skew_detection(mesh):
     koh, soh, glh = np.asarray(ko), np.asarray(so), np.asarray(gl)
     got = dict(zip(koh[glh].tolist(), soh[glh].tolist()))
     assert got[3] == int((key == 3).sum())
+
+
+def test_skew_aware_auto_group_sum(mesh):
+    """Zipf-hot keys: the auto mode pre-combines per shard, so the lane
+    capacity stays near the distinct-key mean instead of the hot key's
+    row count (VERDICT r2 item 8; the reference ships whole columns,
+    modules/mal/remote.c:971)."""
+    from monetdb_tpu.parallel.shuffle import dist_group_sum_auto
+
+    rng = np.random.default_rng(11)
+    n, nkeys = 16000, 257
+    key = np.where(rng.random(n) < 0.75, 7,
+                   rng.integers(0, nkeys, n)).astype(np.int64)
+    val = rng.integers(0, 1000, n).astype(np.int64)
+    k = shard_array(key, mesh)
+    v = shard_array(val, mesh)
+    lv_np = np.zeros(k.shape[0], bool)
+    lv_np[:n] = True
+    lv = shard_array(lv_np, mesh)
+
+    ko, so, gl, info = dist_group_sum_auto(mesh, k, v, lv)
+    assert info["skewed"] and info["ratio"] > 4.0
+    # the measured post-combine lane stays near the distinct-key mean
+    # (~nkeys/D + 1 hot partial per shard), NOT the hot key's ~12000 rows
+    assert info["max_lane"] < 150
+    koh, soh, glh = np.asarray(ko), np.asarray(so), np.asarray(gl)
+    got = dict(zip(koh[glh].tolist(), soh[glh].tolist()))
+    want = {}
+    for kk, vv in zip(key.tolist(), val.tolist()):
+        want[kk] = want.get(kk, 0) + vv
+    assert got == want
+
+    # uniform keys: auto mode must NOT engage the combiner
+    key_u = rng.integers(0, nkeys, n).astype(np.int64)
+    ku = shard_array(key_u, mesh)
+    ko2, so2, gl2, info2 = dist_group_sum_auto(mesh, ku, v, lv)
+    assert not info2["skewed"]
+    got2 = dict(zip(np.asarray(ko2)[np.asarray(gl2)].tolist(),
+                    np.asarray(so2)[np.asarray(gl2)].tolist()))
+    want2 = {}
+    for kk, vv in zip(key_u.tolist(), val.tolist()):
+        want2[kk] = want2.get(kk, 0) + vv
+    assert got2 == want2
