@@ -31,19 +31,26 @@ class DatabaseError(Error):
 
 def connect(database: Optional[str] = None, host: Optional[str] = None,
             port: Optional[int] = None, user: Optional[str] = None,
-            password: Optional[str] = None) -> "Connection":
+            password: Optional[str] = None,
+            columnar: bool = False) -> "Connection":
+    """columnar=True: network result sets use the binary columnar wire
+    mode (sql_result.c:1216 analog) - no per-value JSON; Cursor.fetchnumpy
+    returns the raw buffers."""
     if host is not None:
         from .server import Client
-        return Connection(remote=Client(host, int(port), user, password))
+        return Connection(remote=Client(host, int(port), user, password),
+                          columnar=columnar)
     from .session import Session
     from .storage import Database
-    return Connection(session=Session(Database(database)))
+    return Connection(session=Session(Database(database)),
+                      columnar=columnar)
 
 
 class Connection:
-    def __init__(self, session=None, remote=None):
+    def __init__(self, session=None, remote=None, columnar: bool = False):
         self._session = session
         self._remote = remote
+        self._columnar = columnar
         self._closed = False
 
     def cursor(self) -> "Cursor":
@@ -54,7 +61,7 @@ class Connection:
     def _run(self, sql: str):
         try:
             if self._remote is not None:
-                return self._remote.sql(sql)
+                return self._remote.sql(sql, columnar=self._columnar)
             return self._session.sql(sql)
         except Error:
             raise
@@ -98,7 +105,8 @@ class Cursor:
         self.connection = conn
         self.description: Optional[List[Tuple]] = None
         self.rowcount = -1
-        self._rows: List[tuple] = []
+        self._result = None
+        self._rows: Optional[List[tuple]] = []
         self._pos = 0
 
     def execute(self, sql: str, params: Sequence = ()) -> "Cursor":
@@ -112,6 +120,7 @@ class Cursor:
                           for p, v in zip(parts, list(params) + [...]))
         res = self.connection._run(sql)
         self.description = None
+        self._result = None
         self._rows = []
         self._pos = 0
         self.rowcount = -1
@@ -122,9 +131,35 @@ class Cursor:
             return self
         self.description = [(n, str(t), None, None, None, None, None)
                             for n, t in zip(res.names, res.types)]
-        self._rows = list(res.rows)
-        self.rowcount = len(self._rows)
+        self._result = res
+        self._rows = None           # materialized lazily (columnar mode)
+        self.rowcount = len(res)
         return self
+
+    @property
+    def _materialized(self) -> List[tuple]:
+        if self._rows is None:
+            self._rows = list(self._result.rows) if self._result is not None \
+                else []
+        return self._rows
+
+    def fetchnumpy(self):
+        """{name: numpy array} of the current result's physical columns
+        (columnar wire mode or embedded fragment results): the fast bulk
+        fetch the reference exposes through the columnar protocol +
+        monetdbe_result binding."""
+        import numpy as np
+        res = self._result
+        if res is None:
+            raise InterfaceError("no result set")
+        if hasattr(res, "numpy"):
+            return {n: res.numpy(n) for n in res.names}
+        if getattr(res, "raw", None):
+            return {n: np.asarray(a)
+                    for n, (a, _t, _s) in zip(res.names, res.raw)}
+        raise InterfaceError(
+            "result has no columnar form (use connect(columnar=True) "
+            "for network connections)")
 
     def executemany(self, sql: str, seq) -> "Cursor":
         for params in seq:
@@ -132,21 +167,24 @@ class Cursor:
         return self
 
     def fetchone(self) -> Optional[tuple]:
-        if self._pos >= len(self._rows):
+        rows = self._materialized
+        if self._pos >= len(rows):
             return None
-        row = self._rows[self._pos]
+        row = rows[self._pos]
         self._pos += 1
         return row
 
     def fetchmany(self, size: Optional[int] = None) -> List[tuple]:
         size = size or self.arraysize
-        out = self._rows[self._pos:self._pos + size]
+        rows = self._materialized
+        out = rows[self._pos:self._pos + size]
         self._pos += len(out)
         return out
 
     def fetchall(self) -> List[tuple]:
-        out = self._rows[self._pos:]
-        self._pos = len(self._rows)
+        rows = self._materialized
+        out = rows[self._pos:]
+        self._pos = len(rows)
         return out
 
     def __iter__(self):

@@ -72,12 +72,73 @@ def plan_cache_stats() -> dict:
                 "sqls": len(_PLAN_CACHE)}
 
 
+class _LazyRows(list):
+    """Row tuples materialized on first access: the columnar wire path
+    (server._send_columnar) ships raw buffers without ever paying the
+    python-tuple construction cost (mvc_export_table_columnar skips the
+    text formatter the same way, sql_result.c:1216)."""
+
+    def __init__(self, fn, n: int):
+        super().__init__()
+        self._fn = fn
+        self._n = n
+
+    def _force(self):
+        if self._fn is not None:
+            fn, self._fn = self._fn, None
+            self[:] = fn()
+        return self
+
+    def __len__(self):
+        return self._n if self._fn is not None else super().__len__()
+
+    def __iter__(self):
+        return super(_LazyRows, self._force()).__iter__()
+
+    def __getitem__(self, i):
+        return super(_LazyRows, self._force()).__getitem__(i)
+
+    def __eq__(self, other):
+        return list(self._force()) == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __bool__(self):
+        return self._n > 0 if self._fn is not None else \
+            super().__len__() > 0
+
+    def __repr__(self):
+        return repr(list(self._force()))
+
+    def __contains__(self, item):
+        return super(_LazyRows, self._force()).__contains__(item)
+
+    def __reversed__(self):
+        return super(_LazyRows, self._force()).__reversed__()
+
+    def __add__(self, other):
+        return list(self._force()) + other
+
+    def index(self, *a):
+        return super(_LazyRows, self._force()).index(*a)
+
+    def count(self, *a):
+        return super(_LazyRows, self._force()).count(*a)
+
+    __hash__ = None
+
+
 @dataclasses.dataclass
 class Result:
     names: List[str]
     types: List[SQLType]
     rows: List[tuple]
     trace: Optional[list] = None   # profiler events when trace=True
+    #: physical numpy columns [(array, typ, sdict), ...] when the plan ran
+    #: through the fragment path with no wide sums - the zero-copy source
+    #: for the columnar wire mode (sql_result.c:1216 analog)
+    raw: Optional[list] = None
 
     def __len__(self):
         return len(self.rows)
@@ -268,15 +329,23 @@ class Engine:
                                "usec": int(fragment.lower_ms * 1e3)})
             fr = fragment.run(events=events, mesh=self.mesh)
             QUEUE.check(CURRENT_QUERY.tag)
-            decoded = [
-                _decode_wide(a[:fr.count], fr.arrays[fr.wide[i]][:fr.count],
-                             pt.typ)
-                if i in fr.wide
-                else _decode_np(a[:fr.count], pt.typ, pt.sdict)
-                for i, (a, pt) in enumerate(zip(fr.arrays, fr.pts))]
-            rows = [tuple(d[i] for d in decoded) for i in range(fr.count)]
-            return Result(names, [c.typ for c in out_cols], rows,
-                          trace=events)
+            def make_rows():
+                decoded = [
+                    _decode_wide(a[:fr.count],
+                                 fr.arrays[fr.wide[i]][:fr.count], pt.typ)
+                    if i in fr.wide
+                    else _decode_np(a[:fr.count], pt.typ, pt.sdict)
+                    for i, (a, pt) in enumerate(zip(fr.arrays, fr.pts))]
+                return [tuple(d[i] for d in decoded)
+                        for i in range(fr.count)]
+
+            raw = None
+            if not fr.wide:
+                raw = [(np.asarray(a[:fr.count]), pt.typ, pt.sdict)
+                       for a, pt in zip(fr.arrays, fr.pts)]
+            return Result(names, [c.typ for c in out_cols],
+                          _LazyRows(make_rows, fr.count),
+                          trace=events, raw=raw)
         except Unsupported:
             stats_inc("fallbacks")
             return None

@@ -3,12 +3,18 @@ condensed (monetdb5/modules/mal/mal_mapi.c SERVERlisten/SERVERlistenThread:
 accept loop, thread per client; clients/mapilib/mapi.c: connect/query/fetch;
 common/stream/bs.c length-prefixed block framing).
 
-Wire protocol: 4-byte big-endian length + UTF-8 JSON message (the MAPI
-block stream re-imagined; a columnar binary result mode is the follow-up,
-mirroring mvc_export_table_columnar sql_result.c:1216).
+Wire protocol: 4-byte big-endian length-prefixed frames (the MAPI block
+stream re-imagined).  Control frames are UTF-8 JSON; the columnar binary
+result mode (mvc_export_table_columnar, sql_result.c:1216) follows a JSON
+header with one raw little-endian buffer frame per column.
 
-Request:  {"sql": "..."}
+Request:  {"sql": "..."}                        JSON rows response
+          {"sql": "...", "mode": "columnar"}    binary columnar response
 Response: {"names": [...], "types": [tags], "rows": [[...]]}   (query)
+          {"columnar": true, "names": [...], "types": [tags],
+           "count": n, "cols": [{"dtype": "<i8"} | {"str": true}]}
+            then per column: one raw frame (numeric: n*itemsize bytes;
+            string: int32 dict codes frame + \\x00-joined values frame)
           {"affected": n}                                      (DML)
           {"ok": true}                                         (DDL/txn)
           {"error": "message"}                                 (failure)
@@ -32,6 +38,7 @@ import threading
 from decimal import Decimal as PyDecimal
 from typing import List, Optional, Tuple
 
+from .dtypes import Kind
 from .engine import Result
 from .session import Session
 from .storage import Database
@@ -45,6 +52,58 @@ _LEN = struct.Struct(">I")
 def _send(sock: socket.socket, obj) -> None:
     data = json.dumps(obj).encode("utf-8")
     sock.sendall(_LEN.pack(len(data)) + data)
+
+
+def _send_raw(sock: socket.socket, data: bytes) -> None:
+    sock.sendall(_LEN.pack(len(data)) + data)
+
+
+def _recv_raw(sock: socket.socket) -> Optional[bytes]:
+    hdr = b""
+    while len(hdr) < 4:
+        chunk = sock.recv(4 - len(hdr))
+        if not chunk:
+            return None
+        hdr += chunk
+    (n,) = _LEN.unpack(hdr)
+    data = bytearray()
+    while len(data) < n:
+        chunk = sock.recv(min(1 << 20, n - len(data)))
+        if not chunk:
+            return None
+        data.extend(chunk)
+    return bytes(data)
+
+
+def _send_columnar(sock: socket.socket, res: Result) -> None:
+    """Columnar binary export (mvc_export_table_columnar,
+    sql_result.c:1216): JSON header then one raw little-endian buffer per
+    column - no per-value text formatting; a 1M-row numeric column is one
+    8 MB memcpy instead of a million JSON numbers."""
+    import numpy as np
+    cols = []
+    frames = []
+    for arr, typ, sdict in res.raw:
+        arr = np.ascontiguousarray(arr)
+        if typ is not None and typ.kind == Kind.STR:
+            codes = arr.astype("<i4", copy=False)
+            vals = [] if sdict is None else [str(v) for v in sdict.values]
+            blob = "\x00".join(vals).encode("utf-8")
+            cols.append({"str": True})
+            frames.append(np.ascontiguousarray(codes).tobytes())
+            frames.append(blob)
+        else:
+            le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+            cols.append({"dtype": le.dtype.str})
+            frames.append(np.ascontiguousarray(le).tobytes())
+    _send(sock, {"columnar": True, "names": res.names,
+                 "types": [type_tag(t) if t is not None else "i64"
+                           for t in res.types],
+                 "count": len(res.rows) if res.raw is None
+                 else (len(res.raw[0][0]) if res.raw else 0),
+                 "cols": cols})
+    for f in frames:
+        _send_raw(sock, f)
 
 
 def _recv(sock: socket.socket) -> Optional[dict]:
@@ -119,6 +178,9 @@ class _Handler(socketserver.BaseRequestHandler):
             try:
                 res = session.sql(msg["sql"])
                 if isinstance(res, Result):
+                    if msg.get("mode") == "columnar" and res.raw:
+                        _send_columnar(self.request, res)
+                        continue
                     _send(self.request, {
                         "names": res.names,
                         "types": [type_tag(t) if t is not None else "i64"
@@ -169,6 +231,43 @@ class Server:
         self._srv.server_close()
 
 
+class ColumnarResult:
+    """Binary columnar result set (client side of sql_result.c:1216):
+    numpy-backed columns, python rows materialized only on demand."""
+
+    def __init__(self, names, types, count, cols):
+        self.names = list(names)
+        self.types = types
+        self.count = count
+        self._cols = cols       # ("num", np_arr, None) | ("str", codes, vals)
+        self._rows = None
+
+    def __len__(self):
+        return self.count
+
+    def numpy(self, name: str):
+        """Physical numpy buffer of a column (dict codes for strings)."""
+        i = self.names.index(name)
+        return self._cols[i][1]
+
+    def column(self, name: str) -> list:
+        """Decoded python values of one column."""
+        i = self.names.index(name)
+        kind, arr, vals = self._cols[i]
+        if kind == "str":
+            return [None if c < 0 else vals[c] for c in arr.tolist()]
+        from .engine import _decode_np
+        return _decode_np(arr, self.types[i])
+
+    @property
+    def rows(self):
+        if self._rows is None:
+            decoded = [self.column(n) for n in self.names]
+            self._rows = [tuple(d[i] for d in decoded)
+                          for i in range(self.count)]
+        return self._rows
+
+
 class Client:
     """mapilib analog: blocking query API over the block stream."""
 
@@ -189,13 +288,18 @@ class Client:
                 raise ConnectionError(
                     (resp or {}).get("error", "auth failed"))
 
-    def sql(self, text: str):
-        _send(self.sock, {"sql": text})
+    def sql(self, text: str, columnar: bool = False):
+        req = {"sql": text}
+        if columnar:
+            req["mode"] = "columnar"
+        _send(self.sock, req)
         resp = _recv(self.sock)
         if resp is None:
             raise ConnectionError("server closed connection")
         if "error" in resp:
             raise RuntimeError(resp["error"])
+        if resp.get("columnar"):
+            return self._recv_columnar(resp)
         if "rows" in resp:
             types = [tag_type(t) for t in resp["types"]]
             rows = [tuple(_decode_value(v, t) for v, t in
@@ -205,6 +309,22 @@ class Client:
         if "affected" in resp:
             return resp["affected"]
         return None
+
+    def _recv_columnar(self, hdr: dict) -> "ColumnarResult":
+        import numpy as np
+        types = [tag_type(t) for t in hdr["types"]]
+        cols = []
+        for spec in hdr["cols"]:
+            if spec.get("str"):
+                codes = np.frombuffer(_recv_raw(self.sock), "<i4")
+                blob = _recv_raw(self.sock)
+                vals = blob.decode("utf-8").split("\x00") if blob else []
+                cols.append(("str", codes, vals))
+            else:
+                buf = _recv_raw(self.sock)
+                cols.append(("num", np.frombuffer(buf, spec["dtype"]),
+                             None))
+        return ColumnarResult(hdr["names"], types, int(hdr["count"]), cols)
 
     def close(self) -> None:
         self.sock.close()
