@@ -562,17 +562,35 @@ class Binder:
         if len(items) == 1:
             rel = items[0][0]
         else:
+            # anchor on the LARGEST relation: in the mask-carrying
+            # executor the left/probe side rides at its capacity while
+            # every right side is a build - the fact table must be the
+            # probe root so dimension edges join on their unique keys
+            # (the probe/build split joincost makes, gdk/gdk_join.c:3586)
             items.sort(key=lambda it: self._card_estimate(it[0], it[2]))
-            cur, cur_aliases, _ = items.pop(0)
+            cur, cur_aliases, _ = items.pop(-1)
             while items:
+                # prefer a join whose incoming side is a unique key (the
+                # PK side of a FK edge): a non-unique build expands N:M
+                # (exec/fragment.py join_expand) - e.g. Q5's
+                # c_nationkey = s_nationkey must ride as a residual
+                # filter over the FK-joined stream, never as a join edge
+                # (rel_optimizer's join-order pass makes the same call
+                # from stats, sql/server/rel_optimizer.c:619)
                 picked = None
                 for idx, (r, aliases, nf) in enumerate(items):
                     keys = [(a, b) for a, b in preds
                             if (a.table in cur_aliases and b.table in aliases)
                             or (b.table in cur_aliases and a.table in aliases)]
                     if keys:
-                        picked = (idx, keys)
-                        break
+                        uniq = any(self._ref_unique(
+                            b if b.table in aliases else a)
+                            for a, b in keys)
+                        if uniq:
+                            picked = (idx, keys)
+                            break
+                        if picked is None:
+                            picked = (idx, keys)
                 if picked is None:
                     r, aliases, _ = items.pop(0)
                     cur = L.Join(cur, r, "cross", on=[])
@@ -900,6 +918,19 @@ class Binder:
         r = ColRef(info.alias, info.name)
         r.typ = info.typ
         return r
+
+    def _ref_unique(self, ref: ColRef) -> bool:
+        """Bound column provably unique (BAT tkey): drives the join-order
+        preference for PK build sides."""
+        cols = self.scope.tables.get(ref.table)
+        if not cols:
+            return False
+        for c in cols:
+            if c.name == ref.name and c.table is not None:
+                tab = self.catalog.tables.get(c.table)
+                col = tab.columns.get(c.name) if tab is not None else None
+                return bool(getattr(col, "key", False))
+        return False
 
     # ==================================================================
     # projection / grouping
