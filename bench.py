@@ -148,7 +148,9 @@ def main():
         eng = Engine(load_tpch(1.0))
         print(f"SF1 gen+load: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
-        budget_end = time.perf_counter() + 30 * 60   # hard cap 30 min
+        import os
+        budget_s = float(os.environ.get("MTPU_BENCH_BUDGET_S", 1800))
+        budget_end = time.perf_counter() + budget_s   # default cap 30 min
         for qn in sorted(QUERIES):
             if time.perf_counter() > budget_end:
                 skipped.append(qn)      # no silent caps: record the drop
