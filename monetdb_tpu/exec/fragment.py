@@ -1342,13 +1342,20 @@ class Lowering:
         ir, pt = self.expr(e.arg, penv)
         if not pt.is_str or pt.sdict is None:
             raise Unsupported("LIKE over non-dict value")
-        from ..ops.strfuncs import like_regex
-        flags = re.DOTALL | (re.IGNORECASE
-                             if getattr(e, "caseless", False) else 0)
-        if getattr(e, "regex", False):
+        from ..ops.strfuncs import _like_mask_vectorized, like_regex
+        caseless = getattr(e, "caseless", False)
+        flags = re.DOTALL | (re.IGNORECASE if caseless else 0)
+        lut = None
+        if not getattr(e, "regex", False):
+            # vectorized %-pattern matching over the dict: one numpy pass
+            # per literal segment; survives distincts ~ rows (the
+            # high-cardinality case where a python regex loop collapses)
+            lut = _like_mask_vectorized(pt.sdict.values, e.pattern,
+                                        e.escape, caseless)
+        if lut is None and getattr(e, "regex", False):
             rx = re.compile(e.pattern, flags)
             lut = pt.sdict.match_mask(lambda v: rx.search(v) is not None)
-        else:
+        elif lut is None:
             rx = re.compile(like_regex(e.pattern, e.escape).pattern, flags)
             lut = pt.sdict.match_mask(lambda v: rx.match(v) is not None)
         if e.negated:

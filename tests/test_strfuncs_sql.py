@@ -89,3 +89,32 @@ def test_sql_function_durable(tmp_path):
     s2 = Session(Database(p))
     assert s2.sql("select tri(5)").rows == [(15,)]
     s2.db.close()
+
+
+def test_like_vectorized_matches_regex_oracle():
+    """The vectorized %-pattern path (strimps role, gdk_strimps.c:13-64)
+    must agree with the regex oracle on every pattern shape it claims."""
+    import re
+
+    import numpy as np
+
+    from monetdb_tpu.ops.strfuncs import _like_mask_vectorized, like_regex
+
+    rng = np.random.default_rng(0)
+    vals = np.array(
+        ["".join(rng.choice(list("abcxyz "), size=rng.integers(0, 12)))
+         for _ in range(2000)])
+    pats = ["%a%", "a%", "%a", "abc", "", "%", "%%", "a%b", "%a%b%",
+            "a%b%c", "%ab%ba%", "ab%", "%ba", "abc%a%", "%%a%%b%%", "a",
+            "aa%aa", "% %", "x%y%z"]
+    for p in pats:
+        rx = re.compile(like_regex(p, None).pattern, re.DOTALL)
+        want = np.array([rx.match(v) is not None for v in vals.tolist()])
+        got = _like_mask_vectorized(vals, p, None, False)
+        assert got is not None and np.array_equal(got, want), p
+    # '_' and escape patterns must defer to the regex fallback
+    assert _like_mask_vectorized(vals, "a_c", None, False) is None
+    assert _like_mask_vectorized(vals, "a%b", "#", False) is None
+    # ILIKE lowers both sides
+    got = _like_mask_vectorized(np.array(["ABC", "abq"]), "%b%", None, True)
+    assert got.tolist() == [True, True]
