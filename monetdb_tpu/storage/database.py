@@ -146,14 +146,23 @@ class TableData:
         vals = new[~isnil].astype(str) if (~isnil).any() else \
             np.empty(0, dtype=str)
         old_dict = self.dicts[c]
-        merged = np.unique(np.concatenate([old_dict, vals])) if len(vals) \
-            else old_dict
-        if not np.array_equal(merged, old_dict):
-            remap = np.searchsorted(merged, old_dict).astype(np.int32)
-            old_codes = self.cols[c]
-            self.cols[c] = np.where(old_codes >= 0, remap[np.clip(
-                old_codes, 0, None)], old_codes).astype(np.int32)
-            self.dicts[c] = merged
+        fresh = np.setdiff1d(np.unique(vals), old_dict) if len(vals) \
+            else np.empty(0, dtype=str)
+        if len(fresh):
+            if len(old_dict) == 0 or fresh[0] > old_dict[-1]:
+                # every new distinct sorts after the dictionary tail:
+                # extend in place, existing codes stay valid - O(batch)
+                # instead of the O(table) remap (append-friendly data:
+                # monotonic ids, timestamps, log lines)
+                self.dicts[c] = np.concatenate([old_dict, fresh])
+            else:
+                merged = np.concatenate([old_dict, fresh])
+                merged.sort(kind="stable")
+                remap = np.searchsorted(merged, old_dict).astype(np.int32)
+                old_codes = self.cols[c]
+                self.cols[c] = np.where(old_codes >= 0, remap[np.clip(
+                    old_codes, 0, None)], old_codes).astype(np.int32)
+                self.dicts[c] = merged
         codes = np.full(len(new), self._NIL_CODE, np.int32)
         if len(vals):
             codes[~isnil] = np.searchsorted(self.dicts[c], vals)
