@@ -1595,6 +1595,9 @@ class Executor:
                 str(args[1].value)
             if not isinstance(a0, Column):
                 a0, b = args[1], str(args[0].value)
+            if name == "st_distance" and not isinstance(b, Column) \
+                    and not GM._col_is_points(a0):
+                return GM.column_geom_fn("st_distance", a0, b)
             fn = GM.st_distance if name == "st_distance" else \
                 GM.st_distance_geographic
             return fn(a0, b)
@@ -1606,18 +1609,44 @@ class Executor:
             d = _to_f64_scalar(args[2])
             return GM.st_dwithin(a0, b, d,
                                  geographic=name.endswith("geographic"))
-        if name == "st_contains":
-            if isinstance(args[1], Column):
-                return GM.st_contains(str(args[0].value), args[1])
-            raise ExecError("st_contains expects (constant, point column)")
-        if name == "st_within":
-            return GM.st_within(a0, str(args[1].value))
-        if name == "st_intersects":
+        # two-geometry functions: one side a column, the other constant.
+        # Point columns take the fused device kernels (bbox prefilter +
+        # ray cast); general geometry columns evaluate per distinct
+        # dictionary value (geomBulk.c role, ops/geom.py engine).
+        two = name in GM._PRED2 or name in GM._GEOM2 or \
+            name in ("st_relate", "st_distance2")
+        if two and len(args) >= 2:
             if isinstance(a0, Column) and isinstance(args[1], Scalar):
-                return GM.st_intersects(a0, str(args[1].value))
-            if isinstance(args[1], Column):
-                return GM.st_intersects(args[1], str(args[0].value))
-            raise ExecError("st_intersects needs one column side")
+                col, const, swapped = a0, str(args[1].value), False
+            elif isinstance(args[1], Column) and isinstance(a0, Scalar):
+                col, const, swapped = args[1], str(args[0].value), True
+            else:
+                raise ExecError(f"{name} needs one column side")
+            nm = name
+            if swapped:
+                nm = {"st_contains": "st_within",
+                      "st_within": "st_contains",
+                      "st_covers": "st_coveredby",
+                      "st_coveredby": "st_covers"}.get(name, name)
+                if name in ("st_difference", "st_relate"):
+                    raise ExecError(f"{name}: column must be the first "
+                                    "argument")
+            if GM._col_is_points(col):
+                g = GM.parse_wkt(const)
+                if nm == "st_intersects":
+                    return GM.st_intersects(col, g)
+                if nm in ("st_within", "st_coveredby") and \
+                        g.kind in ("polygon", "multipolygon"):
+                    return GM.st_contains(g, col)
+            r = GM.column_geom_fn(nm, col, const)
+            if r is not None:
+                return r
+        # single-geometry column functions (generic registry dispatch)
+        if isinstance(a0, Column):
+            rest = [a.value for a in args[1:] if isinstance(a, Scalar)]
+            r = GM.column_geom_fn(name, a0, *rest)
+            if r is not None:
+                return r
         raise ExecError(f"geometry function {name} unsupported")
 
     def _eval_udf(self, u, e: Func, fr: Frame):

@@ -156,13 +156,16 @@ def map_dict(col: Column, fn) -> Column:
     The device-side cost is one gather (old code → new code); the host cost
     is O(|dict|). This is the engine's entire scalar-string-function story."""
     old = col.sdict.values
-    new_vals = np.array([fn(v) for v in old], dtype=object).astype(str)
+    mapped = [fn(v) for v in old]
+    isnone = np.array([m is None for m in mapped], dtype=bool)
+    new_vals = np.array(["" if m is None else str(m) for m in mapped])
     uniq, inv = np.unique(new_vals, return_inverse=True)
-    remap = jnp.asarray(inv.astype(np.int32))
+    remap = jnp.asarray(np.where(isnone, -1, inv).astype(np.int32))
     codes = col.data
     ok = codes >= 0
     new_codes = jnp.where(ok, remap[jnp.where(ok, codes, 0)], codes)
-    return Column(col.typ, new_codes, col.count, nonil=col.nonil,
+    return Column(col.typ, new_codes, col.count,
+                  nonil=col.nonil and not bool(isnone.any()),
                   sdict=StrDict(uniq))
 
 

@@ -1458,18 +1458,35 @@ class Binder:
                 e.typ = I64
             elif e.name in ("st_x", "st_y", "st_distance",
                             "st_distance_geographic", "st_area",
-                            "st_length", "st_perimeter"):
+                            "st_length", "st_perimeter", "st_xmin",
+                            "st_ymin", "st_xmax", "st_ymax"):
                 e.typ = F64
             elif e.name in ("st_contains", "st_intersects", "st_within",
-                            "st_dwithin", "st_dwithingeographic"):
+                            "st_dwithin", "st_dwithingeographic",
+                            "st_disjoint", "st_equals", "st_touches",
+                            "st_crosses", "st_overlaps", "st_covers",
+                            "st_coveredby", "st_isvalid", "st_issimple",
+                            "st_isempty", "st_isclosed", "st_isring"):
                 e.typ = BOOL
             elif e.name in ("st_astext", "st_centroid", "st_envelope",
                             "st_makepoint", "st_point", "st_geomfromtext",
                             "st_pointfromtext", "st_polygonfromtext",
                             "st_geometryfromtext", "st_mpolyfromtext",
-                            "st_linefromtext"):
+                            "st_linefromtext", "st_setsrid",
+                            "st_geometrytype", "st_geometryn",
+                            "st_boundary", "st_convexhull", "st_buffer",
+                            "st_pointonsurface", "st_startpoint",
+                            "st_endpoint", "st_pointn", "st_exteriorring",
+                            "st_interiorringn", "st_force2d",
+                            "st_translate", "st_scale", "st_rotate",
+                            "st_transform", "st_union", "st_intersection",
+                            "st_difference", "st_symdifference",
+                            "st_makeenvelope", "st_makeline",
+                            "st_collect", "st_relate"):
                 e.typ = varchar()
-            elif e.name == "st_numpoints":
+            elif e.name in ("st_numpoints", "st_npoints", "st_srid",
+                            "st_dimension", "st_coorddim",
+                            "st_numgeometries", "st_numinteriorrings"):
                 e.typ = I32
             elif e.name == "str_to_date":
                 e.typ = DATE

@@ -159,3 +159,164 @@ def test_geomfromtext_validates():
     assert r.rows == [("POINT (2 3)",)]
     with pytest.raises(Exception):
         s.sql("select st_geomfromtext('NOTAGEOM(1)') from pts")
+
+
+# ---------------------------------------------------------------------------
+# OGC breadth: the general-geometry engine (predicates, boolean ops, hull,
+# buffer, transforms) — reference surface geom/monetdb5/geom.c wkbspatial
+# family via libgeos; here an original boundary-classification engine.
+# Oracle: analytically computed areas/relations on simple shapes.
+# ---------------------------------------------------------------------------
+
+from monetdb_tpu.ops.geom import (convex_hull, geom_boolean, geom_buffer,
+                                  geom_contains_geom, geom_crosses,
+                                  geom_distance, geom_equals,
+                                  geom_intersects, geom_overlaps,
+                                  geom_touches)
+
+
+SQ02 = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"        # [0,2]^2
+SQ13 = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"        # [1,3]^2
+SQ46 = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"        # disjoint
+SQIN = "POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"  # inside SQ02
+
+
+def test_wkt_new_kinds_roundtrip():
+    for w in ["MULTIPOINT (1 1, 2 3)",
+              "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))",
+              "GEOMETRYCOLLECTION (POINT (1 2), "
+              "LINESTRING (0 0, 1 1), "
+              "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))",
+              "GEOMETRYCOLLECTION EMPTY"]:
+        assert format_wkt(parse_wkt(w)) == w
+    assert format_wkt(parse_wkt("MULTIPOINT ((1 1), (2 3))")) == \
+        "MULTIPOINT (1 1, 2 3)"
+
+
+def test_boolean_ops_squares():
+    a, b = parse_wkt(SQ02), parse_wkt(SQ13)
+    inter = geom_boolean("intersection", a, b)
+    assert abs(geom_area(inter) - 1.0) < 1e-9          # [1,2]^2
+    uni = geom_boolean("union", a, b)
+    assert abs(geom_area(uni) - 7.0) < 1e-9            # 4 + 4 - 1
+    diff = geom_boolean("difference", a, b)
+    assert abs(geom_area(diff) - 3.0) < 1e-9
+    sym = geom_boolean("symdifference", a, b)
+    assert abs(geom_area(sym) - 6.0) < 1e-9
+
+
+def test_boolean_ops_containment_and_disjoint():
+    a, c, d = parse_wkt(SQ02), parse_wkt(SQIN), parse_wkt(SQ46)
+    # fully contained: intersection = inner, union = outer
+    assert abs(geom_area(geom_boolean("intersection", a, c)) - 0.25) < 1e-9
+    assert abs(geom_area(geom_boolean("union", a, c)) - 4.0) < 1e-9
+    # difference with a contained square = ring with a hole
+    hole = geom_boolean("difference", a, c)
+    assert abs(geom_area(hole) - 3.75) < 1e-9
+    # disjoint
+    assert geom_area(geom_boolean("intersection", a, d)) == 0.0
+    assert abs(geom_area(geom_boolean("union", a, d)) - 8.0) < 1e-9
+
+
+def test_predicates():
+    a, b, d = parse_wkt(SQ02), parse_wkt(SQ13), parse_wkt(SQ46)
+    touch = parse_wkt("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")  # shares edge
+    line_in = parse_wkt("LINESTRING (-1 1, 3 1)")   # crosses SQ02
+    line_out = parse_wkt("LINESTRING (5 0, 6 0)")
+    assert geom_intersects(a, b) and not geom_intersects(a, d)
+    assert geom_overlaps(a, b) and not geom_overlaps(a, d)
+    assert geom_touches(a, touch) and not geom_touches(a, b)
+    assert geom_crosses(line_in, a) and not geom_crosses(line_out, a)
+    assert geom_contains_geom(a, parse_wkt(SQIN))
+    assert not geom_contains_geom(a, b)
+    assert geom_equals(a, parse_wkt(
+        "POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))"))     # rotated start
+    assert not geom_equals(a, b)
+    assert geom_distance(a, d) == pytest.approx(math.hypot(2, 2))
+    assert geom_distance(a, b) == 0.0
+
+
+def test_convex_hull_and_buffer():
+    g = parse_wkt("MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 1)")
+    h = convex_hull(g)
+    assert abs(geom_area(h) - 16.0) < 1e-9
+    # point buffer ≈ circle
+    c = geom_buffer(parse_wkt("POINT (5 5)"), 2.0, quad=16)
+    assert geom_area(c) == pytest.approx(math.pi * 4, rel=0.01)
+    # polygon buffer grows the square by edge strips + corner arcs
+    pb = geom_buffer(parse_wkt(SQ02), 1.0, quad=8)
+    want = 4 + 4 * 2 * 1 + math.pi     # area + perimeter*d + corner circle
+    assert geom_area(pb) == pytest.approx(want, rel=0.05)
+
+
+def test_sql_geometry_breadth():
+    s = Session(Database())
+    s.sql("create table g2 (id int, g varchar(200))")
+    s.sql(f"""insert into g2 values
+        (1, '{SQ02}'), (2, '{SQ46}'),
+        (3, 'LINESTRING (0 0, 1 1, 2 0)'),
+        (4, 'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),
+             ((5 5, 6 5, 6 6, 5 6, 5 5)))')""")
+    r = s.sql("select id, st_geometrytype(g), st_dimension(g), "
+              "st_numgeometries(g) from g2 order by id")
+    assert r.rows[0][1:] == ("ST_Polygon", 2, 1)
+    assert r.rows[2][1:] == ("ST_LineString", 1, 1)
+    assert r.rows[3][1:] == ("ST_MultiPolygon", 2, 2)
+    # 1 overlaps; 3 and 4 touch SQ13 exactly at its corner (1,1) —
+    # ST_Intersects includes touching
+    r = s.sql(f"select id from g2 where st_intersects(g, '{SQ13}') "
+              "order by id")
+    assert [x[0] for x in r.rows] == [1, 3, 4]
+    r = s.sql(f"select id from g2 where st_overlaps(g, '{SQ13}') "
+              "order by id")
+    assert [x[0] for x in r.rows] == [1]
+    r = s.sql(f"select st_area(st_intersection(g, '{SQ13}')) from g2 "
+              "where id = 1")
+    assert r.rows[0][0] == pytest.approx(1.0)
+    r = s.sql(f"select st_area(st_union(g, '{SQ13}')) from g2 where id=1")
+    assert r.rows[0][0] == pytest.approx(7.0)
+    r = s.sql("select st_xmin(g), st_ymax(g) from g2 where id = 1")
+    assert r.rows == [(0.0, 2.0)]
+    r = s.sql("select st_astext(st_boundary(g)) from g2 where id = 1")
+    assert parse_wkt(r.rows[0][0]).kind in ("linestring",
+                                            "multilinestring")
+    r = s.sql("select st_isclosed(g), st_isvalid(g) from g2 where id = 3")
+    assert r.rows == [(False, True)]
+    r = s.sql("select st_srid(st_setsrid(g, 4326)) from g2 where id = 1")
+    assert r.rows == [(4326,)]
+    r = s.sql("select st_astext(st_geometryn(g, 2)) from g2 where id = 4")
+    assert geom_area(parse_wkt(r.rows[0][0])) == pytest.approx(1.0)
+    r = s.sql("select st_astext(st_convexhull(g)) from g2 where id = 3")
+    assert parse_wkt(r.rows[0][0]).kind == "polygon"
+    r = s.sql(f"select st_equals(g, '{SQ02}'), st_disjoint(g, '{SQ46}'), "
+              f"st_touches(g, 'POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))') "
+              "from g2 where id = 1")
+    assert r.rows == [(True, True, True)]   # SQ46 is disjoint from SQ02
+    r = s.sql("select st_distance(g, 'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))')"
+              " from g2 where id = 1")
+    assert r.rows[0][0] == pytest.approx(math.hypot(2, 2))
+
+
+def test_sql_transform_and_affine():
+    s = Session(Database())
+    s.sql("create table tg (id int, g varchar(120))")
+    s.sql("insert into tg values (1, 'POINT (10 45)')")
+    r = s.sql("select st_astext(st_transform(st_transform("
+              "st_setsrid(g, 4326), 3857), 4326)) from tg")
+    g = parse_wkt(r.rows[0][0])
+    assert g.rings[0][0][0] == pytest.approx(10, abs=1e-6)
+    assert g.rings[0][0][1] == pytest.approx(45, abs=1e-6)
+    r = s.sql("select st_astext(st_translate(g, 1, -1)) from tg")
+    assert r.rows == [("POINT (11 44)",)]
+    r = s.sql("select st_astext(st_scale(g, 2, 3)) from tg")
+    assert r.rows == [("POINT (20 135)",)]
+
+
+def test_invalid_and_simple():
+    bow = parse_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")   # bowtie
+    from monetdb_tpu.ops.geom import geom_is_simple, geom_is_valid
+    assert not geom_is_valid(bow)
+    assert geom_is_valid(parse_wkt(SQ02))
+    assert geom_is_simple(parse_wkt("LINESTRING (0 0, 1 1, 2 0)"))
+    assert not geom_is_simple(
+        parse_wkt("LINESTRING (0 0, 2 2, 2 0, 0 2)"))        # self-cross
