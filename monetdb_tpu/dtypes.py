@@ -147,6 +147,17 @@ def char(length: int = 0) -> SQLType:
     return varchar(length)
 
 
+def blob(length: int = 0) -> SQLType:
+    """BLOB: dictionary-encoded uppercase-hex strings (the reference's
+    blob atom prints as hex, gdk_atoms.c blobWrite). scale=1 marks the
+    subtype so length() counts bytes, not hex chars."""
+    return SQLType(Kind.STR, np.dtype(np.int32), length, 1)
+
+
+def is_blob(t) -> bool:
+    return t is not None and t.kind == Kind.STR and t.scale == 1
+
+
 def common_numeric(a: SQLType, b: SQLType) -> SQLType:
     """Type promotion for binary arithmetic (reference: gdk_calc type ladder)."""
     order = {Kind.INT: 0, Kind.DECIMAL: 1, Kind.FLOAT: 2}

@@ -246,12 +246,39 @@ def _concat_vals(a, na, b, nb, nil, *, out_cap: int):
     return out.at[pb].set(b, mode="drop")
 
 
+def _hex_norm(s: str) -> str:
+    """Validate/normalize a blob hex literal (blobFromStr)."""
+    s = s.strip().upper()
+    if len(s) % 2 or any(c not in "0123456789ABCDEF" for c in s):
+        raise ExecError(f"22M28!invalid blob literal {s[:24]!r}")
+    return s
+
+
 def _concat_cols(a: Column, b: Column, na: int, nb: int) -> Column:
     """Vertical concatenation (BATappend analog) with dictionary merge for
     strings and scale alignment for decimals."""
     n = na + nb
     out_cap = capacity_for(n)
-    if a.typ.kind == Kind.STR or b.typ.kind == Kind.STR:
+    if (a.typ is not None and a.typ.kind == Kind.STR) or \
+            (b.typ is not None and b.typ.kind == Kind.STR):
+        def as_str(col, cnt):
+            """Non-string operand of a string set-op/append: convert by
+            host decode (untyped NULL literals and mixed-type unions —
+            convert_any_str)."""
+            if col.typ is not None and col.typ.kind == Kind.STR \
+                    and col.sdict is not None:
+                return col
+            from ..engine import _decode_column
+            from ..storage.columns import column_from_pyvalues
+            from ..dtypes import varchar as _vc
+            if col.typ is not None and col.typ.kind == Kind.STR:
+                return Column(col.typ, col.data, col.count,
+                              nonil=col.nonil, sdict=StrDict(
+                                  np.empty(0, dtype=str)))
+            vv = [None if x is None else str(x)
+                  for x in _decode_column(col)]
+            return column_from_pyvalues(vv, _vc())
+        a, b = as_str(a, na), as_str(b, nb)
         merged = np.unique(np.concatenate([a.sdict.values, b.sdict.values]))
         def remap(col):
             if len(col.sdict.values) == 0:    # all-NULL side: codes stay nil
@@ -375,6 +402,12 @@ class Executor:
         return out
 
     def _exec_scan(self, r: L.Scan) -> Frame:
+        if r.table not in self.catalog:
+            # plan-cache hit on a fresh catalog: system relations are
+            # materialized at bind time, so re-materialize here
+            from ..sql.syscat import is_system_table, system_table
+            if is_system_table(r.table):
+                self.catalog.add(system_table(self.catalog, r.table))
         t = self.catalog.get(r.table)
         wanted = self.refs.get(r.alias) or self.refs.get(r.table) or set()
         names = [n for n in t.names() if n in wanted] or t.names()[:1]
@@ -1395,12 +1428,23 @@ class Executor:
                   "lcase": SF.lower, "trim": SF.trim, "ltrim": SF.ltrim,
                   "rtrim": SF.rtrim}[e.name]
             return fn(col)
-        if e.name in ("length", "char_length", "character_length"):
+        if e.name in ("length", "char_length", "character_length",
+                      "octet_length"):
+            from ..dtypes import is_blob
             col = self.eval(e.args[0], fr)
+            nbytes = isinstance(col, (Scalar, Column)) and \
+                is_blob(col.typ)    # blob length counts bytes (hex/2)
             if isinstance(col, Scalar):
-                return Scalar(None if col.value is None
-                              else len(str(col.value)), I32)
-            return SF.length(col)
+                if col.value is None:
+                    return Scalar(None, I32)
+                n = len(str(col.value))
+                return Scalar(n // 2 if nbytes else n, I32)
+            out = SF.length(col)
+            if nbytes:
+                from ..ops import calc as C2
+                out = Column(I32, out.data // 2, out.count,
+                             nonil=out.nonil)
+            return out
         if e.name == "replace":
             col = self.eval(e.args[0], fr)
             old = self.eval(e.args[1], fr).value
@@ -1693,6 +1737,18 @@ class Executor:
     def _eval_cast(self, e: Cast, fr: Frame):
         v = self.eval(e.arg, fr)
         to = e.to
+        from ..dtypes import is_blob
+        if is_blob(to):
+            # CAST(x AS BLOB): normalize to uppercase hex, validate
+            # (gdk_atoms.c blobFromStr)
+            from ..engine import _decode_column
+            from ..storage.columns import column_from_pyvalues
+            if isinstance(v, Scalar):
+                return Scalar(None if v.value is None
+                              else _hex_norm(str(v.value)), to)
+            vals = [None if x is None else _hex_norm(str(x))
+                    for x in _decode_column(v)]
+            return column_from_pyvalues(vals, to)
         if isinstance(v, Column) and to.kind == Kind.STR \
                 and v.typ.kind != Kind.STR:
             # value→string cast: host-side format, re-encode as dictionary
@@ -1756,7 +1812,24 @@ class Executor:
     def _unify_strings(self, vals):
         """Remap string Columns/Scalars onto one merged order-preserving
         dictionary so code-space comparisons/selects stay valid (the
-        engine's global-dictionary invariant, dict.c analog)."""
+        engine's global-dictionary invariant, dict.c analog). Non-string
+        operands (mixed-type COALESCE/CASE) convert to strings first
+        (convert_any_str, gdk_calc_convert.c)."""
+        conv = []
+        for v in vals:
+            if isinstance(v, Column) and v.typ.kind != Kind.STR:
+                from ..engine import _decode_column
+                from ..storage.columns import column_from_pyvalues
+                from ..dtypes import varchar as _vc
+                vv = [None if x is None else str(x)
+                      for x in _decode_column(v)]
+                v = column_from_pyvalues(vv, _vc())
+            elif isinstance(v, Scalar) and v.typ is not None and \
+                    v.typ.kind != Kind.STR and v.value is not None:
+                from ..dtypes import varchar as _vc
+                v = Scalar(str(v.value), _vc())
+            conv.append(v)
+        vals = conv
         pieces = []
         for v in vals:
             if isinstance(v, Column) and v.sdict is not None:

@@ -255,6 +255,12 @@ class Lowering:
         return m(r)
 
     def _rel_scan(self, r: L.Scan):
+        if r.table not in self.catalog:
+            # plan-cache hit on a fresh catalog: system relations only
+            # exist after bind-time materialization — re-materialize
+            from ..sql.syscat import is_system_table, system_table
+            if is_system_table(r.table):
+                self.catalog.add(system_table(self.catalog, r.table))
         t = self.catalog.get(r.table)
         wanted = self.refs.get(r.alias) or self.refs.get(r.table) or set()
         names = [n for n in t.names() if n in wanted] or t.names()[:1]
@@ -904,6 +910,10 @@ class Lowering:
         order-preserving dict; remap each branch by lut."""
         dicts = []
         for ir, pt in lowered:
+            if pt.typ is not None and not pt.is_str:
+                # mixed-type branches need host-side value→string casts:
+                # executor path (convert_any_str)
+                raise Unsupported("mixed-type string CASE/COALESCE")
             if pt.sdict is not None and len(pt.sdict.values):
                 dicts.append(np.asarray(pt.sdict.values, dtype=str))
         merged = np.unique(np.concatenate(dicts)) if dicts \
@@ -984,12 +994,15 @@ class Lowering:
                     "rtrim", "reverse", "substring", "left", "right",
                     "replace", "lpad", "rpad", "repeat"):
             return self._str_func(name, e, penv)
-        if name in ("length", "char_length", "character_length"):
+        if name in ("length", "char_length", "character_length",
+                    "octet_length"):
             ir, pt = self.expr(e.args[0], penv)
             if not pt.is_str or pt.sdict is None:
                 raise Unsupported("length of non-dict value")
-            lens = np.array([len(str(v)) for v in pt.sdict.values],
-                            dtype=np.int32)
+            from ..dtypes import is_blob
+            div = 2 if is_blob(pt.typ) else 1   # blob length = bytes
+            lens = np.array([len(str(v)) // div
+                             for v in pt.sdict.values], dtype=np.int32)
             lut = self._add_lut(lens)
             return ("lutmap", lut, ir, "<i4"), PT(I32, nonil=pt.nonil)
         if name == "date_trunc":
@@ -2366,6 +2379,9 @@ class _Interp:
         _, lut_i, a_ir, out_dt = ir
         lut = self.inputs[lut_i]
         a = self.ev(a_ir, env, live)
+        if lut.shape[0] == 0:      # empty dict: every code is nil
+            nil = _nil_const(np.dtype(out_dt))
+            return jnp.full(a.shape, nil)
         ok = a >= 0
         out = lut[jnp.where(ok, a, 0)]
         return jnp.where(ok, out, _nil_const(np.dtype(out_dt)))
@@ -2374,6 +2390,8 @@ class _Interp:
         _, lut_i, a_ir = ir
         lut = self.inputs[lut_i]
         a = self.ev(a_ir, env, live)
+        if lut.shape[0] == 0:      # empty dict: no valid codes exist
+            return jnp.minimum(a, jnp.asarray(-1, a.dtype))
         ok = a >= 0
         return jnp.where(ok, lut[jnp.where(ok, a, 0)], a)
 

@@ -38,6 +38,8 @@ class Session:
         self._plan_cache: Dict[str, tuple] = {}
         # session variables (DECLARE/SET; sql_mvc.c mvc vars)
         self.vars: Dict[str, object] = {}
+        # current schema (SET SCHEMA; sql_mvc.c cur_schema)
+        self.current_schema = "sys"
         # re-entrancy guard for trigger cascades
         self._firing: set = set()
         # open snapshot-isolation transaction (sql_trans; one per session,
@@ -61,6 +63,23 @@ class Session:
         if self.txn is not None:
             self.txn.rollback()
             self.txn = None
+
+    def _scalar_value(self, expr):
+        """Evaluate a bound-free scalar expression (constant or scalar
+        subquery) — DDL argument positions like ALTER SEQUENCE RESTART
+        WITH (SELECT ...) (sql_parser.y opt_seq_param)."""
+        from .plan.exprs import Const, Subquery
+        if isinstance(expr, Const):
+            return expr.value
+        if isinstance(expr, Subquery):
+            rel, cols = __import__(
+                "monetdb_tpu.sql.binder", fromlist=["Binder"]
+            ).Binder(self._catalog()).bind(expr.select)
+            res = Engine(self._catalog()).execute_plan(rel, cols)
+            if not res.rows or res.rows[0][0] is None:
+                raise BindError("scalar subquery returned no value")
+            return res.rows[0][0]
+        raise BindError(f"unsupported scalar expression {expr!r}")
 
     def _catalog(self):
         cat = self.db.catalog(txn=self.txn)
@@ -119,20 +138,73 @@ class Session:
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
             return self._cached_query(text)
+        # schema-qualified DDL/DML targets: s.t → t over the single
+        # physical namespace, remembering the schema (rel_schema.c
+        # qname resolution)
+        qschema = None
+        if not isinstance(stmt, (A.CreateSchema, A.DropSchema,
+                                 A.CreateUser, A.DropUser, A.CreateRole,
+                                 A.DropRole, A.SetVar, A.CommentOn)):
+            for attr in ("name", "table", "parent"):
+                v = getattr(stmt, attr, None)
+                if isinstance(v, str) and "." in v:
+                    pre, bare = v.split(".", 1)
+                    if pre.lower() in self.db.schemas and "." not in bare:
+                        setattr(stmt, attr, bare)
+                        qschema = pre.lower()
         if isinstance(stmt, A.CreateTable):
             self._store().create_table(
                 stmt.name, [(c, t) for c, t, _f in stmt.columns],
                 {c: f for c, _t, f in stmt.columns if isinstance(f, dict)})
             if self.user is not None:
                 self.db.set_owner(stmt.name, self.user)
+            self.db.set_table_schema(stmt.name,
+                                     qschema or self.current_schema)
+            return None
+        if isinstance(stmt, A.CreateTableAs):
+            res = Engine(self._catalog()).query_stmt(stmt.select)
+            from .dtypes import varchar as _vc
+            schema = [(n.lower(), t if t is not None else _vc())
+                      for n, t in zip(res.names, res.types)]
+            self._store().create_table(stmt.name, schema, {})
+            if self.user is not None:
+                self.db.set_owner(stmt.name, self.user)
+            self.db.set_table_schema(stmt.name,
+                                     qschema or self.current_schema)
+            if stmt.with_data and res.rows:
+                self._insert_rows(stmt.name, None,
+                                  [list(r) for r in res.rows])
             return None
         if isinstance(stmt, A.Call):
             return self._call(stmt)
         if isinstance(stmt, A.CreateSequence):
-            self.db.create_sequence(stmt.name, stmt.start, stmt.inc)
+            self.db.create_sequence(stmt.name, stmt.start, stmt.inc,
+                                    getattr(stmt, "minv", None),
+                                    getattr(stmt, "maxv", None))
             return None
         if isinstance(stmt, A.DropSequence):
             self.db.drop_sequence(stmt.name)
+            return None
+        if isinstance(stmt, A.CreateIndex):
+            self.db.create_index(stmt.name, stmt.table, stmt.cols,
+                                 stmt.unique)
+            return None
+        if isinstance(stmt, A.DropIndex):
+            self.db.drop_index(stmt.name)
+            return None
+        if isinstance(stmt, A.AlterSequence):
+            restart = stmt.restart
+            if restart is not None and restart != "min" and \
+                    not isinstance(restart, int):
+                restart = int(self._scalar_value(restart))
+            self.db.alter_sequence(stmt.name, restart, stmt.inc)
+            return None
+        if isinstance(stmt, A.CreateSchema):
+            self.db.create_schema(stmt.name, stmt.auth,
+                                  stmt.if_not_exists)
+            return None
+        if isinstance(stmt, A.DropSchema):
+            self.db.drop_schema(stmt.name, stmt.if_exists, stmt.cascade)
             return None
         if isinstance(stmt, A.DropTable):
             n = stmt.name.lower()
@@ -140,12 +212,17 @@ class Session:
                     or n in self.db.replicas:
                 self.db.drop_dist_def(n)
             else:
-                self._store().drop_table(stmt.name)
+                self._store().drop_table(stmt.name,
+                                         getattr(stmt, "if_exists", False))
+            self.db.table_schemas.pop(n, None)
             return None
         if isinstance(stmt, A.CreateView):
             # validate the view body binds against the current catalog
             bind_select(self._catalog(), stmt.select_sql)
-            self.db.create_view(stmt.name, stmt.select_sql)
+            self.db.create_view(stmt.name, stmt.select_sql,
+                                replace=getattr(stmt, "replace", False))
+            self.db.set_table_schema(stmt.name,
+                                     qschema or self.current_schema)
             return None
         if isinstance(stmt, A.DropView):
             self.db.drop_view(stmt.name)
@@ -236,7 +313,8 @@ class Session:
             if stmt.table.lower() not in self.db.tables:
                 raise BindError(f"unknown table {stmt.table}")
             self.db.create_trigger(stmt.name, stmt.table, stmt.time,
-                                   stmt.event, stmt.body_sql)
+                                   stmt.event, stmt.body_sql,
+                                   replace=getattr(stmt, "replace", False))
             return None
         if isinstance(stmt, A.DropTrigger):
             self.db.drop_trigger(stmt.name)
@@ -248,8 +326,25 @@ class Session:
             self.db.drop_procedure(stmt.name)
             return None
         if isinstance(stmt, A.CommentOn):
-            self.db.put_comment(f"{stmt.kind}:{stmt.target.lower()}",
-                                stmt.text)
+            kind = stmt.kind.lower()
+            target = stmt.target.lower()
+            if kind in ("table", "view", "sequence", "index") and \
+                    "." in target:
+                target = target.rsplit(".", 1)[1]   # strip schema qualifier
+            if kind == "column" and target.count(".") > 1:
+                target = ".".join(target.rsplit(".", 2)[-2:])
+            if kind == "schema":
+                s = self.db.schemas.get(target)
+                if s is None:
+                    raise BindError(f"unknown schema {target}")
+                # only the owner (or an admin) may comment
+                # (sql_privileges.c mvc_schema_privs)
+                if self.user is not None and \
+                        not self.db.is_admin(self.user) and \
+                        s.get("auth") not in (self.user, self.role):
+                    raise PermissionError(
+                        f"insufficient privileges for schema {target}")
+            self.db.put_comment(f"{kind}:{target}", stmt.text)
             return None
         if isinstance(stmt, A.Analyze):
             # stats derive on materialization; refresh = drop cached device
@@ -266,6 +361,12 @@ class Session:
                         raise PermissionError(
                             f"role {role} not granted to {self.user}")
                 self.role = role
+                return None
+            if stmt.name == "#schema":
+                sc = str(stmt.value.value).lower()
+                if sc not in self.db.schemas:
+                    raise BindError(f"unknown schema {sc}")
+                self.current_schema = sc
                 return None
             self.vars[stmt.name.lower()] = self._default_eval(stmt.value)
             return None
@@ -547,6 +648,8 @@ class Session:
             finally:
                 cl.close()
         td = self._td(n)
+        if not rows:
+            return 0            # INSERT ... SELECT over an empty result
         arity = self._row_arity(rows)
         if cols is not None:
             names = cols

@@ -81,14 +81,25 @@ class CreateTable:
 
 
 @dataclasses.dataclass
+class CreateTableAs:
+    """CREATE TABLE t AS SELECT ... [WITH [NO] DATA] (rel_schema.c
+    rel_create_table as-select form)."""
+    name: str
+    select: "SelectStmt"
+    with_data: bool = True
+
+
+@dataclasses.dataclass
 class DropTable:
     name: str
+    if_exists: bool = False
 
 
 @dataclasses.dataclass
 class CreateView:
     name: str
     select_sql: str
+    replace: bool = False
 
 
 @dataclasses.dataclass
@@ -109,6 +120,51 @@ class CreateSequence:
     name: str
     start: int = 1
     inc: int = 1
+    minv: object = None
+    maxv: object = None
+
+
+@dataclasses.dataclass
+class AlterSequence:
+    """ALTER SEQUENCE s RESTART [WITH n] / INCREMENT BY n
+    (sql_parser.y alter_statement sequence; store_sequence.c)."""
+    name: str
+    restart: object = None   # int | None
+    inc: object = None       # int | None
+
+
+@dataclasses.dataclass
+class CreateSchema:
+    """CREATE SCHEMA s [AUTHORIZATION owner] (sql_parser.y schema_def,
+    rel_schema.c rel_create_schema)."""
+    name: str
+    auth: object = None
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropSchema:
+    name: str
+    if_exists: bool = False
+    cascade: bool = False
+
+
+@dataclasses.dataclass
+class CreateIndex:
+    """CREATE [UNIQUE] INDEX i ON t(cols) — advisory here: the engine's
+    sort-based kernels replace persisted hash/order indexes
+    (gdk_hash.c/gdk_orderidx.c 'replaced-by' rows in PARITY.md); the
+    definition is kept for catalog/COMMENT parity (sql_cat.c
+    create_index)."""
+    name: str
+    table: str
+    cols: list
+    unique: bool = False
+
+
+@dataclasses.dataclass
+class DropIndex:
+    name: str
 
 
 @dataclasses.dataclass
@@ -293,6 +349,7 @@ class CreateTrigger:
     event: str           # insert | update | delete
     table: str
     body_sql: str        # statements, ';'-separated
+    replace: bool = False
 
 
 @dataclasses.dataclass

@@ -201,6 +201,26 @@ class Binder:
         for op, rhs in stmt.setops:
             rb = self._sub()
             rrel, rcols = rb.bind(rhs)
+            corr = getattr(rhs, "corresponding", None)
+            if corr:
+                # CORRESPONDING [BY]: project both sides onto the shared
+                # column-name list, in left-side order
+                lnames = [c.name for c in out_cols]
+                rnames = {c.name for c in rcols}
+                keep = [n for n in lnames if n in rnames] \
+                    if corr is True else list(corr)
+                if not keep:
+                    raise BindError("CORRESPONDING: no common columns")
+                rel = L.Project(rel, [(n, self._out_ref(c))
+                                      for n, c in zip(lnames, out_cols)
+                                      if n in keep])
+                out_cols = [c for c in out_cols if c.name in keep]
+                rrel = L.Project(rrel, [
+                    (n, self._out_ref(next(c for c in rcols
+                                           if c.name == n)))
+                    for n in keep])
+                rcols = [next(c for c in rcols if c.name == n)
+                         for n in keep]
             if len(rcols) != len(out_cols):
                 raise BindError("set operands differ in arity")
             rel = L.SetOp(op, rel, rrel)
@@ -377,6 +397,16 @@ class Binder:
                                             for nm, c in zip(names, scols)])
                 return L.SubPlan(srel, src.alias)
             from .syscat import is_system_table, system_table
+            if lname not in self.catalog and not is_system_table(lname) \
+                    and "." in lname:
+                # schema-qualified name over the single physical
+                # namespace: s.t → t when s is a known schema
+                pre, bare = lname.split(".", 1)
+                if pre in (getattr(self.catalog, "schemas", None) or
+                           {"sys": 1}):
+                    if src.alias == src.name:
+                        src.alias = bare
+                    lname = src.name = bare
             if lname not in self.catalog and is_system_table(lname):
                 self.catalog.add(system_table(self.catalog, lname))
             elif not is_system_table(lname):
@@ -447,9 +477,37 @@ class Binder:
                                  [ColInfo(src.alias, "value", I64)])
             return L.Series(start, stop, step, src.alias)
         if isinstance(src, A.JoinSource):
+            before = set(self.scope.tables)
             lrel = self._bind_source(src.left)
+            mid = set(self.scope.tables)
             rrel = self._bind_source(src.right)
-            on_b = self.bind_expr(src.on) if src.on is not None else None
+            after = set(self.scope.tables)
+            on = src.on
+            using = getattr(src, "using", None)
+            if getattr(src, "natural", False) or using:
+                # NATURAL JOIN / JOIN USING (cols): equijoin over the
+                # shared column names (sql_parser.y joined_table;
+                # rel_select.c rel_joinquery natural path)
+                lcols = {c.name for a in (mid - before)
+                         for c in self.scope.tables[a]}
+                rcols = {c.name for a in (after - mid)
+                         for c in self.scope.tables[a]}
+                common = [c for c in (using or sorted(lcols & rcols))]
+                if not common:
+                    raise BindError("NATURAL JOIN: no common columns")
+                la = sorted(mid - before)
+                ra = sorted(after - mid)
+
+                def ref(aliases, name):
+                    for a in aliases:
+                        if any(c.name == name
+                               for c in self.scope.tables[a]):
+                            return ColRef(a, name)
+                    raise BindError(f"USING column {name} not found")
+                from ..plan.exprs import BoolOp, Cmp, ColRef
+                conds = [Cmp("=", ref(la, c), ref(ra, c)) for c in common]
+                on = conds[0] if len(conds) == 1 else BoolOp("and", conds)
+            on_b = self.bind_expr(on) if on is not None else None
             eq, extra = self._extract_equi(on_b)
             return L.Join(lrel, rrel, src.kind, on=eq, extra=extra)
         raise BindError(f"unsupported source {src}")
@@ -986,7 +1044,19 @@ class Binder:
     def _bind_groupby(self, rel, stmt):
         keys: List[Tuple[str, Expr]] = []
         for i, ge in enumerate(stmt.group_by):
-            b = self.bind_expr(ge)
+            try:
+                b = self.bind_expr(ge)
+            except BindError:
+                # GROUP BY <output alias> (MonetDB allows it:
+                # rel_select.c group_by_pe aliases)
+                b = None
+                if isinstance(ge, ColRef) and ge.table is None:
+                    for alias, ie in stmt.items:
+                        if alias and alias.lower() == ge.name.lower():
+                            b = self.bind_expr(ie)
+                            break
+                if b is None:
+                    raise
             name = b.name if isinstance(b, ColRef) else f"_gk{i}"
             keys.append((name, b))
         # correlated scalar-aggregate subquery: group by correlation keys too
@@ -1438,6 +1508,7 @@ class Binder:
                     "anchor", "query", "user", "port", "context")):
                 e.typ = varchar()
             elif e.name in ("length", "char_length", "character_length",
+                            "octet_length",
                             "locate", "position", "ascii"):
                 e.typ = I32
             elif e.name in ("levenshtein", "editdistance", "editdistance2",

@@ -38,7 +38,7 @@ KEYWORDS = {
     "delete", "update", "set", "begin", "start", "transaction", "commit",
     "rollback", "sample", "seed",
     "merge", "remote", "replica", "alter", "add", "to", "default",
-    "ilike", "recursive", "groups",
+    "ilike", "recursive", "groups", "natural", "using",
 }
 
 _TWO_CHAR = {"<>", "<=", ">=", "!=", "||"}

@@ -98,6 +98,9 @@ class Parser:
             if name == "role" and not self.at_op("="):
                 # SET ROLE r (sql_parser.y set_statement role)
                 return SetVar("#role", Const(self.next().value))
+            if name == "schema" and not self.at_op("="):
+                # SET SCHEMA s (sql_parser.y set_statement schema)
+                return SetVar("#schema", Const(self.next().value))
             if not self.at_op("="):
                 raise SQLSyntaxError("expected = in SET")
             self.next()
@@ -145,6 +148,23 @@ class Parser:
                 from .ast import DropView
                 return DropView(self.next().value)
             if self.peek().kind == "ident" and \
+                    self.peek().value == "schema":
+                self.next()
+                from .ast import DropSchema
+                if_exists = False
+                if self.eat_kw("if") or self._eat_ident("if"):
+                    self.eat_kw("exists") or self._eat_ident("exists")
+                    if_exists = True
+                name = self.next().value
+                cascade = bool(self._eat_ident("cascade"))
+                self._eat_ident("restrict")
+                return DropSchema(name, if_exists, cascade)
+            if self.peek().kind == "ident" and \
+                    self.peek().value == "index":
+                self.next()
+                from .ast import DropIndex
+                return DropIndex(self.next().value)
+            if self.peek().kind == "ident" and \
                     self.peek().value == "function":
                 self.next()
                 from .ast import DropFunction
@@ -173,7 +193,17 @@ class Parser:
                 from .ast import DropProcedure
                 return DropProcedure(self.next().value)
             self.expect_kw("table")
-            return DropTable(self.next().value)
+            if_exists = False
+            if self.eat_kw("if") or self._eat_ident("if"):
+                # DROP TABLE IF EXISTS t
+                if not (self.eat_kw("exists")
+                        or self._eat_ident("exists")):
+                    raise SQLSyntaxError("expected EXISTS")
+                if_exists = True
+            name = self.next().value
+            self._eat_ident("cascade")
+            self._eat_ident("restrict")
+            return DropTable(name, if_exists)
         if self.peek().kind == "ident" and self.peek().value == "call":
             self.next()
             name = self.next().value
@@ -246,8 +276,8 @@ class Parser:
         self.expect_kw("into")
         target = self.next().value
         talias = self._opt_alias_stop(stop_words=("using",)) or target
-        if not (self.peek().kind == "ident"
-                and self.peek().value == "using"):
+        if not (self.peek().value == "using"
+                and self.peek().kind in ("ident", "kw")):
             raise SQLSyntaxError("expected USING in MERGE")
         self.next()
         if self.eat_punct("("):
@@ -359,10 +389,22 @@ class Parser:
             op = self.next().value
             if op == "union" and self.eat_kw("all"):
                 op = "union_all"
+            corr = None
+            if self._eat_ident("corresponding"):
+                # CORRESPONDING [BY (cols)]: operate on the shared
+                # column names (sql_parser.y set ops corresponding)
+                corr = True
+                if self.eat_kw("by"):
+                    self.expect_punct("(")
+                    corr = [self.next().value.lower()]
+                    while self.eat_punct(","):
+                        corr.append(self.next().value.lower())
+                    self.expect_punct(")")
             # the rhs operand must not swallow a trailing ORDER BY/LIMIT —
             # those apply to the whole set expression (sql_parser.y gives
             # order/limit to the top-level select_statement only)
             rhs = self.parse_select_core(allow_order=False)
+            rhs.corresponding = corr
             stmt.setops.append((op, rhs))
         # trailing ORDER BY / LIMIT apply to the whole set expression
         self._parse_order_limit(stmt)
@@ -494,6 +536,7 @@ class Parser:
         left = self.parse_table_primary()
         while True:
             kind = None
+            natural = bool(self.eat_kw("natural"))
             if self.eat_kw("cross"):
                 self.expect_kw("join")
                 kind = "cross"
@@ -508,19 +551,44 @@ class Parser:
                 kind = self.next().value
                 self.eat_kw("outer")
                 self.expect_kw("join")
+            elif natural:
+                raise SQLSyntaxError("expected JOIN after NATURAL")
             else:
                 break
             right = self.parse_table_primary()
             on = None
-            if kind != "cross":
-                self.expect_kw("on")
-                on = self.parse_expr()
-            left = JoinSource(left, right, kind, on)
+            using = None
+            if kind != "cross" and not natural:
+                if self.eat_kw("using"):
+                    # JOIN ... USING (c1, c2) (sql_parser.y joined_table)
+                    self.expect_punct("(")
+                    using = [self.next().value.lower()]
+                    while self.eat_punct(","):
+                        using.append(self.next().value.lower())
+                    self.expect_punct(")")
+                else:
+                    self.expect_kw("on")
+                    on = self.parse_expr()
+            j = JoinSource(left, right, kind, on)
+            j.natural = natural
+            j.using = using
+            left = j
         return left
+
+    def _paren_wraps_select(self) -> bool:
+        """After eating '(', detect '((...(SELECT|WITH' — a derived table
+        whose body is a parenthesized set expression."""
+        j = self.i
+        while j < len(self.toks) and self.toks[j].kind == "punct" \
+                and self.toks[j].value == "(":
+            j += 1
+        t = self.toks[min(j, len(self.toks) - 1)]
+        return t.kind == "kw" and t.value in ("select", "with")
 
     def parse_table_primary(self):
         if self.eat_punct("("):
-            if self.at_kw("select") or self.at_kw("with"):
+            if self.at_kw("select") or self.at_kw("with") or \
+                    (self.at_punct("(") and self._paren_wraps_select()):
                 s = self.parse_select()
                 self.expect_punct(")")
                 alias = self._opt_alias() or f"_sq{self.i}"
@@ -559,6 +627,8 @@ class Parser:
         name = self.next().value
         if self.eat_punct("."):        # qualified name (sys.tables ...)
             name = name + "." + self.next().value
+        if name in ("sys.generate_series",):
+            name = name.split(".", 1)[1]
         if name == "generate_series" and self.at_punct("("):
             self.expect_punct("(")
             args = [self.parse_expr()]
@@ -728,6 +798,9 @@ class Parser:
                 col = self.next().value
                 if col == "*":
                     return Star(t.value)
+                if self.at_punct("(") and t.value == "sys":
+                    # schema-qualified call: sys.group_concat(...) etc.
+                    return self.parse_call(col)
                 return ColRef(t.value, col)
             if self.at_punct("("):
                 return self.parse_call(t.value)
@@ -744,6 +817,19 @@ class Parser:
             return Star(None)
         raise SQLSyntaxError(f"unexpected token {t}")
 
+    def _colref_or_call(self, name: str) -> Expr:
+        """A keyword used in an identifier position (e.g. a column named
+        `date`): qualified ref, call, or bare column."""
+        if self.at_punct("."):
+            self.next()
+            col = self.next().value
+            if col == "*":
+                return Star(name)
+            return ColRef(name, col)
+        if self.at_punct("("):
+            return self.parse_call(name)
+        return ColRef(None, name)
+
     def parse_kw_primary(self) -> Expr:
         t = self.next()
         v = t.value
@@ -757,6 +843,11 @@ class Parser:
             return Const(True, BOOL)
         if v == "false":
             return Const(False, BOOL)
+        if v in ("date", "timestamp", "time") and \
+                self.peek().kind != "str":
+            # not a temporal literal: a column actually named date/time
+            # (sql_parser.y resolves the same ambiguity by lookahead)
+            return self._colref_or_call(v)
         if v == "date":
             s = self.next().value
             return Const(datetime.date.fromisoformat(s), DATE)
@@ -983,6 +1074,12 @@ class Parser:
                 self.next()
                 self.expect_punct(")")
             return varchar()
+        if t in ("blob", "binary", "varbinary"):
+            if self.eat_punct("("):
+                self.next()
+                self.expect_punct(")")
+            from ..dtypes import blob as _blob
+            return _blob()
         if t == "date":
             return DATE
         if t == "timestamp":
@@ -1001,13 +1098,62 @@ class Parser:
     # -- DDL / DML ----------------------------------------------------------
     def parse_create(self):
         self.expect_kw("create")
+        replace = False
+        if self.eat_kw("or"):           # CREATE OR REPLACE (sql_parser.y)
+            if not self._eat_ident("replace"):
+                raise SQLSyntaxError("expected REPLACE after CREATE OR")
+            replace = True
         if self.eat_kw("view"):
             from .ast import CreateView
             name = self.next().value
+            while self.at_punct(".") and self.peek(1).kind in \
+                    ("ident", "str"):
+                self.next()
+                name += "." + self.next().value
+            if self.eat_punct("("):     # optional column alias list
+                aliases = [self.next().value]
+                while self.eat_punct(","):
+                    aliases.append(self.next().value)
+                self.expect_punct(")")
             self.expect_kw("as")
             start = self.toks[self.i].pos
             self.parse_select()          # validate syntax; keep raw text
-            return CreateView(name, self.sql_text[start:].strip())
+            v = CreateView(name, self.sql_text[start:].strip())
+            v.replace = replace
+            return v
+        if self._at_ident("index") or \
+                (self.at_kw("unique") and
+                 self.peek(1).kind == "ident" and
+                 self.peek(1).value == "index"):
+            uniq = bool(self.eat_kw("unique"))
+            self.next()                       # 'index'
+            from .ast import CreateIndex
+            name = self.next().value
+            self.expect_kw("on")
+            table = self.next().value
+            while self.eat_punct("."):
+                table += "." + self.next().value
+            self.expect_punct("(")
+            cols = [self.next().value]
+            while self.eat_punct(","):
+                cols.append(self.next().value)
+            self.expect_punct(")")
+            return CreateIndex(name, table, cols, uniq)
+        if self._at_ident("schema"):
+            # CREATE SCHEMA s [AUTHORIZATION owner] (sql_parser.y
+            # schema_def; rel_schema.c rel_create_schema)
+            self.next()
+            from .ast import CreateSchema
+            if_not_exists = False
+            if self.eat_kw("if") or self._eat_ident("if"):
+                self.expect_kw("not")
+                self.eat_kw("exists") or self._eat_ident("exists")
+                if_not_exists = True
+            name = self.next().value
+            auth = None
+            if self._eat_ident("authorization"):
+                auth = self.next().value
+            return CreateSchema(name, auth, if_not_exists)
         if self.at_kw("merge") or self.at_kw("remote") or \
                 self.at_kw("replica"):
             return self.parse_create_distributed()
@@ -1062,7 +1208,8 @@ class Parser:
                     inner = inner.rstrip().rstrip(";")[:-3]
                 body = inner.strip()
             self.i = len(self.toks) - 1      # consumed
-            return CreateTrigger(name, time, event, table, body)
+            return CreateTrigger(name, time, event, table, body,
+                                 replace=replace)
         if self._at_ident("procedure"):
             self.next()
             from .ast import CreateProcedure
@@ -1091,22 +1238,46 @@ class Parser:
             self.next()
             from .ast import CreateSequence
             name = self.next().value
-            start, inc = 1, 1
+            start, inc, minv, maxv = 1, 1, None, None
             while True:
                 if self.at_kw("start"):
                     self.next()
                     self.expect_kw("with")
                     start = int(self.parse_expr().value)
-                elif self.peek().kind == "ident" and \
-                        self.peek().value == "increment":
-                    self.next()
+                elif self.eat_kw("as"):
+                    self.parse_type()       # AS int/bigint — range note only
+                elif self._eat_ident("increment"):
                     self.expect_kw("by")
                     inc = int(self.parse_expr().value)
+                elif self._eat_ident("minvalue"):
+                    minv = int(self.parse_expr().value)
+                elif self._eat_ident("maxvalue"):
+                    maxv = int(self.parse_expr().value)
+                elif self._eat_ident("cache"):
+                    self.parse_expr()       # advisory here
+                elif self._eat_ident("cycle"):
+                    pass
+                elif self.eat_kw("no"):
+                    self.next()             # NO MINVALUE/MAXVALUE/CYCLE
                 else:
                     break
-            return CreateSequence(name, start, inc)
+            return CreateSequence(name, start, inc, minv, maxv)
         self.expect_kw("table")
         name = self.next().value
+        while self.eat_punct("."):
+            name += "." + self.next().value
+        if self.at_kw("as"):
+            # CREATE TABLE t AS SELECT ... [WITH [NO] DATA]
+            # (sql_parser.y table_def AS, rel_schema.c rel_create_table)
+            self.next()
+            sel = self.parse_select()
+            with_data = True
+            if self.eat_kw("with"):
+                if self.eat_kw("no") or self._eat_ident("no"):
+                    with_data = False
+                self._eat_ident("data")
+            from .ast import CreateTableAs
+            return CreateTableAs(name, sel, with_data)
         cols = self.parse_column_defs()
         return CreateTable(name, cols)
 
@@ -1245,6 +1416,36 @@ class Parser:
                           AlterDropTable, AlterRenameColumn,
                           AlterRenameTable)
         self.expect_kw("alter")
+        if self._at_ident("sequence"):
+            # ALTER SEQUENCE s RESTART [WITH n] | INCREMENT BY n | ...
+            self.next()
+            from .ast import AlterSequence
+            name = self.next().value
+            restart = inc = None
+            while True:
+                if self._eat_ident("restart"):
+                    restart = "min"        # RESTART alone → initial start
+                    if self.eat_kw("with"):
+                        restart = self.parse_expr()   # Const or subquery
+                elif self._eat_ident("increment"):
+                    self.expect_kw("by")
+                    inc = int(self.parse_expr().value)
+                elif self.eat_kw("as"):
+                    self.parse_type()
+                elif self._eat_ident("minvalue") or \
+                        self._eat_ident("maxvalue") or \
+                        self._eat_ident("cache"):
+                    self.parse_expr()
+                elif self._eat_ident("cycle"):
+                    pass
+                elif self.eat_kw("no"):
+                    self.next()
+                elif self.eat_kw("start"):
+                    self.expect_kw("with")
+                    restart = int(self.parse_expr().value)
+                else:
+                    break
+            return AlterSequence(name, restart, inc)
         self.expect_kw("table")
         parent = self.next().value
         if self._eat_ident("rename"):
@@ -1264,8 +1465,16 @@ class Parser:
             # ALTER TABLE t ADD [COLUMN] c type [NOT NULL] [DEFAULT expr]
             self._eat_ident("column")
             cname = self.next().value
-            ctype = self.parse_type()
-            flags = self._parse_column_flags()
+            if self.peek().kind == "ident" and \
+                    self.peek().value in ("serial", "bigserial"):
+                # serial = int sequence (rel_schema.c); backfills 1..n
+                from ..dtypes import I32 as _I32, I64 as _I64
+                ctype = _I32 if self.next().value == "serial" else _I64
+                flags = self._parse_column_flags()
+                flags["serial"] = flags["notnull"] = True
+            else:
+                ctype = self.parse_type()
+                flags = self._parse_column_flags()
             return AlterAddColumn(parent, cname, ctype, flags)
         member = self.next().value
         rng = vals = None

@@ -169,7 +169,8 @@ def _triggers_rows(cat: Catalog):
 
 def _comments_rows(cat: Catalog):
     cm = getattr(cat, "comments", {}) or {}
-    return sorted((k.split(":", 1)[0], k.split(":", 1)[1], v)
+    return sorted((_oid(cat, k.split(":", 1)[0], k.split(":", 1)[1]),
+                   k.split(":", 1)[0], k.split(":", 1)[1], v)
                   for k, v in cm.items())
 
 
@@ -184,14 +185,73 @@ def _functions_rows(cat: Catalog):
     return sorted(rows)
 
 
+def _oid(cat, kind, name):
+    f = getattr(cat, "oid", None)
+    return int(f(kind, name)) if f else 0
+
+
+def _schemas_rows(cat: Catalog):
+    sc = getattr(cat, "schemas", {}) or {}
+    out = []
+    for n, s in sorted(sc.items()):
+        auth = s.get("auth", "monetdb")
+        aid = 3 if auth == "monetdb" else _oid(cat, "auth", auth)
+        out.append((_oid(cat, "schema", n), n, aid,
+                    bool(s.get("system"))))
+    return out
+
+
+def _auths_rows(cat: Catalog):
+    rows = [(3, "monetdb", 0), (1, "public", 0), (2, "sysadmin", 0)]
+    for u in sorted(getattr(cat, "users", {}) or {}):
+        rows.append((_oid(cat, "auth", u), u, 3))
+    for r in sorted(getattr(cat, "roles", {}) or {}):
+        rows.append((_oid(cat, "auth", r), r, 3))
+    return rows
+
+
+def _tables_full_rows(cat: Catalog):
+    """sys._tables: id/schema_id/type/system (sql_catalog.h type codes)."""
+    ts = getattr(cat, "table_schemas", {}) or {}
+
+    def srow(name, kind, code):
+        return (_oid(cat, kind, name), name,
+                _oid(cat, "schema", ts.get(name, "sys")), code, False)
+    out = [srow(n, "table", 0)
+           for n in getattr(cat, "tables", {}) or {}]
+    out += [srow(n, "view", 1) for n in getattr(cat, "views", {}) or {}]
+    out += [srow(n, "table", 3) for n in getattr(cat, "merges", {}) or {}]
+    out += [srow(n, "table", 5) for n in getattr(cat, "remotes", {}) or {}]
+    out += [srow(n, "table", 6)
+            for n in getattr(cat, "replicas", {}) or {}]
+    return sorted(out)
+
+
+_TABLE_TYPES = [(0, "TABLE"), (1, "VIEW"), (3, "MERGE TABLE"),
+                (4, "STREAM TABLE"), (5, "REMOTE TABLE"),
+                (6, "REPLICA TABLE"), (7, "UNLOGGED TABLE")]
+
+
 _RELATIONS = {
     "sys.tables": (
         [("name", _VC), ("type", I32), ("count", I64)], _tables_rows),
+    "sys.schemas": (
+        [("id", I32), ("name", _VC), ("authorization", I32),
+         ("system", BOOL)], _schemas_rows),
+    "sys.auths": (
+        [("id", I32), ("name", _VC), ("grantor", I32)], _auths_rows),
+    "sys._tables": (
+        [("id", I32), ("name", _VC), ("schema_id", I32), ("type", I32),
+         ("system", BOOL)], _tables_full_rows),
+    "sys.table_types": (
+        [("table_type_id", I32), ("table_type_name", _VC)],
+        lambda cat=None: list(_TABLE_TYPES)),
     "sys.triggers": (
         [("name", _VC), ("table", _VC), ("time", _VC), ("event", _VC),
          ("statement", _VC)], _triggers_rows),
     "sys.comments": (
-        [("kind", _VC), ("target", _VC), ("remark", _VC)], _comments_rows),
+        [("id", I32), ("kind", _VC), ("target", _VC), ("remark", _VC)],
+        _comments_rows),
     "sys.sequences": (
         [("name", _VC), ("next_value", I64), ("increment", I64)],
         _sequences_rows),

@@ -23,7 +23,7 @@ def type_tag(t: SQLType) -> str:
     if t.kind == Kind.DECIMAL:
         return f"dec:{t.precision}:{t.scale}"
     if t.kind == Kind.STR:
-        return "str"
+        return "blob" if t.scale == 1 else "str"
     if t.kind == Kind.DATE:
         return "date"
     if t.kind == Kind.TIMESTAMP:
@@ -40,7 +40,9 @@ def tag_type(tag: str) -> SQLType:
     if tag.startswith("dec:"):
         _, p, s = tag.split(":")
         return decimal(int(p), int(s))
-    from ..dtypes import TIME
+    from ..dtypes import TIME, blob as _blob
+    if tag == "blob":
+        return _blob()
     return {"str": varchar(), "date": DATE, "timestamp": TIMESTAMP,
             "time": TIME, "bool": BOOL, "i8": I8, "i16": I16, "i32": I32,
             "i64": I64, "f32": F32, "f64": F64}[tag]
@@ -101,6 +103,30 @@ def table_from_rows(name: str, schema, rows):
     return Table.from_dict(name, cols)
 
 
+def _lenient_date(s: str):
+    """ISO date allowing non-padded fields ('1988-1-1'), like the
+    reference's date parser (gdk_time.c parse_date)."""
+    import datetime
+    try:
+        return datetime.date.fromisoformat(s)
+    except ValueError:
+        y, m, d = s.split("-")
+        return datetime.date(int(y), int(m), int(d))
+
+
+def _lenient_ts(s: str):
+    import datetime
+    try:
+        return datetime.datetime.fromisoformat(s)
+    except ValueError:
+        dpart, _, tpart = s.partition(" ")
+        d = _lenient_date(dpart)
+        if not tpart:
+            return datetime.datetime(d.year, d.month, d.day)
+        t = datetime.time.fromisoformat(tpart)
+        return datetime.datetime.combine(d, t)
+
+
 def to_physical_np(values, typ: SQLType) -> np.ndarray:
     """Logical python/numpy values → physical array (scaled ints, epoch
     days/µs, raw strings stay strings for dictionary merge upstream)."""
@@ -114,20 +140,35 @@ def to_physical_np(values, typ: SQLType) -> np.ndarray:
                         dtype=object)
     out = np.empty(len(values), typ.np_dtype)
     nil = typ.nil
+    intlike = typ.np_dtype.kind == "i" and typ.kind not in (
+        Kind.DECIMAL, Kind.DATE, Kind.TIMESTAMP, Kind.TIME)
     for i, v in enumerate(values):
         if v is None:
             out[i] = nil
+        elif intlike and isinstance(v, float):
+            # float literal into an integer column: round (sql_atom.c
+            # value coercion)
+            out[i] = int(round(v))
         elif typ.kind == Kind.DECIMAL:
             if isinstance(v, PyDecimal):
                 out[i] = int(v.scaleb(typ.scale).to_integral_value())
             else:
                 out[i] = int(round(float(v) * 10 ** typ.scale))
         elif typ.kind == Kind.DATE:
+            if isinstance(v, str):
+                # implicit string→date coercion (MonetDB accepts ISO
+                # strings in temporal positions; sql_atom.c casts)
+                v = _lenient_date(v.strip())
             if isinstance(v, datetime.date):
                 out[i] = (v - datetime.date(1970, 1, 1)).days
             else:
                 out[i] = int(v)
         elif typ.kind == Kind.TIMESTAMP:
+            if isinstance(v, str):
+                v = _lenient_ts(v.strip())
+            elif isinstance(v, datetime.date) and \
+                    not isinstance(v, datetime.datetime):
+                v = datetime.datetime(v.year, v.month, v.day)
             if isinstance(v, datetime.datetime):
                 # naive-UTC epoch µs (matches the executor's constant
                 # lowering; no local-timezone dependence)
@@ -136,6 +177,8 @@ def to_physical_np(values, typ: SQLType) -> np.ndarray:
             else:
                 out[i] = int(v)
         elif typ.kind == Kind.TIME:
+            if isinstance(v, str):
+                v = datetime.time.fromisoformat(v.strip())
             if isinstance(v, datetime.time):
                 out[i] = ((v.hour * 60 + v.minute) * 60 + v.second) \
                     * 1_000_000 + v.microsecond

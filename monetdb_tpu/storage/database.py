@@ -229,6 +229,23 @@ class Database:
         # grantee (user|role|'public') → {table → [privs]}
         self.grants: Dict[str, Dict[str, List[str]]] = {}
         self.owners: Dict[str, str] = {}            # table → owning user
+        # SQL schemas (rel_schema.c rel_create_schema; sys.schemas):
+        # name → {"auth": owner, "system": bool}. System schemas mirror
+        # the reference bootstrap (sql/scripts/*.sql).
+        self.schemas: Dict[str, dict] = {
+            n: {"auth": "monetdb", "system": True}
+            for n in ("sys", "tmp", "json", "profiler", "logging")}
+        # stable object ids ("kind:name" → id) — the reference's global
+        # id space (sqlstore store_next_oid); feeds sys.schemas.id,
+        # sys._tables.id and sys.comments.id joins
+        self.oids: Dict[str, int] = {}
+        self._next_oid = 2000
+        # table/view → owning schema (created under SET SCHEMA s)
+        self.table_schemas: Dict[str, str] = {}
+        # advisory index definitions (sql_cat.c create_index; execution
+        # uses sort-based kernels instead of persisted indexes):
+        # name → {table, cols, unique}
+        self.indexes: Dict[str, dict] = {}
         self.schema_epoch = 0   # bumped on DDL (plan-cache invalidation)
         # store lock: serializes mutations across sessions (the reference's
         # store_lock, sql/storage/store.c)
@@ -301,6 +318,13 @@ class Database:
         self.grants = {g: {t: list(p) for t, p in d.items()}
                        for g, d in man.get("grants", {}).items()}
         self.owners = dict(man.get("owners", {}))
+        self.schemas.update({n: dict(s)
+                             for n, s in man.get("schemas", {}).items()})
+        self.oids = {k: int(v) for k, v in man.get("oids", {}).items()}
+        self._next_oid = int(man.get("next_oid", 2000))
+        self.table_schemas = dict(man.get("table_schemas", {}))
+        self.indexes = {n: dict(d)
+                        for n, d in man.get("indexes", {}).items()}
 
     def _replay_wal(self) -> None:
         wp = os.path.join(self.path, "wal.log")
@@ -390,6 +414,19 @@ class Database:
                     self.comments.pop(meta["key"], None)
                 else:
                     self.comments[meta["key"]] = meta["text"]
+            elif meta["op"] == "put_schema":
+                self.schemas[meta["name"]] = dict(meta["def"])
+            elif meta["op"] == "drop_schema":
+                self.schemas.pop(meta["name"], None)
+            elif meta["op"] == "put_oid":
+                self.oids[meta["key"]] = int(meta["id"])
+                self._next_oid = max(self._next_oid, int(meta["id"]) + 1)
+            elif meta["op"] == "put_tschema":
+                self.table_schemas[meta["table"]] = meta["schema"]
+            elif meta["op"] == "put_index":
+                self.indexes[meta["name"]] = dict(meta["def"])
+            elif meta["op"] == "drop_index":
+                self.indexes.pop(meta["name"], None)
             elif meta["op"] == "add_col":
                 self._add_col_apply(meta)
             elif meta["op"] == "drop_col":
@@ -423,7 +460,13 @@ class Database:
                "roles": {n: list(m) for n, m in self.roles.items()},
                "grants": {g: {t: list(p) for t, p in d.items()}
                           for g, d in self.grants.items()},
-               "owners": dict(self.owners)}
+               "owners": dict(self.owners),
+               "schemas": {n: dict(s) for n, s in self.schemas.items()
+                           if not s.get("system")},
+               "oids": dict(self.oids),
+               "next_oid": self._next_oid,
+               "table_schemas": dict(self.table_schemas),
+               "indexes": {n: dict(d) for n, d in self.indexes.items()}}
         for tname, td in self.tables.items():
             fors = {}
             for c in td.order:
@@ -580,10 +623,16 @@ class Database:
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags})
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
         if self._txn is not None:
+            if if_exists and name not in self.tables:
+                return None
             return self._txn.drop_table(name)
+        if name not in self.tables:
+            if if_exists:
+                return
+            raise ValueError(f"42S02!unknown table {name}")
         self.tables.pop(name, None)
         self._device.pop(name, None)
         self.schema_epoch += 1
@@ -615,6 +664,17 @@ class Database:
             td.uniques.add(c)
         if f.get("default") is not None:
             td.defaults[c] = f["default"]
+        if f.get("serial"):
+            # ALTER ADD COLUMN c serial: backfill existing rows from the
+            # new sequence (rel_schema.c serial = seq + default next value)
+            seq = f"seq_{td.name}_{c}"
+            td.serials[c] = seq
+            if seq not in self.sequences:
+                self.sequences[seq] = {"next": 1, "inc": 1}
+            s = self.sequences[seq]
+            first, inc = s["next"], s["inc"]
+            td.cols[c] = (first + inc * np.arange(n)).astype(t.np_dtype)
+            s["next"] = first + inc * n
         td.version = _next_version()
 
     def _drop_col_apply(self, table: str, c: str,
@@ -724,9 +784,9 @@ class Database:
 
     # -- triggers / procedures / comments ----------------------------------
     def create_trigger(self, name: str, table: str, time: str, event: str,
-                       body: str) -> None:
+                       body: str, replace: bool = False) -> None:
         name = name.lower()
-        if name in self.triggers:
+        if name in self.triggers and not replace:
             raise ValueError(f"trigger {name} exists")
         t = {"table": table.lower(), "time": time, "event": event,
              "body": body}
@@ -754,11 +814,92 @@ class Database:
         self._log(REC_DDL, {"op": "drop_proc", "name": name})
 
     def put_comment(self, key: str, text) -> None:
-        if text is None:
+        if text is None or text == "":
+            # COMMENT ... IS NULL / IS '' removes (sql_parser.y comment)
             self.comments.pop(key, None)
+            text = None
         else:
             self.comments[key] = text
         self._log(REC_DDL, {"op": "put_comment", "key": key, "text": text})
+
+    # -- schemas (rel_schema.c rel_create_schema / sys.schemas) ------------
+    def create_schema(self, name: str, auth=None,
+                      if_not_exists: bool = False) -> None:
+        name = name.lower()
+        if name in self.schemas:
+            if if_not_exists:
+                return
+            raise ValueError(f"schema {name} exists")
+        if auth is not None and self.users and \
+                auth not in self.users and auth not in self.roles and \
+                auth != "monetdb":
+            raise ValueError(f"unknown authorization {auth}")
+        s = {"auth": auth or "monetdb", "system": False}
+        self.schemas[name] = s
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "put_schema", "name": name, "def": s})
+
+    def drop_schema(self, name: str, if_exists: bool = False,
+                    cascade: bool = False) -> None:
+        name = name.lower()
+        s = self.schemas.get(name)
+        if s is None:
+            if if_exists:
+                return
+            raise ValueError(f"unknown schema {name}")
+        if s.get("system"):
+            raise ValueError(f"cannot drop system schema {name}")
+        members = [t for t, sc in self.table_schemas.items() if sc == name]
+        if members and not cascade:
+            raise ValueError(f"schema {name} not empty")
+        for t in members:
+            if t in self.views:
+                self.drop_view(t)
+            elif t in self.tables:
+                self.drop_table(t)
+            self.table_schemas.pop(t, None)
+        del self.schemas[name]
+        self.comments.pop(f"schema:{name}", None)
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "drop_schema", "name": name})
+
+    def create_index(self, name: str, table: str, cols, unique=False,
+                     replace: bool = False) -> None:
+        name = name.lower()
+        if name in self.indexes and not replace:
+            raise ValueError(f"index {name} exists")
+        if table.lower() not in self.tables:
+            raise ValueError(f"unknown table {table}")
+        d = {"table": table.lower(), "cols": [c.lower() for c in cols],
+             "unique": bool(unique)}
+        self.indexes[name] = d
+        self._log(REC_DDL, {"op": "put_index", "name": name, "def": d})
+
+    def drop_index(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.indexes:
+            raise ValueError(f"unknown index {name}")
+        del self.indexes[name]
+        self._log(REC_DDL, {"op": "drop_index", "name": name})
+
+    def oid(self, kind: str, name: str) -> int:
+        """Stable object id for (kind, name) — sys.schemas.id /
+        sys._tables.id / sys.comments.id share this space (the
+        reference's store-wide id counter)."""
+        key = f"{kind}:{name.lower()}"
+        i = self.oids.get(key)
+        if i is None:
+            i = self._next_oid
+            self._next_oid += 1
+            self.oids[key] = i
+            self._log(REC_DDL, {"op": "put_oid", "key": key, "id": i})
+        return i
+
+    def set_table_schema(self, table: str, schema: str) -> None:
+        self.table_schemas[table.lower()] = schema.lower()
+        self._log(REC_DDL, {"op": "put_tschema",
+                            "table": table.lower(),
+                            "schema": schema.lower()})
 
     # -- distribution DDL (merge/remote/replica tables) -------------------
     def _dist_dicts(self):
@@ -912,13 +1053,39 @@ class Database:
 
     # -- sequences (store_sequence.c) -------------------------------------
     def create_sequence(self, name: str, start: int = 1,
-                        inc: int = 1) -> None:
+                        inc: int = 1, minv=None, maxv=None) -> None:
         name = name.lower()
         if name in self.sequences:
             raise ValueError(f"sequence {name} exists")
-        self.sequences[name] = {"next": int(start), "inc": int(inc)}
+        if minv is not None and start < minv:
+            raise ValueError(f"start {start} below MINVALUE {minv}")
+        if maxv is not None and start > maxv:
+            raise ValueError(f"start {start} above MAXVALUE {maxv}")
+        s = {"next": int(start), "inc": int(inc)}
+        if minv is not None:
+            s["min"] = int(minv)
+        if maxv is not None:
+            s["max"] = int(maxv)
+        self.sequences[name] = s
+        self._log(REC_DDL, {"op": "put_seq", "name": name, **s})
+
+    def alter_sequence(self, name: str, restart=None, inc=None) -> None:
+        """ALTER SEQUENCE RESTART/INCREMENT (store_sequence.c)."""
+        name = name.lower()
+        seq = self.sequences.get(name)
+        if seq is None:
+            raise ValueError(f"unknown sequence {name}")
+        if restart is not None:
+            v = seq.get("min", 1) if restart == "min" else int(restart)
+            if "min" in seq and v < seq["min"]:
+                raise ValueError(f"restart {v} below MINVALUE")
+            if "max" in seq and v > seq["max"]:
+                raise ValueError(f"restart {v} above MAXVALUE")
+            seq["next"] = v
+        if inc is not None:
+            seq["inc"] = int(inc)
         self._log(REC_DDL, {"op": "put_seq", "name": name,
-                            "next": int(start), "inc": int(inc)})
+                            "next": seq["next"], "inc": seq["inc"]})
 
     def drop_sequence(self, name: str) -> None:
         name = name.lower()
@@ -954,9 +1121,10 @@ class Database:
         del self.users[name]
         self._log(REC_DDL, {"op": "drop_user", "name": name})
 
-    def create_view(self, name: str, sql: str) -> None:
+    def create_view(self, name: str, sql: str,
+                    replace: bool = False) -> None:
         name = name.lower()
-        if name in self.tables or name in self.views:
+        if name in self.tables or (name in self.views and not replace):
             raise ValueError(f"name {name} exists")
         self.views[name] = sql
         self.schema_epoch += 1
@@ -1115,6 +1283,12 @@ class Database:
         cat.comments = self.comments
         cat.procedures = self.procedures
         cat.sqlfuncs = self.sqlfuncs
+        cat.schemas = self.schemas
+        cat.table_schemas = self.table_schemas
+        cat.users = self.users
+        cat.roles = self.roles
+        cat.oid = self.oid
+        cat.indexes = self.indexes
         return cat
 
     def close(self) -> None:
@@ -1244,8 +1418,13 @@ class Transaction:
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags}, {}))
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
+        if if_exists:
+            try:
+                self.tabledata(name)
+            except KeyError:
+                return
         self.tabledata(name)          # raises KeyError if not visible
         self.writes.pop(name, None)
         self.created.discard(name)

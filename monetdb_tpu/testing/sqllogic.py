@@ -132,11 +132,41 @@ class SqlLogicRunner:
             i += 1
         return vals, i
 
+    @staticmethod
+    def _split_stmts(sql: str):
+        """Split a record holding several ';'-separated statements
+        (the reference harness feeds the whole block to mclient).
+        Bodies with BEGIN ATOMIC (triggers/procedures) stay whole."""
+        import re as _re
+        if _re.match(r"\s*create\s+(or\s+replace\s+)?"
+                     r"(trigger|procedure|function)", sql, _re.I) \
+                or "atomic" in sql.lower():
+            return [sql]
+        out, buf, q = [], [], None
+        for ch in sql:
+            if q:
+                buf.append(ch)
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+                buf.append(ch)
+            elif ch == ";":
+                if "".join(buf).strip():
+                    out.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        if "".join(buf).strip():
+            out.append("".join(buf))
+        return out or [sql]
+
     def _statement(self, sql: str, expect_err: bool, name, lineno):
         self.n_run += 1
         sess = self._session_for()
         try:
-            sess.sql(sql)
+            for part in self._split_stmts(sql):
+                sess.sql(part)
         except Exception as ex:
             if expect_err:
                 return
@@ -172,6 +202,10 @@ class SqlLogicRunner:
                     f"{name}:{lineno}: hash mismatch ({len(got)} values, "
                     f"{md5})\n{sql}")
             return
+        # the sqllogictest file format cannot represent trailing
+        # whitespace in expected values: compare stripped on both sides
+        # (the literal path only — hashes stay exact)
+        got = [g.strip() for g in got]
         if got != [e.strip() for e in expected]:
             diff = "\n".join(
                 f"  got={g!r} want={w!r}" for g, w in

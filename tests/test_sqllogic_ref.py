@@ -29,16 +29,16 @@ ENTRIES = sorted(_ledger().items())
 @pytest.mark.parametrize("name,status", ENTRIES,
                          ids=[n for n, _ in ENTRIES])
 def test_ref_sqllogic(name, status):
-    from monetdb_tpu.session import Session
-    from monetdb_tpu.storage import Database
-    from monetdb_tpu.testing import SqlLogicRunner
+    import sys
+    sys.path.insert(0, HERE)
+    from gen_ref_ledger import run_one   # shares the chain/prereq logic
     path = os.path.join(HERE, "sqllogic", "ref", name)
-    runner = SqlLogicRunner(Session(Database()))
+    got, n, why = run_one(path)
     if status == "pass":
-        assert runner.run_file(path) > 0
+        assert got == "pass", why
+        assert n > 0
     else:
-        with pytest.raises(Exception):
-            runner.run_file(path)
+        assert got == "FAIL", "known-fail now passes: update the ledger"
         pytest.skip("known-fail (see REF_LEDGER.md), still failing")
 
 
