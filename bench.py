@@ -11,7 +11,12 @@ and throughput comes from the slope between two K values — this cancels
 both the host↔device RPC overhead (~20 ms through the axon tunnel) and
 any loop-invariant precomputation XLA hoists out of the scan.
 
-Prints ONE JSON line on stdout; detail goes to stderr.
+Prints the headline JSON line on stdout as soon as the microbenches
+finish, then RE-prints it (updated) after every completed engine query —
+last line wins.  Round 3 lost all its engine numbers to a driver-window
+timeout because the line was only emitted at process end; incremental
+emission means whatever completed is recorded no matter when the process
+is killed.  Detail goes to stderr.
 """
 
 from __future__ import annotations
@@ -139,6 +144,51 @@ def main():
     engine_ms = {}
     engine_cold_ms = {}
     skipped = []
+    failed = {}
+
+    # measured CPU SQL-engine reference (see BASELINE.md "Measured CPU
+    # baseline"): per-query warm wall ms, TPC-H SF1, measured on this
+    # machine by monetdb_tpu/bench/cpu_baseline.py.  MonetDB itself cannot
+    # be configured here (bison absent, zero egress — see BASELINE.md), so
+    # the table records which engine was actually measured.
+    cpu_engine, cpu_sf1_ms = _load_cpu_baseline()
+
+    def emit():
+        """Print the (current) headline JSON line — called after the
+        microbenches and again after every engine query so the newest
+        line always reflects everything completed so far."""
+        vs_cpu = None
+        if cpu_sf1_ms and engine_ms:
+            ratios = [cpu_sf1_ms[q] / engine_ms[q]
+                      for q in engine_ms
+                      if engine_ms.get(q) and cpu_sf1_ms.get(q)]
+            if ratios:
+                vs_cpu = round(_geomean(ratios), 2)
+        print(json.dumps({
+            "metric": "tpch_sf4_q6_scan_filter_throughput",
+            "value": round(gbs, 2),
+            "unit": "GB/s/chip",
+            "vs_baseline": round(gbs / 5.0, 2),
+            "detail": {
+                "q6_ms_per_iter": round(per_iter6 * 1e3, 4),
+                "q6_mrows_per_s": round(n / per_iter6 / 1e6, 1),
+                "q1_ms_per_iter": (round(per_iter1 * 1e3, 4)
+                                   if per_iter1 else None),
+                "q1_mrows_per_s": (round(n / per_iter1 / 1e6, 1)
+                                   if per_iter1 else None),
+                "engine_sf1_wall_ms": engine_ms or None,
+                "engine_sf1_cold_ms": engine_cold_ms or None,
+                "engine_sf1_skipped": skipped or None,
+                "engine_sf1_failed": failed or None,
+                "cpu_baseline_engine": cpu_engine,
+                "cpu_baseline_sf1_ms": cpu_sf1_ms or None,
+                "vs_cpu_baseline_geomean": vs_cpu,
+                "rows": n,
+            },
+        }), flush=True)
+
+    emit()              # microbench headline is on record from here on
+
     try:
         from monetdb_tpu.bench.tpch_load import load_tpch
         from monetdb_tpu.bench.tpch_queries import QUERIES
@@ -149,8 +199,10 @@ def main():
         print(f"SF1 gen+load: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         import os
-        budget_s = float(os.environ.get("MTPU_BENCH_BUDGET_S", 1800))
-        budget_end = time.perf_counter() + budget_s   # default cap 30 min
+        # default budget sized to fit the driver window (~30 min total
+        # incl. microbenches + SF1 generation; round 3 died at ~31 min)
+        budget_s = float(os.environ.get("MTPU_BENCH_BUDGET_S", 900))
+        budget_end = time.perf_counter() + budget_s
         for qn in sorted(QUERIES):
             if time.perf_counter() > budget_end:
                 skipped.append(qn)      # no silent caps: record the drop
@@ -173,7 +225,8 @@ def main():
             except Exception as ex:
                 print(f"engine SF1 q{qn} failed: {type(ex).__name__}: "
                       f"{str(ex)[:160]}", file=sys.stderr)
-                engine_ms[f"q{qn}"] = None
+                failed[f"q{qn}"] = f"{type(ex).__name__}: {str(ex)[:80]}"
+            emit()      # per-query persistence: last line wins
         if skipped:
             print(f"engine SF1 SKIPPED (time budget): {skipped}",
                   file=sys.stderr)
@@ -183,43 +236,7 @@ def main():
         print(f"engine wall-time bench failed: {type(ex).__name__}: "
               f"{str(ex)[:160]}", file=sys.stderr)
 
-    # measured CPU SQL-engine reference (see BASELINE.md "Measured CPU
-    # baseline"): per-query warm wall ms, TPC-H SF1, measured on this
-    # machine by monetdb_tpu/bench/cpu_baseline.py.  MonetDB itself cannot
-    # be configured here (bison absent, zero egress — see BASELINE.md), so
-    # the table records which engine was actually measured.
-    cpu_engine, cpu_sf1_ms = _load_cpu_baseline()
-    vs_cpu = None
-    if cpu_sf1_ms and engine_ms.get("q1"):
-        ratios = [cpu_sf1_ms[q] / engine_ms[q]
-                  for q in engine_ms
-                  if engine_ms.get(q) and cpu_sf1_ms.get(q)]
-        if ratios:
-            vs_cpu = round(_geomean(ratios), 2)
-            print(f"vs {cpu_engine} CPU (geomean speedup, {len(ratios)} "
-                  f"queries): {vs_cpu}x", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "tpch_sf4_q6_scan_filter_throughput",
-        "value": round(gbs, 2),
-        "unit": "GB/s/chip",
-        "vs_baseline": round(gbs / 5.0, 2),
-        "detail": {
-            "q6_ms_per_iter": round(per_iter6 * 1e3, 4),
-            "q6_mrows_per_s": round(n / per_iter6 / 1e6, 1),
-            "q1_ms_per_iter": (round(per_iter1 * 1e3, 4)
-                               if per_iter1 else None),
-            "q1_mrows_per_s": (round(n / per_iter1 / 1e6, 1)
-                               if per_iter1 else None),
-            "engine_sf1_wall_ms": engine_ms or None,
-            "engine_sf1_cold_ms": engine_cold_ms or None,
-            "engine_sf1_skipped": skipped or None,
-            "cpu_baseline_engine": cpu_engine,
-            "cpu_baseline_sf1_ms": cpu_sf1_ms or None,
-            "vs_cpu_baseline_geomean": vs_cpu,
-            "rows": n,
-        },
-    }))
+    emit()
 
 
 def _geomean(xs):

@@ -39,6 +39,20 @@ _defaults: Dict[str, Any] = {
     "small_sort_threshold": 1 << 14,
     # default bucket count for radix/hash partitioning
     "radix_bits": 8,
+    # --- SPMD plan distribution (exec/fragment.py _SpmdRewriter) ---------
+    # tables at or above this many rows (capacity) are row-sharded over
+    # the mesh; smaller ones stay replicated (the reference's mitosis
+    # MIN_PART_SIZE role, opt_mitosis.c:17)
+    "spmd_min_shard_rows": 1 << 16,
+    # sharded join build sides whose global capacity is at most this are
+    # broadcast (all_gather) to every device; larger builds hash-
+    # repartition BOTH sides via the ragged all-to-all shuffle instead
+    # (the broadcast-vs-partitioned join cost pick the reference lacks -
+    # its remote joins always ship whole columns, remote.c:971 RMTput)
+    "spmd_broadcast_rows": 1 << 18,
+    # sharded group-by/distinct inputs below this many rows per shard
+    # gather to one replica instead of repartitioning by key hash
+    "spmd_shuffle_min_rows": 1 << 15,
     # observability
     "trace": False,
     # dataflow scheduler (mal_dataflow.c DFLOWworker pool analog):

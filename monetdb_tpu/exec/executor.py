@@ -248,10 +248,11 @@ def _concat_vals(a, na, b, nb, nil, *, out_cap: int):
 
 def _hex_norm(s: str) -> str:
     """Validate/normalize a blob hex literal (blobFromStr)."""
-    s = s.strip().upper()
-    if len(s) % 2 or any(c not in "0123456789ABCDEF" for c in s):
-        raise ExecError(f"22M28!invalid blob literal {s[:24]!r}")
-    return s
+    from ..storage.columns import blob_norm
+    try:
+        return blob_norm(s)
+    except ValueError as exc:
+        raise ExecError(str(exc)) from None
 
 
 def _concat_cols(a: Column, b: Column, na: int, nb: int) -> Column:
@@ -1441,9 +1442,11 @@ class Executor:
                 return Scalar(n // 2 if nbytes else n, I32)
             out = SF.length(col)
             if nbytes:
-                from ..ops import calc as C2
-                out = Column(I32, out.data // 2, out.count,
-                             nonil=out.nonil)
+                nil = jnp.int32(np.iinfo(np.int32).min)
+                # halve only non-nil lengths: the nil sentinel must pass
+                # through unchanged (INT32_MIN//2 would leak as a value)
+                data = jnp.where(out.data == nil, out.data, out.data // 2)
+                out = Column(I32, data, out.count, nonil=out.nonil)
             return out
         if e.name == "replace":
             col = self.eval(e.args[0], fr)

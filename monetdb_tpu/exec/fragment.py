@@ -46,6 +46,7 @@ import numpy as np
 
 from .. import config
 from ..column import Column, StrDict, capacity_for, valid_mask
+from ..parallel.shuffle import hash64 as _hash64
 from ..dtypes import (BOOL, DATE, F64, I8, I32, I64, TIME, TIMESTAMP, Kind,
                       SQLType, decimal as dec_t, varchar)
 from ..plan import logical as L
@@ -190,6 +191,7 @@ class Lowering:
         # default; the host retries with the measured total on overflow)
         self.expand: Dict[int, Optional[int]] = expand or {}
         self.expand_used: Dict[int, int] = {}
+        self.scan_counts: Dict[int, int] = {}
         self._join_ord = 0
 
     # -- inputs --------------------------------------------------------------
@@ -280,6 +282,10 @@ class Lowering:
                                     minval=c.minval, maxval=c.maxval,
                                     key=bool(getattr(c, "key", False)))
         cnt_idx = self._add_lut(np.int64(t.count))
+        # actual row count per count-input index: the SPMD rewriter's
+        # broadcast-vs-shuffle cost pick uses real rows, not bucketed
+        # capacities (rel_statistics.c rowcount role)
+        self.scan_counts[cnt_idx] = int(t.count)
         ir = ("scan", tuple(cols), cnt_idx, cap)
         return ir, penv, cap
 
@@ -1605,6 +1611,71 @@ class _Interp:
         gcap = cap * self.nsh
         return env2, jnp.int64(gcap), live_g, gcap
 
+    def _repart_code(self, keyspec, env, live, cap):
+        """Per-row partition key for a hash-repartition exchange.
+        ("join", keyspecs, side) reuses the join's packed key codes so
+        both sides of a key land on the same owner shard; ("keys", irs)
+        hash-combines normalized sort keys (group-by / distinct)."""
+        from ..ops.sort import sort_key
+        if keyspec[0] == "join":
+            _, keyspecs, side = keyspec
+            return self._join_codes(keyspecs, env, live, cap, side)
+        h = None
+        for e in keyspec[1]:
+            arr = self.ev(e, env, live)
+            if arr.ndim == 0:
+                arr = jnp.broadcast_to(arr, (cap,))
+            k = sort_key(arr, False, None)
+            h = k if h is None else _hash64(h) ^ k
+        return h, live
+
+    def r_repartition(self, ir):
+        """Ragged all-to-all hash-partition exchange (parallel/shuffle.py
+        design; the distributed feature the reference lacks - its remote
+        joins ship whole columns to one site, modules/mal/remote.c:971
+        RMTput).  Rows move to the shard owning hash(key) mod D; rows
+        with invalid keys (nil / out-of-range - they can never match)
+        stay local.  Static [D, lane_cap] send buffers are packed
+        scatter-free (dest-sort + gather); the measured max lane count is
+        reported to the host, which retries with a larger capacity on
+        overflow (the expanding-join retry discipline)."""
+        _, cir, keyspec, lane_cap, ordinal = ir
+        env, count, mask, cap = self.rel(cir)
+        if self.axis is None:
+            return env, count, mask, cap     # single-device: no-op
+        D = self.nsh
+        live = self.live_of(cap, count, mask)
+        code, valid = self._repart_code(keyspec, env, live, cap)
+        my = jax.lax.axis_index(self.axis).astype(jnp.int32)
+        dest = jnp.where(valid & live,
+                         (_hash64(code.astype(jnp.int64)) % D)
+                         .astype(jnp.int32),
+                         jnp.where(live, my, jnp.int32(D)))
+        order = jnp.argsort(dest, stable=True)    # dead rows (D) sort last
+        d_s = dest[order]
+        ends = _ss(d_s, jax.lax.iota(jnp.int32, D), "right")
+        offs = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+        cnt = (ends - offs).astype(jnp.int32)
+        # overflow channel: host compares max lane vs lane_cap, retries
+        self.exp_totals[-1 - ordinal] = jax.lax.pmax(
+            jnp.max(cnt).astype(jnp.int64), self.axis)
+        c_idx = jax.lax.iota(jnp.int32, lane_cap)[None, :]
+        src = offs[:, None].astype(jnp.int32) + c_idx
+        valid_cell = c_idx < jnp.minimum(cnt, lane_cap)[:, None]
+        srcc = jnp.clip(src, 0, cap - 1).astype(jnp.int64)
+        cnt_send = jnp.minimum(cnt, lane_cap)
+        cnt_r = jax.lax.all_to_all(cnt_send, self.axis, 0, 0, tiled=True)
+        env2 = {}
+        for k2, col in env.items():
+            cs = col[order]
+            buf = jnp.where(valid_cell, cs[srcc], _nil_const(col.dtype))
+            env2[k2] = jax.lax.all_to_all(
+                buf, self.axis, 0, 0, tiled=True).reshape(-1)
+        live_out = (jax.lax.iota(jnp.int32, lane_cap)[None, :]
+                    < cnt_r[:, None]).reshape(-1)
+        cap2 = D * lane_cap
+        return env2, jnp.int64(cap2), live_out, cap2
+
     def r_rename(self, ir):
         env, count, mask, cap = self.rel(ir[1])
         env2 = {newk: env[oldk] for newk, oldk in ir[2]}
@@ -2659,45 +2730,186 @@ def _finish_slice(arrays, *, out_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def _spmd_rewrite(ir, sharded: frozenset):
-    """Single-device plan IR -> mesh IR.  Returns (ir', dist) with dist in
-    {"shard", "repl"}: whether the node's rows live sharded over the mesh
-    axis or replicated on every device."""
+def _ir_cap(ir, nsh: int, counts=None) -> int:
+    """Static per-shard row-count bound of a (rewritten) plan IR subtree -
+    mirrors the interpreter's cap propagation, tightened by actual scan
+    row counts when known; drives the repartition lane-capacity guess and
+    the broadcast-vs-shuffle cost pick (the role of the reference's
+    joincost row estimates, gdk/gdk_join.c:3586)."""
     k = ir[0]
-    if k == "scan":
-        if ir[1][0][1] in sharded:
-            return ("scan_sharded",) + ir[1:], "shard"
-        return ir, "repl"
-    if k == "rename":
-        c, d = _spmd_rewrite(ir[1], sharded)
-        return ("rename", c, ir[2]), d
-    if k in ("filter", "project"):
-        c, d = _spmd_rewrite(ir[1], sharded)
-        return (k, c) + ir[2:], d
-    if k in ("orderby", "limit", "distinct", "groupby_sort"):
-        # global-order / global-dedup barriers: gather the shards first
-        # (mat.pack before the order-sensitive consumer)
-        c, d = _spmd_rewrite(ir[1], sharded)
-        if d == "shard":
-            c = ("gather", c)
-        return (k, c) + ir[2:], "repl"
-    if k == "groupby_dense":
-        c, d = _spmd_rewrite(ir[1], sharded)
-        if d == "shard":
-            if any(spec[0].endswith("_distinct") for _key, spec in ir[5]):
-                # distinct aggregates need global value sets: barrier
-                return ("groupby_dense", ("gather", c)) + ir[2:], "repl"
-            return ("groupby_dense_spmd", c) + ir[2:], "repl"
-        return ("groupby_dense", c) + ir[2:], "repl"
-    if k in ("join", "join_expand"):
-        # probe side stays sharded (row-local matching); a sharded build
-        # side is gathered - every device needs the full build table
-        l, dl = _spmd_rewrite(ir[2], sharded)
-        r, dr = _spmd_rewrite(ir[3], sharded)
-        if dr == "shard":
-            r = ("gather", r)
-        return ir[:2] + (l, r) + ir[4:], dl
-    raise Unsupported(f"spmd rewrite: {k}")
+    if k in ("scan", "scan_sharded"):
+        c = ir[3]
+        if counts is not None and ir[2] in counts:
+            c = min(c, max(counts[ir[2]], 1))
+        # sharded scans hold a row-range slice; live rows are a prefix of
+        # the capacity, so one shard holds at most min(cap/nsh, count)
+        return c if k == "scan" else max(min(ir[3] // nsh, c), 1)
+    if k in ("rename", "filter", "project", "orderby", "distinct",
+             "groupby_sort"):
+        return _ir_cap(ir[1], nsh, counts)
+    if k == "gather":
+        return _ir_cap(ir[1], nsh, counts) * nsh
+    if k == "repartition":
+        return ir[3] * nsh
+    if k == "limit":
+        return ir[4]
+    if k in ("groupby_dense", "groupby_dense_spmd"):
+        return ir[4]
+    if k == "join":
+        return _ir_cap(ir[2], nsh, counts)
+    if k == "join_expand":
+        return ir[9]
+    raise Unsupported(f"spmd cap: {k}")
+
+
+def _ir_rows(ir, counts=None) -> int:
+    """Static GLOBAL row-count bound of a subtree (sums over shards -
+    differs from _ir_cap at sharded/gathered nodes)."""
+    k = ir[0]
+    if k in ("scan", "scan_sharded"):
+        c = ir[3]
+        if counts is not None and ir[2] in counts:
+            c = min(c, max(counts[ir[2]], 1))
+        return c
+    if k in ("rename", "filter", "project", "orderby", "distinct",
+             "groupby_sort", "gather", "repartition"):
+        return _ir_rows(ir[1], counts)
+    if k == "limit":
+        return ir[4]
+    if k in ("groupby_dense", "groupby_dense_spmd"):
+        return ir[4]
+    if k == "join":
+        return _ir_rows(ir[2], counts)
+    if k == "join_expand":
+        return ir[9]
+    raise Unsupported(f"spmd rows: {k}")
+
+
+class _SpmdRewriter:
+    """Single-device plan IR -> mesh IR (the reference's mitosis +
+    mergetable pipeline as one pass).  ``rw`` returns (ir', dist) with
+    dist in {"shard", "repl"}: whether the node's rows live sharded over
+    the mesh axis or replicated on every device.
+
+    Distribution strategy per consumer of a sharded subtree:
+    * orderby/limit: all_gather barrier (mat.pack before the
+      order-sensitive consumer).
+    * join build sides: cost pick - small builds broadcast (all_gather);
+      large builds hash-repartition BOTH sides through the ragged
+      all-to-all exchange so each device joins only the keys it owns.
+      This is the partitioned shuffle the reference lacks (its remote
+      joins ship whole columns to one site, modules/mal/remote.c:971
+      RMTput, design note remote.c:13-58).
+    * group-by/distinct: dense small domains psum slot partials
+      (two-phase, opt_mergetable.c:15-27); high-cardinality sorts and
+      distinct aggregates repartition by key hash so groups are wholly
+      shard-owned and every aggregate (incl. DISTINCT) runs local.
+    """
+
+    def __init__(self, sharded: frozenset, nsh: int,
+                 lane_caps: Dict[int, int], counts=None):
+        self.sharded = sharded
+        self.nsh = nsh
+        self.scan_rows = counts               # cnt input idx -> real rows
+        self.lane_caps = lane_caps            # ordinal -> lane cap override
+        self.lane_used: Dict[int, int] = {}   # ordinal -> lane cap used
+        self.counts = {"shuffle_joins": 0, "shuffle_groupbys": 0,
+                       "shuffle_distincts": 0}
+        self._ord = 0
+        self.bcast_rows = int(config.get("spmd_broadcast_rows"))
+        self.min_rows = int(config.get("spmd_shuffle_min_rows"))
+
+    def _repart(self, ir, keyspec):
+        """Wrap ir in a hash-repartition exchange node.  The lane
+        capacity starts at ~4x the uniform-hash mean and is corrected by
+        the host retry loop from the measured max lane (the engine-wide
+        count-then-allocate two-phase-shape discipline)."""
+        o = self._ord
+        self._ord += 1
+        cap = _ir_cap(ir, self.nsh, self.scan_rows)
+        default = capacity_for(max(4 * cap // max(self.nsh, 1), 256))
+        lane = self.lane_caps.get(o, default)
+        self.lane_used[o] = lane
+        return ("repartition", ir, keyspec, int(lane), o)
+
+    def rw(self, ir):
+        k = ir[0]
+        if k == "scan":
+            if ir[1][0][1] in self.sharded:
+                return ("scan_sharded",) + ir[1:], "shard"
+            return ir, "repl"
+        if k == "rename":
+            c, d = self.rw(ir[1])
+            return ("rename", c, ir[2]), d
+        if k in ("filter", "project"):
+            c, d = self.rw(ir[1])
+            return (k, c) + ir[2:], d
+        if k in ("orderby", "limit"):
+            # global-order barriers: gather the shards first
+            c, d = self.rw(ir[1])
+            if d == "shard":
+                c = ("gather", c)
+            return (k, c) + ir[2:], "repl"
+        if k == "distinct":
+            c, d = self.rw(ir[1])
+            if d == "shard" and ir[2] and \
+                    _ir_cap(c, self.nsh, self.scan_rows) >= self.min_rows:
+                keys = tuple(e for e, _d, _n in ir[2])
+                c = self._repart(c, ("keys", keys))
+                self.counts["shuffle_distincts"] += 1
+                return ("distinct", c) + ir[2:], "shard"
+            if d == "shard":
+                c = ("gather", c)
+            return ("distinct", c) + ir[2:], "repl"
+        if k == "groupby_sort":
+            c, d = self.rw(ir[1])
+            if d == "shard" and ir[3] and \
+                    _ir_cap(c, self.nsh, self.scan_rows) >= self.min_rows:
+                # repartition by group-key hash: every group is wholly
+                # owned by one shard, so the sort-group and ALL its
+                # aggregates (incl. avg/distinct) run shard-local with
+                # no combine step
+                c = self._repart(c, ("keys", ir[3]))
+                self.counts["shuffle_groupbys"] += 1
+                return ("groupby_sort", c) + ir[2:], "shard"
+            if d == "shard":
+                c = ("gather", c)
+            return ("groupby_sort", c) + ir[2:], "repl"
+        if k == "groupby_dense":
+            c, d = self.rw(ir[1])
+            if d == "shard":
+                if any(spec[0].endswith("_distinct")
+                       for _key, spec in ir[5]):
+                    # distinct aggregates need per-group global value
+                    # sets: repartition by group key when big enough,
+                    # else gather
+                    if ir[3] and _ir_cap(c, self.nsh,
+                                         self.scan_rows) >= self.min_rows:
+                        keys = tuple(ci[1] for ci, _d, _dt in ir[3])
+                        c = self._repart(c, ("keys", keys))
+                        self.counts["shuffle_groupbys"] += 1
+                        return ("groupby_dense", c) + ir[2:], "shard"
+                    return ("groupby_dense", ("gather", c)) + ir[2:], \
+                        "repl"
+                return ("groupby_dense_spmd", c) + ir[2:], "repl"
+            return ("groupby_dense", c) + ir[2:], "repl"
+        if k in ("join", "join_expand"):
+            l, dl = self.rw(ir[2])
+            r, dr = self.rw(ir[3])
+            if dr == "shard":
+                bglobal = _ir_rows(r, self.scan_rows)
+                if dl == "shard" and bglobal > self.bcast_rows:
+                    # partitioned shuffle join: exchange both sides by
+                    # join-key hash, then join shard-locally
+                    keyspecs = ir[4]
+                    l = self._repart(l, ("join", keyspecs, "l"))
+                    r = self._repart(r, ("join", keyspecs, "r"))
+                    self.counts["shuffle_joins"] += 1
+                else:
+                    # broadcast join: every device gets the full build
+                    r = ("gather", r)
+            return ir[:2] + (l, r) + ir[4:], dl
+        raise Unsupported(f"spmd rewrite: {k}")
 
 
 _SPMD_CACHE: Dict[tuple, object] = {}
@@ -2767,7 +2979,11 @@ _LOCK = _threading.Lock()
 #: "fallback"); tests use this to prove the fused path actually executed.
 #: "uniq_retries"/"cap_retries" count expanding-join re-lowerings.
 STATS = {"runs": 0, "fallbacks": 0, "uniq_retries": 0, "cap_retries": 0,
-         "spmd_runs": 0}
+         "spmd_runs": 0,
+         # SPMD plans that exchanged rows through the ragged all-to-all
+         # (hash-partitioned joins / group-bys / distincts) instead of
+         # broadcast-gathering - tests assert the shuffle path executed
+         "shuffle_joins": 0, "shuffle_groupbys": 0, "shuffle_distincts": 0}
 
 
 def stats_inc(key: str, n: int = 1) -> None:
@@ -2823,6 +3039,7 @@ class CompiledFragment:
         self.rel_ir = rel_ir
         self.inputs = tuple(low.inputs)
         self.input_tables = list(low.input_tables)
+        self.scan_counts = dict(low.scan_counts)
         self.out_keys = tuple(out_keys)
         self.pts = pts
         self.cap = cap
@@ -2832,9 +3049,11 @@ class CompiledFragment:
             _JOIN_MEMO[self.plan_key] = dict(self.expand)
 
     def _pick_shard_inputs(self, nsh: int) -> Optional[frozenset]:
-        """Input indices of the table to row-shard: the largest scanned
-        table whose capacity divides over the mesh (opt_mitosis.c picks
-        pieces from the largest bound column the same way)."""
+        """Input indices of the tables to row-shard: every scanned table
+        large enough to split over the mesh (the reference shards every
+        eligible bind, opt_mitosis.c:21; small tables stay replicated
+        like its non-partitioned sides).  The largest table is always
+        sharded so even small-table plans exercise the mesh."""
         caps: Dict[str, int] = {}
         idxs: Dict[str, set] = {}
         for i, tname in enumerate(self.input_tables):
@@ -2842,13 +3061,20 @@ class CompiledFragment:
                 continue
             caps[tname] = self.inputs[i].shape[0]
             idxs.setdefault(tname, set()).add(i)
+        min_rows = int(config.get("spmd_min_shard_rows"))
         best = None
+        chosen = set()
         for tname, cap in caps.items():
             if cap % nsh or cap < nsh:
                 continue
             if best is None or cap > caps[best]:
                 best = tname
-        return frozenset(idxs[best]) if best is not None else None
+            if cap >= min_rows:
+                chosen.add(tname)
+        if best is None:
+            return None
+        chosen.add(best)
+        return frozenset(i for t in chosen for i in idxs[t])
 
     def _run_spmd(self, mesh, events: Optional[list]) -> FragmentResult:
         """Execute over a device mesh: SQL in, SPMD out.  The same retry
@@ -2866,11 +3092,16 @@ class CompiledFragment:
         stats_inc("spmd_runs")
         t0 = _time.perf_counter()
         rpcs = 0
-        for _attempt in range(8):
+        lane_caps = getattr(self, "_lane_caps", None)
+        if lane_caps is None:
+            lane_caps = self._lane_caps = {}
+        for _attempt in range(12):
             sharded = self._pick_shard_inputs(nsh)
             if sharded is None:
                 raise Unsupported("no shardable scan for the mesh")
-            sp_ir, d = _spmd_rewrite(self.rel_ir, sharded)
+            rwr = _SpmdRewriter(sharded, nsh, lane_caps,
+                                getattr(self, "scan_counts", None))
+            sp_ir, d = rwr.rw(self.rel_ir)
             if d == "shard":
                 sp_ir = ("gather", sp_ir)
             flags = tuple(i in sharded for i in range(len(self.inputs)))
@@ -2889,8 +3120,17 @@ class CompiledFragment:
                 self._memoize()
                 stats_inc("uniq_retries")
                 continue
+            # negative keys = repartition max-lane counts (shuffle
+            # overflow); positive = expanding-join totals
+            lane_over = {(-1 - o): int(t) for o, t in tots_v.items()
+                         if o < 0 and int(t) > rwr.lane_used.get(-1 - o, 0)}
+            if lane_over:
+                for o, t in lane_over.items():
+                    lane_caps[o] = capacity_for(max(t, 1))
+                stats_inc("cap_retries")
+                continue
             over = {o: int(t) for o, t in tots_v.items()
-                    if int(t) > self.expand_used.get(o, 0)}
+                    if o >= 0 and int(t) > self.expand_used.get(o, 0)}
             if over:
                 expand = dict(self.expand)
                 for o, t in over.items():
@@ -2900,11 +3140,15 @@ class CompiledFragment:
                 stats_inc("cap_retries")
                 continue
             _raise_err(code)
+            for key, v in rwr.counts.items():
+                if v:
+                    stats_inc(key, v)
             n = int(count_v)
             if events is not None:
                 events.append({
                     "op": "fragment.run", "algorithm": "fragment:spmd",
                     "rows": n, "rpcs": rpcs, "devices": nsh,
+                    "shuffles": dict(rwr.counts),
                     "usec": int((_time.perf_counter() - t0) * 1e6)})
             return FragmentResult(n, [np.asarray(a) for a in arrs],
                                   self.pts, self.wide)

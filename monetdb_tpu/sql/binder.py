@@ -74,6 +74,10 @@ class ColInfo:
     typ: SQLType
     table: Optional[str] = None
     display: Optional[str] = None  # user-visible header when it differs
+    #: duplicate of a NATURAL JOIN / USING column: hidden from ``*`` and
+    #: from unqualified resolution (rel_select.c natural-join dedup);
+    #: still reachable qualified
+    shadow: bool = False
 
 
 class Scope:
@@ -102,6 +106,11 @@ class Scope:
             raise BindError(f"unknown table {table}")
         hits = [c for cols in self.tables.values() for c in cols
                 if c.name == name]
+        if len(hits) > 1:
+            # NATURAL/USING shadow copies don't make a name ambiguous
+            vis = [c for c in hits if not c.shadow]
+            if len(vis) == 1:
+                return vis[0], False
         if len(hits) == 1:
             return hits[0], False
         if len(hits) > 1:
@@ -488,10 +497,13 @@ class Binder:
                 # NATURAL JOIN / JOIN USING (cols): equijoin over the
                 # shared column names (sql_parser.y joined_table;
                 # rel_select.c rel_joinquery natural path)
+                # hidden columns (__rowid__) are never NATURAL-join keys
                 lcols = {c.name for a in (mid - before)
-                         for c in self.scope.tables[a]}
+                         for c in self.scope.tables[a]
+                         if not c.name.startswith("__")}
                 rcols = {c.name for a in (after - mid)
-                         for c in self.scope.tables[a]}
+                         for c in self.scope.tables[a]
+                         if not c.name.startswith("__")}
                 common = [c for c in (using or sorted(lcols & rcols))]
                 if not common:
                     raise BindError("NATURAL JOIN: no common columns")
@@ -507,6 +519,15 @@ class Binder:
                 from ..plan.exprs import BoolOp, Cmp, ColRef
                 conds = [Cmp("=", ref(la, c), ref(ra, c)) for c in common]
                 on = conds[0] if len(conds) == 1 else BoolOp("and", conds)
+                # coalesce the shared columns: hide the non-preserved
+                # side's copies from * and unqualified references
+                # (rel_select.c natural-join dedup).  RIGHT joins keep
+                # the right side's values; everything else the left's.
+                shadow_aliases = la if src.kind == "right" else ra
+                for a in shadow_aliases:
+                    for ci in self.scope.tables[a]:
+                        if ci.name in common:
+                            ci.shadow = True
             on_b = self.bind_expr(on) if on is not None else None
             eq, extra = self._extract_equi(on_b)
             return L.Join(lrel, rrel, src.kind, on=eq, extra=extra)
@@ -1000,8 +1021,8 @@ class Binder:
                 tabs = [e.table] if e.table else list(self.scope.tables)
                 for t in tabs:
                     for c in self.scope.tables[t]:
-                        if c.name.startswith("__"):
-                            continue   # hidden columns (rowid)
+                        if c.name.startswith("__") or c.shadow:
+                            continue   # hidden columns (rowid) / USING dups
                         items.append((c.name, self._mk_ref(c)))
             else:
                 items.append((alias or self._auto_name(e), self.bind_expr(e)))

@@ -1110,6 +1110,7 @@ class Parser:
                     ("ident", "str"):
                 self.next()
                 name += "." + self.next().value
+            aliases = None
             if self.eat_punct("("):     # optional column alias list
                 aliases = [self.next().value]
                 while self.eat_punct(","):
@@ -1118,7 +1119,15 @@ class Parser:
             self.expect_kw("as")
             start = self.toks[self.i].pos
             self.parse_select()          # validate syntax; keep raw text
-            v = CreateView(name, self.sql_text[start:].strip())
+            body = self.sql_text[start:].strip().rstrip("; \t\n")
+            if aliases:
+                # apply the column alias list by wrapping the body in a
+                # renaming derived table (sql_parser.y view_def passes
+                # the list into the view's output names)
+                bare = name.split(".")[-1]
+                body = (f"select * from ({body}) as "
+                        f"{bare}({', '.join(aliases)})")
+            v = CreateView(name, body)
             v.replace = replace
             return v
         if self._at_ident("index") or \

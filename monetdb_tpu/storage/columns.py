@@ -77,6 +77,16 @@ def make_device_column(arr: np.ndarray, typ: SQLType,
     return col
 
 
+def blob_norm(s: str) -> str:
+    """Validate/canonicalize a blob hex literal: uppercase, even length,
+    hex digits only (the reference's blobFromStr rejects invalid literals
+    with 22M28, modules/atoms/blob.c)."""
+    s = s.strip().upper()
+    if len(s) % 2 or any(c not in "0123456789ABCDEF" for c in s):
+        raise ValueError(f"22M28!invalid blob literal {s[:24]!r}")
+    return s
+
+
 def column_from_pyvalues(values, typ: SQLType) -> Column:
     """Logical python values → device Column (dictionary-encodes strings
     with the engine's order-preserving code invariant)."""
@@ -134,6 +144,12 @@ def to_physical_np(values, typ: SQLType) -> np.ndarray:
     from decimal import Decimal as PyDecimal
 
     if typ.kind == Kind.STR:
+        from ..dtypes import is_blob
+        if is_blob(typ):
+            # every entry point (INSERT, COPY, UPDATE, CAST) validates
+            # and canonicalizes blob literals (blobFromStr, 22M28)
+            return np.array([None if v is None else blob_norm(str(v))
+                             for v in values], dtype=object)
         # object array preserving None: the dictionary encoder maps None to
         # the nil code (int32 min), matching str_nil in the reference
         return np.array([None if v is None else str(v) for v in values],

@@ -368,8 +368,16 @@ class Database:
             elif meta["op"] == "drop_user":
                 self.users.pop(meta["name"], None)
             elif meta["op"] == "put_seq":
-                self.sequences[meta["name"]] = {"next": meta["next"],
-                                                "inc": meta["inc"]}
+                s = {"next": meta["next"], "inc": meta["inc"]}
+                # bounds survive restart (store_sequence.c persists the
+                # full record); updates that omit them keep prior bounds
+                prev = self.sequences.get(meta["name"], {})
+                for b in ("min", "max"):
+                    if b in meta:
+                        s[b] = meta[b]
+                    elif b in prev:
+                        s[b] = prev[b]
+                self.sequences[meta["name"]] = s
             elif meta["op"] == "drop_seq":
                 self.sequences.pop(meta["name"], None)
             elif meta["op"] == "put_trigger":
@@ -1084,8 +1092,7 @@ class Database:
             seq["next"] = v
         if inc is not None:
             seq["inc"] = int(inc)
-        self._log(REC_DDL, {"op": "put_seq", "name": name,
-                            "next": seq["next"], "inc": seq["inc"]})
+        self._log(REC_DDL, {"op": "put_seq", "name": name, **seq})
 
     def drop_sequence(self, name: str) -> None:
         name = name.lower()
@@ -1103,9 +1110,17 @@ class Database:
         if seq is None:
             raise ValueError(f"unknown sequence {name}")
         first = seq["next"]
+        last = first + (n - 1) * seq["inc"]
+        # NO CYCLE semantics: exceeding a declared bound errors
+        # (store_sequence.c sequence_next_value overflow check)
+        if "max" in seq and max(first, last) > seq["max"]:
+            raise ValueError(
+                f"sequence {name} exceeds MAXVALUE {seq['max']}")
+        if "min" in seq and min(first, last) < seq["min"]:
+            raise ValueError(
+                f"sequence {name} below MINVALUE {seq['min']}")
         seq["next"] = first + n * seq["inc"]
-        self._log(REC_DDL, {"op": "put_seq", "name": name,
-                            "next": seq["next"], "inc": seq["inc"]})
+        self._log(REC_DDL, {"op": "put_seq", "name": name, **seq})
         return first
 
     # -- users (sql_user.c / mal_authorize.c) -----------------------------
