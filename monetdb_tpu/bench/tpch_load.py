@@ -73,3 +73,26 @@ def load_tpch(sf: float = 0.01, cache: bool = True) -> Catalog:
     if cache:
         _cache[sf] = cat
     return cat
+
+
+def load_tpch_db(sf: float = 0.01, data=None):
+    """TPC-H loaded into a Database — the SQL *product* path
+    (Session/server/embedded), used by the multichip dryrun's 22-query
+    Session sweep and by tests that must exercise storage-backed scans.
+    Bulk-appends physical arrays directly (COPY INTO's TableData.append
+    path, modules/mal/tablet.c role) into an in-memory Database."""
+    from ..storage.database import Database
+    db = Database()
+    if data is None:
+        data = gen_tpch(sf)
+    for tname, cols in data.items():
+        schema = SCHEMA[tname]
+        db.create_table(tname, [(c, _TYPES[schema[c]]) for c in cols])
+        td = db.tables[tname]
+        arrays = {}
+        for c, v in cols.items():
+            tag = schema[c]
+            arrays[c] = v if tag == "str" else \
+                v.astype(_TYPES[tag].np_dtype, copy=False)
+        td.append(arrays)
+    return db

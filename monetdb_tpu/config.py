@@ -40,6 +40,11 @@ _defaults: Dict[str, Any] = {
     # default bucket count for radix/hash partitioning
     "radix_bits": 8,
     # --- SPMD plan distribution (exec/fragment.py _SpmdRewriter) ---------
+    # when >1 device is visible, sessions construct a row mesh and run
+    # eligible plans SPMD by default — the reference runs mitosis in
+    # default_pipe for every session (opt_pipes.c:76); set 0 to force
+    # single-device execution (its no_mitosis_pipe)
+    "spmd_auto_mesh": True,
     # tables at or above this many rows (capacity) are row-sharded over
     # the mesh; smaller ones stay replicated (the reference's mitosis
     # MIN_PART_SIZE role, opt_mitosis.c:17)

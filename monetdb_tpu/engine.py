@@ -225,9 +225,14 @@ class Engine:
     mitosis/mergetable intra-query parallelism (opt_mitosis.c:21) realized
     as shard_map + psum over ICI (exec/fragment.py _run_spmd)."""
 
-    def __init__(self, catalog: Catalog, mesh=None):
+    def __init__(self, catalog: Catalog, mesh=None, spmd_auto=False):
         self.catalog = catalog
         self.mesh = mesh
+        # spmd_auto: the mesh came from the session default (mitosis in
+        # default_pipe) rather than an explicit request — only shard
+        # plans whose largest scan reaches spmd_min_shard_rows, the
+        # reference's MIN_PART_SIZE gate (opt_mitosis.c:17)
+        self.spmd_auto = spmd_auto
 
     def plan(self, sql: str):
         return bind_select(self.catalog, sql)
@@ -327,7 +332,8 @@ class Engine:
             if trace:
                 events.append({"op": "fragment.lower",
                                "usec": int(fragment.lower_ms * 1e3)})
-            fr = fragment.run(events=events, mesh=self.mesh)
+            fr = fragment.run(events=events, mesh=self.mesh,
+                              spmd_require_min=self.spmd_auto)
             QUEUE.check(CURRENT_QUERY.tag)
             def make_rows():
                 decoded = [

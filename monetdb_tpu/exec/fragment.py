@@ -3048,12 +3048,16 @@ class CompiledFragment:
         with _LOCK:
             _JOIN_MEMO[self.plan_key] = dict(self.expand)
 
-    def _pick_shard_inputs(self, nsh: int) -> Optional[frozenset]:
+    def _pick_shard_inputs(self, nsh: int,
+                           require_min: bool = False) -> Optional[frozenset]:
         """Input indices of the tables to row-shard: every scanned table
         large enough to split over the mesh (the reference shards every
         eligible bind, opt_mitosis.c:21; small tables stay replicated
-        like its non-partitioned sides).  The largest table is always
-        sharded so even small-table plans exercise the mesh."""
+        like its non-partitioned sides).  With an explicit mesh the
+        largest table is always sharded so even small-table plans
+        exercise the mesh; session auto-meshes set ``require_min`` so
+        plans with no table ≥ spmd_min_shard_rows stay single-device
+        (the reference's MIN_PART_SIZE gate, opt_mitosis.c:17)."""
         caps: Dict[str, int] = {}
         idxs: Dict[str, set] = {}
         for i, tname in enumerate(self.input_tables):
@@ -3071,12 +3075,13 @@ class CompiledFragment:
                 best = tname
             if cap >= min_rows:
                 chosen.add(tname)
-        if best is None:
+        if best is None or (require_min and not chosen):
             return None
         chosen.add(best)
         return frozenset(i for t in chosen for i in idxs[t])
 
-    def _run_spmd(self, mesh, events: Optional[list]) -> FragmentResult:
+    def _run_spmd(self, mesh, events: Optional[list],
+                  require_min: bool = False) -> FragmentResult:
         """Execute over a device mesh: SQL in, SPMD out.  The same retry
         discipline as the single-device path (non-unique build discovery,
         expansion-capacity overflow) applies."""
@@ -3086,6 +3091,19 @@ class CompiledFragment:
         nsh = int(mesh.shape[mesh.axis_names[0]])
         if nsh <= 1:
             raise Unsupported("single-device mesh")
+        picked = self._pick_shard_inputs(nsh, require_min)
+        if picked is None:
+            raise Unsupported("no shardable scan for the mesh")
+        if require_min:
+            # auto-mesh cost gate: SPMD pays off when the plan *reduces*
+            # (group-by/top-n/selective join) — if the root result is on
+            # the order of the sharded input, the final all_gather ships
+            # ~everything to every device and single-device wins (the
+            # gather cost the reference never pays: its mat.pack is a
+            # shared-memory concat, modules/mal/mat.c:124)
+            big = max(self.inputs[i].shape[0] for i in picked)
+            if self.cap * 2 > big:
+                raise Unsupported("result ~ input size: gather dominates")
         from ..obs import set_algorithm
         set_algorithm("fragment:spmd")
         stats_inc("runs")
@@ -3096,7 +3114,7 @@ class CompiledFragment:
         if lane_caps is None:
             lane_caps = self._lane_caps = {}
         for _attempt in range(12):
-            sharded = self._pick_shard_inputs(nsh)
+            sharded = self._pick_shard_inputs(nsh, require_min)
             if sharded is None:
                 raise Unsupported("no shardable scan for the mesh")
             rwr = _SpmdRewriter(sharded, nsh, lane_caps,
@@ -3155,17 +3173,20 @@ class CompiledFragment:
         raise Unsupported("expanding-join retry limit exceeded")
 
     def run(self, events: Optional[list] = None,
-            mesh=None) -> FragmentResult:
+            mesh=None, spmd_require_min: bool = False) -> FragmentResult:
         """Execute; 1 RPC when the result capacity is small (the common
         analytics shape: group-by / limit root), 2 RPCs otherwise, plus
         one re-lowered retry per newly-discovered non-unique join build
         or expansion-capacity overflow (memoized across runs).  With a
         mesh (>1 device), the plan runs SPMD (see _run_spmd); plans with
-        no shardable scan fall back to single-device execution."""
+        no shardable scan fall back to single-device execution.
+        ``spmd_require_min`` (session auto-mesh) keeps plans whose
+        largest scan is below spmd_min_shard_rows single-device."""
         import time as _time
         if mesh is not None:
             try:
-                return self._run_spmd(mesh, events)
+                return self._run_spmd(mesh, events,
+                                      require_min=spmd_require_min)
             except Unsupported:
                 pass    # e.g. tiny/unshardable plan: run single-device
         from ..obs import set_algorithm

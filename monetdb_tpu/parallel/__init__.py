@@ -6,4 +6,4 @@ shard_map programs, and the merge step is a collective (psum for partial
 aggregates, all_gather only at result export)."""
 
 from .mitosis import (shard_array, row_mesh, two_phase_sum,  # noqa: F401
-                      sharded_q1, sharded_q6)
+                      sharded_q1, sharded_q6, default_mesh)

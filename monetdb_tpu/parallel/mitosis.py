@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["row_mesh", "shard_array", "two_phase_sum", "sharded_q1",
-           "sharded_q6"]
+           "sharded_q6", "default_mesh"]
 
 AXIS = "rows"
 
@@ -32,6 +32,24 @@ AXIS = "rows"
 def row_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+_DEFAULT_MESH: list = []  # [Mesh | None] once resolved
+
+
+def default_mesh():
+    """The session-default mesh: a 1-D row mesh over all visible devices
+    when more than one is present, else None.  Sessions pass this to every
+    Engine they build so SPMD is the product path, matching the reference
+    where mitosis sits in every session's default_pipe (opt_pipes.c:76).
+    Disable with config spmd_auto_mesh=0 (no_mitosis_pipe analog)."""
+    from .. import config
+    if not config.get("spmd_auto_mesh"):
+        return None
+    if not _DEFAULT_MESH:
+        devs = jax.devices()
+        _DEFAULT_MESH.append(row_mesh(devs) if len(devs) > 1 else None)
+    return _DEFAULT_MESH[0]
 
 
 def shard_array(arr: np.ndarray, mesh: Mesh, fill=0) -> jax.Array:

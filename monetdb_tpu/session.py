@@ -27,8 +27,16 @@ __all__ = ["Session"]
 
 
 class Session:
-    def __init__(self, db: Database, user: Optional[str] = None):
+    def __init__(self, db: Database, user: Optional[str] = None,
+                 mesh=None):
         self.db = db
+        # device mesh for SPMD plan execution: explicit, or the process
+        # default (all visible devices) — mitosis in every session's
+        # default_pipe (opt_pipes.c:76); config spmd_auto_mesh=0 disables
+        if mesh is None:
+            from .parallel import default_mesh
+            mesh = default_mesh()
+        self.mesh = mesh
         # authenticated user; None = embedded/admin session (the reference
         # gives monetdbe the admin role the same way)
         self.user = user
@@ -75,7 +83,7 @@ class Session:
             rel, cols = __import__(
                 "monetdb_tpu.sql.binder", fromlist=["Binder"]
             ).Binder(self._catalog()).bind(expr.select)
-            res = Engine(self._catalog()).execute_plan(rel, cols)
+            res = self._engine().execute_plan(rel, cols)
             if not res.rows or res.rows[0][0] is None:
                 raise BindError("scalar subquery returned no value")
             return res.rows[0][0]
@@ -87,6 +95,11 @@ class Session:
         if not self.db.is_admin(self.user):
             cat.access = (self.user, self.role, self.db)
         return cat
+
+    def _engine(self) -> Engine:
+        """An Engine over the session-visible catalog, carrying the
+        session mesh so eligible plans run SPMD (mitosis-by-default)."""
+        return Engine(self._catalog(), mesh=self.mesh, spmd_auto=True)
 
     def _check_priv(self, table: str, priv: str) -> None:
         """Table privilege enforcement (sql_privileges.c table_privs)."""
@@ -127,7 +140,7 @@ class Session:
             return Result(["plan"], [varchar()], [(ln,) for ln in lines])
         if head.startswith("trace "):
             body = text.lstrip().split(None, 1)[1]
-            res = Engine(self._catalog()).query(body, trace=True)
+            res = self._engine().query(body, trace=True)
             from .dtypes import I64, varchar
             rows = [(e.get("usec", 0), e.get("rows", 0),
                      e.get("algorithm", ""), e.get("label", e["op"]))
@@ -162,7 +175,7 @@ class Session:
                                      qschema or self.current_schema)
             return None
         if isinstance(stmt, A.CreateTableAs):
-            res = Engine(self._catalog()).query_stmt(stmt.select)
+            res = self._engine().query_stmt(stmt.select)
             from .dtypes import varchar as _vc
             schema = [(n.lower(), t if t is not None else _vc())
                       for n, t in zip(res.names, res.types)]
@@ -414,7 +427,7 @@ class Session:
             return self._const_value(expr)
         except BindError:
             sel = A.SelectStmt(items=[(None, expr)], sources=[])
-            res = Engine(self._catalog()).query_stmt(sel)
+            res = self._engine().query_stmt(sel)
             return res.rows[0][0]
 
     def _default_value(self, sql_text: str, typ):
@@ -457,7 +470,7 @@ class Session:
 
     def _cached_query(self, text: str) -> Result:
         key = " ".join(text.split())
-        eng = Engine(self._catalog())
+        eng = self._engine()
         if self.txn is not None:
             # inside a transaction the visible schema may differ from the
             # committed one (transactional CREATE/DROP) — bypass the cache
@@ -605,7 +618,7 @@ class Session:
         return self._insert_rows(stmt.table, cols, rows)
 
     def _insert_select(self, stmt: A.InsertSelect) -> int:
-        res = Engine(self._catalog()).query_stmt(stmt.select)
+        res = self._engine().query_stmt(stmt.select)
         cols = [c.lower() for c in stmt.columns] if stmt.columns else None
         want = cols or [n for n, _t in self._schema_of(stmt.table)]
         if len(want) != len(res.names):
@@ -726,7 +739,7 @@ class Session:
                             A.TableSource(stmt.target, stmt.target_alias),
                             "left", stmt.on)
         sel = A.SelectStmt(items=items, sources=[join])
-        res = Engine(self._catalog()).query_stmt(sel)
+        res = self._engine().query_stmt(sel)
         matched = [r for r in res.rows if r[0] is not None]
         oids = np.array([r[0] for r in matched], np.int64)
         if len(np.unique(oids)) != len(oids):
@@ -759,7 +772,7 @@ class Session:
         sel = A.SelectStmt(items=items,
                            sources=[A.TableSource(table, table)],
                            where=where)
-        return Engine(self._catalog()).query_stmt(sel)
+        return self._engine().query_stmt(sel)
 
     def _delete(self, stmt: A.Delete) -> int:
         self._check_priv(stmt.table, "delete")
@@ -837,7 +850,7 @@ class Session:
         if isinstance(stmt.source, str):
             res = self.query(f"select * from {stmt.source}")
         else:
-            res = Engine(self._catalog()).query_stmt(stmt.source)
+            res = self._engine().query_stmt(stmt.source)
         with open(stmt.path, "w") as f:
             for row in res.rows:
                 f.write(stmt.delimiter.join(
@@ -967,7 +980,8 @@ class Prepared:
         stmt = copy.deepcopy(self.stmt_template)
         _substitute_params(stmt, list(params))
         if isinstance(stmt, A.SelectStmt):
-            return Engine(self.session.db.catalog()).query_stmt(stmt)
+            return Engine(self.session.db.catalog(), mesh=self.session.mesh,
+                          spmd_auto=True).query_stmt(stmt)
         # prepared DML (the reference prepares any statement kind)
         if isinstance(stmt, A.InsertValues):
             return self.session._insert_values(stmt)

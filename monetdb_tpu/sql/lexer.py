@@ -62,6 +62,10 @@ def tokenize(sql: str) -> List[Token]:
                 raise SQLSyntaxError("unterminated comment")
             i = j + 2
             continue
+        esc = c in "eE" and i + 1 < n and sql[i + 1] == "'"
+        if esc:        # E'...' escape-string literal (sql_scan.c E strings)
+            i += 1
+            c = "'"
         if c == "'":
             j = i + 1
             buf = []
@@ -72,6 +76,12 @@ def tokenize(sql: str) -> List[Token]:
                         j += 2
                         continue
                     break
+                if esc and sql[j] == "\\" and j + 1 < n:
+                    buf.append({"n": "\n", "t": "\t", "r": "\r",
+                                "\\": "\\", "'": "'",
+                                "0": "\0"}.get(sql[j + 1], sql[j + 1]))
+                    j += 2
+                    continue
                 buf.append(sql[j])
                 j += 1
             else:

@@ -864,6 +864,11 @@ class Parser:
             if unit not in ("day", "month", "year", "hour", "minute",
                             "second", "week", "quarter"):
                 raise SQLSyntaxError(f"unknown interval unit {unit!r}")
+            if self.eat_punct("("):
+                # leading-field precision, e.g. interval '90' day (3)
+                # (sql_parser.y interval_qualifier) — semantics unaffected
+                self.next()
+                self.expect_punct(")")
             return Const((int(amount), unit), None)  # interval pseudo-const
         if v == "case":
             whens = []
@@ -1578,6 +1583,7 @@ class Parser:
         self.expect_kw("from")
         path = self.next().value
         delim = "|"
+        self.eat_kw("using")   # COPY ... USING DELIMITERS (sql_parser.y)
         if self.eat_kw("delimiters"):
             delim = self.next().value
             while self.eat_punct(","):
