@@ -136,6 +136,51 @@ def main():
         print(f"q1 group-aggr failed: {type(ex).__name__}: {str(ex)[:160]}",
               file=sys.stderr)
 
+    # ---- Pallas limb kernel vs the one-hot form (the wired fast path,
+    # exec/fragment.py _SegReduce.sum → ops/pallas_kernels.py seg_sum64;
+    # VERDICT r3 item 8: show the grouped-aggregate delta) --------------
+    pallas_ms = None
+    try:
+        from monetdb_tpu.ops.pallas_kernels import SEG_SUM_BLOCK, seg_sum64
+        np_ = (n // SEG_SUM_BLOCK) * SEG_SUM_BLOCK   # kernel block multiple
+
+        @jax.jit
+        def pallas_loop(code, shipdate, qty, extp, disc, tax, cutoffs):
+            dp = extp.astype(jnp.int64) * (100 - disc)
+            ch = dp * (100 + tax)
+
+            def body(acc, cutoff):
+                sid = jnp.where((code >= 0) & (shipdate <= cutoff),
+                                code.astype(jnp.int64), jnp.int64(8))
+                tot = jnp.int64(0)
+                for v in (qty, extp.astype(jnp.int64), dp, ch, disc):
+                    s, c = seg_sum64(sid, v, domain=8)
+                    tot = tot + jnp.sum(s) + jnp.sum(c)
+                return acc + tot, None
+
+            acc, _ = lax.scan(body, jnp.int64(0), cutoffs)
+            return acc
+
+        def pallas_args(k):
+            return (code[:np_], shipdate[:np_], qty[:np_], extp[:np_],
+                    disc[:np_], tax[:np_],
+                    jnp.asarray(10460 + np.arange(k) % 11, jnp.int32))
+
+        j1, j2 = 2, 10
+        jax.device_get(pallas_loop(*pallas_args(j1)))
+        jax.device_get(pallas_loop(*pallas_args(j2)))
+        t1p = _timed(pallas_loop, *pallas_args(j1), reps=3)
+        t2p = _timed(pallas_loop, *pallas_args(j2), reps=3)
+        pallas_ms = max((t2p - t1p) / (j2 - j1), 1e-9) * 1e3
+        print(f"q1 pallas limb: {pallas_ms:.3f} ms/iter  "
+              f"{n/pallas_ms/1e3:.0f} Mrows/s  "
+              f"({per_iter1*1e3/pallas_ms:.1f}x vs one-hot)"
+              if per_iter1 else f"q1 pallas limb: {pallas_ms:.3f} ms/iter",
+              file=sys.stderr)
+    except Exception as ex:
+        print(f"q1 pallas bench failed: {type(ex).__name__}: "
+              f"{str(ex)[:160]}", file=sys.stderr)
+
     # ---- whole-query engine wall times, TPC-H SF1, all 22 queries -------
     # (BASELINE.md north-star config 1; measures the full SQL→plan-cache→
     # fused-fragment→result path).  Cold = first run (lower + XLA compile
@@ -176,6 +221,10 @@ def main():
                                    if per_iter1 else None),
                 "q1_mrows_per_s": (round(n / per_iter1 / 1e6, 1)
                                    if per_iter1 else None),
+                "q1_pallas_ms_per_iter": (round(pallas_ms, 4)
+                                          if pallas_ms else None),
+                "q1_pallas_speedup": (round(per_iter1 * 1e3 / pallas_ms, 2)
+                                      if pallas_ms and per_iter1 else None),
                 "engine_sf1_wall_ms": engine_ms or None,
                 "engine_sf1_cold_ms": engine_cold_ms or None,
                 "engine_sf1_skipped": skipped or None,

@@ -58,8 +58,19 @@ _defaults: Dict[str, Any] = {
     # sharded group-by/distinct inputs below this many rows per shard
     # gather to one replica instead of repartitioning by key hash
     "spmd_shuffle_min_rows": 1 << 15,
+    # dispatch the Pallas limb-accumulation kernel (ops/pallas_kernels.py
+    # seg_sum64) for dense-domain integer grouped sums on TPU — measured
+    # ~5x the one-hot XLA form (BATgroupsum role, gdk/gdk_aggr.c:900);
+    # set 0 to force the portable one-hot path
+    "pallas_groupby": True,
     # observability
     "trace": False,
+    # GDKdebug-style runtime property assertions (BATassertProps,
+    # gdk/gdk_bat.c): validate every operator output's claimed flags
+    # (sorted/key/nonil/min/max) and cross-device replication of SPMD
+    # results; a wrong flag fails loudly instead of silently picking a
+    # wrong fast path. Env: MTPU_ASSERT_PROPS=1.
+    "assert_props": False,
     # dataflow scheduler (mal_dataflow.c DFLOWworker pool analog):
     # worker threads for independent plan subtrees; 0/1 = sequential
     "dataflow_workers": 4,

@@ -400,6 +400,11 @@ class Executor:
         # post-check: an operator that overran the deadline (or was
         # stopped mid-flight) aborts as soon as it returns
         QUEUE.check(CURRENT_QUERY.tag)
+        # GDKdebug-style property validation of the operator's output
+        # (BATassertProps after each op, gdk/gdk_bat.c)
+        if config.get("assert_props") and isinstance(out, Frame):
+            from ..obs.assertprops import assert_frame_props
+            assert_frame_props(out, type(rel).__name__)
         return out
 
     def _exec_scan(self, r: L.Scan) -> Frame:

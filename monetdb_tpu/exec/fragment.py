@@ -1451,8 +1451,21 @@ class _SegReduce:
         self.cap = int(cap)
         if sorted_ctx is None and self.seg <= _ONEHOT_MAX:
             self.mode = "onehot"
-            slots = jax.lax.iota(jnp.int64, self.seg)[None, :]
-            self.oh = sid[:, None] == slots
+            self.sid = sid
+            # Pallas fast path for integer sums (ops/pallas_kernels.py
+            # seg_sum64): measured ~5x the one-hot XLA form on TPU v5e
+            # (1946 vs 395 GB/s at 16M rows); the one-hot form remains
+            # the CPU / float / tiny-capacity path
+            from ..ops import pallas_kernels as PK
+            # capacity floor: below ~1M rows the whole-query wall is
+            # dispatch-dominated and the extra per-aggregate kernel
+            # launches cost more than the one-hot fusion saves
+            self._pallas = (config.get("pallas_groupby")
+                            and jax.default_backend() == "tpu"
+                            and self.cap % PK.SEG_SUM_BLOCK == 0
+                            and self.cap >= (1 << 20)
+                            and self.seg <= 32)
+            self._oh = None
             return
         self.mode = "sorted"
         if sorted_ctx is None:
@@ -1465,10 +1478,23 @@ class _SegReduce:
         self.starts = jnp.concatenate(
             [jnp.zeros(1, self.ends.dtype), self.ends[:-1]])
 
+    @property
+    def oh(self):
+        """(cap, seg) one-hot matrix, built on first use — plans whose
+        aggregates are all Pallas-summed never materialize it."""
+        if self._oh is None:
+            slots = jax.lax.iota(jnp.int64, self.seg)[None, :]
+            self._oh = self.sid[:, None] == slots
+        return self._oh
+
     def sum(self, vals, dtype=None):
         """Per-segment sum; vals must be 0 outside the contributing set."""
         dt = np.dtype(dtype) if dtype is not None else vals.dtype
         if self.mode == "onehot":
+            if self._pallas and dt.kind == "i":
+                from ..ops.pallas_kernels import seg_sum64
+                sums, _cnt = seg_sum64(self.sid, vals, domain=self.seg)
+                return sums.astype(dt)
             return jnp.sum(jnp.where(self.oh, vals.astype(dt)[:, None],
                                      dt.type(0)), axis=0)
         v = vals.astype(dt)[self.perm]
@@ -2915,9 +2941,16 @@ class _SpmdRewriter:
 _SPMD_CACHE: Dict[tuple, object] = {}
 
 
-def _spmd_callable(ir_bundle, mesh, shard_flags: tuple):
-    """jit(shard_map(plan)) cached by (IR, mesh, input sharding)."""
-    key = (ir_bundle, mesh, shard_flags)
+def _spmd_callable(ir_bundle, mesh, shard_flags: tuple,
+                   repcheck: bool = False):
+    """jit(shard_map(plan)) cached by (IR, mesh, input sharding).
+
+    ``repcheck`` (config assert_props, the GDKdebug analog) returns every
+    output with a leading per-device axis instead of collapsing to one
+    replica, so the caller can assert cross-device replication at runtime
+    — the dynamic version of the static vma check disabled below.
+    """
+    key = (ir_bundle, mesh, shard_flags, repcheck)
     fn = _SPMD_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2928,15 +2961,19 @@ def _spmd_callable(ir_bundle, mesh, shard_flags: tuple):
 
     def f(inputs):
         itp = _Interp(inputs, axis=axis, nsh=nsh)
-        return _root_compact(itp, rel_ir, out_keys, out_cap)
+        out = _root_compact(itp, rel_ir, out_keys, out_cap)
+        if repcheck:
+            return jax.tree.map(lambda v: v[None], out)
+        return out
 
     in_specs = (tuple(P(axis) if s else P() for s in shard_flags),)
     # outputs are replicated by construction (psum-combined aggregates or
     # all_gather-ed rows + deterministic per-device compute); the static
     # vma checker cannot infer replication through all_gather, so it is
     # disabled and P() takes the (identical) per-device value
+    out_specs = P(axis) if repcheck else P()
     fn = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                               out_specs=P(), check_vma=False))
+                               out_specs=out_specs, check_vma=False))
     _SPMD_CACHE[key] = fn
     return fn
 
@@ -3123,11 +3160,31 @@ class CompiledFragment:
             if d == "shard":
                 sp_ir = ("gather", sp_ir)
             flags = tuple(i in sharded for i in range(len(self.inputs)))
+            repcheck = bool(config.get("assert_props"))
             fn = _spmd_callable((sp_ir, self.out_keys, self.cap), mesh,
-                                flags)
+                                flags, repcheck=repcheck)
             err, tots, count, arrays = fn(self.inputs)
             err_v, tots_v, count_v, arrs = jax.device_get(
                 (err, tots, count, arrays))
+            if repcheck:
+                # runtime replication assert (GDKdebug/assert_props):
+                # every device must have produced identical outputs
+                def _dedup(v, what):
+                    first = v[0]
+                    nan_ok = np.asarray(first).dtype.kind == "f"
+                    for d in range(1, v.shape[0]):
+                        if not np.array_equal(v[d], first,
+                                              equal_nan=nan_ok):
+                            raise AssertionError(
+                                f"SPMD replication violated: {what} "
+                                f"diverges on device {d}")
+                    return first
+                err_v = _dedup(err_v, "error flag")
+                count_v = _dedup(count_v, "row count")
+                tots_v = {o: _dedup(t, f"total[{o}]")
+                          for o, t in tots_v.items()}
+                arrs = [_dedup(a, f"output[{i}]")
+                        for i, a in enumerate(arrs)]
             rpcs += 1
             code = int(err_v)
             if code >= _ERR_DUP_BASE:

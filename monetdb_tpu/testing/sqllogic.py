@@ -73,20 +73,41 @@ class SqlLogicRunner:
             text = f.read()
         return self.run_text(text, path)
 
+    # Conditions under which this engine identifies as the reference
+    # would (testing/sqllogictest.py:788-820): we are "MonetDB" for
+    # dialect purposes and support hugeint-width (int128-equivalent)
+    # aggregates; `knownfail` records are skipped like the reference's
+    # default (non --alltests) runs.
+    _TRUE_CONDS = ("MonetDB", "has-hugeint")
+
     def run_text(self, text: str, name: str = "<string>") -> int:
         lines = text.split("\n")
         i = 0
         n = len(lines)
+        skipping = False
         while i < n:
             line = lines[i].strip()
             if not line or line.startswith("#"):
+                i += 1
+                continue
+            if line.startswith(("skipif", "onlyif")):
+                words = line.split()
+                cond = words[1] if len(words) > 1 else ""
+                if words[0] == "skipif":
+                    if cond in self._TRUE_CONDS or cond == "knownfail":
+                        skipping = True
+                else:  # onlyif: skip unless the condition holds here
+                    if cond not in self._TRUE_CONDS:
+                        skipping = True
                 i += 1
                 continue
             if line.startswith("statement"):
                 expect_err = line.split()[1] == "error"
                 i += 1
                 sql, i = self._read_sql(lines, i)
-                self._statement(sql, expect_err, name, i)
+                if not skipping:
+                    self._statement(sql, expect_err, name, i)
+                skipping = False
             elif line.startswith("query"):
                 parts = line.split()
                 typesig = parts[1]
@@ -94,7 +115,9 @@ class SqlLogicRunner:
                 i += 1
                 sql, i = self._read_sql(lines, i, stop="----")
                 expected, i = self._read_expected(lines, i)
-                self._query(sql, typesig, sortmode, expected, name, i)
+                if not skipping:
+                    self._query(sql, typesig, sortmode, expected, name, i)
+                skipping = False
             elif line.startswith("@connection"):
                 m = re.search(r"id=([A-Za-z0-9_]+)", line)
                 if not m:
@@ -103,8 +126,7 @@ class SqlLogicRunner:
                 self._pending_conn = m.group(1)
                 i += 1
                 continue
-            elif line.startswith(("hash-threshold", "halt", "mode",
-                                  "onlyif", "skipif")):
+            elif line.startswith(("hash-threshold", "halt", "mode")):
                 i += 1
                 continue
             else:

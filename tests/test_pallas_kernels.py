@@ -61,3 +61,34 @@ def test_grouped_sum_limbs_exact():
         mg = mask & (code == g)
         assert int(sums[g]) == int(vals[mg].astype(object).sum())
         assert int(cnts[g]) == int(mg.sum())
+
+
+def test_seg_sum64_exact_negatives_and_excluded():
+    """seg_sum64: exact int64 grouped sums incl. negative values, values
+    beyond int32, and excluded rows (sid == domain)."""
+    n = PK.SEG_SUM_BLOCK * 2
+    domain = 5
+    rng = np.random.default_rng(11)
+    sid = rng.integers(0, domain + 1, n).astype(np.int64)
+    vals = rng.integers(-(2 ** 45), 2 ** 45, n).astype(np.int64)
+    s, c = PK.seg_sum64(jnp.asarray(sid), jnp.asarray(vals),
+                        domain=domain, interpret=True)
+    for g in range(domain):
+        mg = sid == g
+        assert int(s[g]) == int(vals[mg].sum())
+        assert int(c[g]) == int(mg.sum())
+
+
+def test_seg_sum64_matches_onehot_segreduce():
+    """The wired fast path must agree with the one-hot strategy it
+    replaces (exec/fragment.py _SegReduce.sum)."""
+    n = PK.SEG_SUM_BLOCK
+    domain = 8
+    rng = np.random.default_rng(12)
+    sid = rng.integers(0, domain + 1, n).astype(np.int64)
+    vals = np.where(sid < domain, rng.integers(0, 10 ** 12, n), 0)
+    oh = sid[:, None] == np.arange(domain)[None, :]
+    want = np.where(oh, vals[:, None], 0).sum(axis=0)
+    s, _ = PK.seg_sum64(jnp.asarray(sid), jnp.asarray(vals),
+                        domain=domain, interpret=True)
+    assert (np.asarray(s) == want).all()
