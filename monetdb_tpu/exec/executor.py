@@ -771,6 +771,12 @@ class Executor:
             if lc.sdict is rc.sdict:
                 return lc, rc
             # translate right codes into the left dictionary's code space
+            if len(lc.sdict) == 0:
+                # empty left dictionary (0-row table): nothing matches
+                nd = jnp.where(rc.data >= 0,
+                               jnp.asarray(-2, rc.data.dtype), rc.data)
+                return lc, Column(rc.typ, nd, rc.count, nonil=rc.nonil,
+                                  sdict=lc.sdict)
             idx = np.searchsorted(lc.sdict.values, rc.sdict.values)
             idx = np.clip(idx, 0, len(lc.sdict) - 1)
             found = lc.sdict.values[idx] == rc.sdict.values
@@ -2009,6 +2015,25 @@ class Executor:
             return self._pred_inlist(e, fr)
         if isinstance(e, Like):
             col = self.eval(e.arg, fr)
+            if isinstance(col, Scalar):
+                # scalar LIKE (e.g. SELECT 'test' LIKE 'te%'): host eval
+                if col.value is None:
+                    return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_),
+                                          fr.count)
+                import re as _re
+                flags = _re.DOTALL | (_re.IGNORECASE if
+                                      getattr(e, "caseless", False) else 0)
+                if getattr(e, "regex", False):
+                    hit = _re.search(e.pattern, str(col.value),
+                                     flags) is not None
+                else:
+                    rx = _re.compile(
+                        SF.like_regex(e.pattern, e.escape).pattern, flags)
+                    hit = rx.match(str(col.value)) is not None
+                if e.negated:
+                    hit = not hit
+                return Cand.all(fr.count) if hit else \
+                    Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_), fr.count)
             return SF.like_cand(col, e.pattern, e.negated, e.escape,
                                 caseless=getattr(e, "caseless", False),
                                 regex=getattr(e, "regex", False))
@@ -2100,6 +2125,27 @@ class Executor:
         if _is_float(col) and not _is_float(s):
             r = C.compare(op, col, _to_f64_scalar(s))
             return Cand.from_mask(r.data == 1, fr.count)
+        if isinstance(s.value, tuple):
+            # interval literal vs an interval column: convert the
+            # (amount, unit) pseudo-const into the column's physical
+            # domain (µs for sec_interval, months for month_interval —
+            # sql_types.c month_interval/sec_interval)
+            amt, unit = s.value
+            if unit == "quarter":
+                amt, unit = amt * 3, "month"
+            if unit == "week":
+                amt, unit = amt * 7, "day"
+            if col.typ.np_dtype.itemsize == 4:   # month interval
+                v = amt * 12 if unit == "year" else amt
+            else:
+                us = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                      "minute": 60_000_000, "second": 1_000_000}
+                if unit not in us:
+                    raise ExecError(
+                        f"cannot compare {unit} interval to a day-time "
+                        f"interval column")
+                v = int(amt) * us[unit]
+            return S.thetaselect(col, None, v, op)
         cs = _scale_of(col)
         ss = s.scale
         v = s.value
@@ -2156,6 +2202,25 @@ class Executor:
     def _pred_inlist(self, e: InList, fr: Frame) -> Cand:
         col = self.eval(e.arg, fr)
         vals = [self.eval(i, fr) for i in e.items]
+        if isinstance(col, Scalar) or \
+                any(isinstance(v, Column) for v in vals):
+            # general shape — scalar LHS (SELECT 1 IN (...)) or column
+            # expressions in the list (x IN (y + 1)): rewrite to the OR
+            # of equalities (rel_select.c in-value-list handling)
+            ors = BoolOp("or", [Cmp("=", e.arg, i) for i in e.items])
+            pos = self.eval_pred(ors, fr)
+            if not e.negated:
+                return pos
+            # NOT IN: exclude nil LHS rows (3-valued logic)
+            if isinstance(col, Scalar):
+                if col.value is None:
+                    return Cand.from_mask(jnp.zeros(fr.cap, jnp.bool_),
+                                          fr.count)
+                return S.cand_not(pos, fr.cap)
+            nonil = S.select(col, None, tl=col.typ.nil, th=col.typ.nil,
+                             anti=True) if not col.nonil else \
+                Cand.all(col.count)
+            return S.cand_and(nonil, S.cand_not(pos, fr.cap), fr.cap)
         if col.typ.kind == Kind.STR:
             return SF.in_strings_cand(col, [str(v.value) for v in vals],
                                       e.negated)

@@ -115,13 +115,25 @@ class Session:
     # per-session query timeout in seconds (sys.setquerytimeout analog)
     timeout: Optional[float] = None
 
+    def _check_access(self, table: str, op: str) -> None:
+        """Enforce ALTER TABLE SET READ ONLY / INSERT ONLY (sql_cat.c
+        access modes): read_only blocks all writes, insert_only blocks
+        update/delete."""
+        mode = self.db.table_access.get(table.lower().split(".")[-1])
+        if mode == "read_only" or (mode == "insert_only"
+                                   and op in ("update", "delete")):
+            raise PermissionError(
+                f"42000!{op.upper()}: access denied: table "
+                f"'{table}' is {mode.replace('_', ' ')}")
+
     # -- entry ----------------------------------------------------------------
-    def sql(self, text: str) -> Union[Result, int, None]:
+    def sql(self, text: str,
+            copy_data: Optional[str] = None) -> Union[Result, int, None]:
         from .sql.syscat import CURRENT_QUERY, QUEUE
         tag = QUEUE.start(text, self.timeout)
         CURRENT_QUERY.tag = tag
         try:
-            out = self._sql(text)
+            out = self._sql(text, copy_data=copy_data)
         except Exception:
             QUEUE.finish(tag, "aborted")
             raise
@@ -130,7 +142,8 @@ class Session:
         QUEUE.finish(tag)
         return out
 
-    def _sql(self, text: str) -> Union[Result, int, None]:
+    def _sql(self, text: str,
+             copy_data: Optional[str] = None) -> Union[Result, int, None]:
         head = text.lstrip().lower()
         if head.startswith(("explain ", "plan ")):
             body = text.lstrip().split(None, 1)[1]
@@ -151,6 +164,8 @@ class Session:
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
             return self._cached_query(text)
+        if isinstance(stmt, A.NoOp):
+            return None
         # schema-qualified DDL/DML targets: s.t → t over the single
         # physical namespace, remembering the schema (rel_schema.c
         # qname resolution)
@@ -279,23 +294,38 @@ class Session:
                 t, self.txn = self.txn, None
                 t.rollback()
             return None
+        if isinstance(stmt, A.AlterSetAccess):
+            t = stmt.table.lower()
+            if t not in self.db.tables:
+                raise BindError(f"no such table {stmt.table}")
+            self.db.table_access[t] = stmt.mode
+            return None
         if isinstance(stmt, A.MergeStmt):
             return self._merge(stmt)
         if isinstance(stmt, A.InsertValues):
+            self._check_access(stmt.table, "insert")
             return self._insert_values(stmt)
         if isinstance(stmt, A.InsertSelect):
+            self._check_access(stmt.table, "insert")
             return self._insert_select(stmt)
         if isinstance(stmt, A.Delete):
+            self._check_access(stmt.table, "delete")
             return self._delete(stmt)
         if isinstance(stmt, A.Update):
+            self._check_access(stmt.table, "update")
             return self._update(stmt)
         if isinstance(stmt, A.CopyFrom):
+            self._check_access(stmt.table, "insert")
+            if copy_data is not None:
+                stmt.data = copy_data
             return self._copy(stmt)
         if isinstance(stmt, A.CopyInto):
             return self._copy_into(stmt)
         if isinstance(stmt, A.CopyBinaryFrom):
+            self._check_access(stmt.table, "insert")
             return self._copy_binary(stmt)
         if isinstance(stmt, A.Truncate):
+            self._check_access(stmt.table, "delete")
             return self._delete(A.Delete(stmt.table, None))
         if isinstance(stmt, A.AlterAddColumn):
             fill = None
@@ -805,11 +835,17 @@ class Session:
     # fallback) ----------------------------------------------------------------
     def _copy(self, stmt: A.CopyFrom) -> int:
         td = self._td(stmt.table)
+        if getattr(stmt, "data", None) is None and \
+                stmt.path.lower() == "stdin":
+            raise BindError("COPY FROM STDIN needs inline data")
         from .storage import csv_native
         native_ok = all(td.types[c].kind in (Kind.INT, Kind.DECIMAL,
                                              Kind.DATE, Kind.STR)
                         or td.types[c].np_dtype.kind == "f"
-                        for c in td.order)
+                        for c in td.order) \
+            and getattr(stmt, "quote", None) is None \
+            and getattr(stmt, "nullstr", None) is None \
+            and getattr(stmt, "data", None) is None
         if native_ok and csv_native.native_available():
             with open(stmt.path, "rb") as f:
                 data = f.read()
@@ -823,11 +859,23 @@ class Session:
         return self._copy_python(stmt)
 
     def _copy_python(self, stmt: A.CopyFrom) -> int:
+        import io
         td = self._td(stmt.table)
         cols: List[List] = [[] for _ in td.order]
         limit = stmt.records
-        with open(stmt.path, newline="") as f:
-            rd = csv.reader(f, delimiter=stmt.delimiter)
+        data = getattr(stmt, "data", None)
+        quote = getattr(stmt, "quote", None)
+        nullstr = getattr(stmt, "nullstr", None)
+        f = io.StringIO(data) if data is not None \
+            else open(stmt.path, newline="")
+        with f:
+            kw = {"delimiter": stmt.delimiter}
+            if quote is not None:
+                kw["quotechar"] = quote
+            else:
+                # no quote spec: fields are raw text (tablet.c default)
+                kw["quoting"] = csv.QUOTE_NONE
+            rd = csv.reader(f, **kw)
             for i, row in enumerate(rd):
                 if limit is not None and i >= limit:
                     break
@@ -835,6 +883,9 @@ class Session:
                 if len(row) == len(td.order) + 1 and row[-1] == "":
                     row = row[:-1]
                 for j, v in enumerate(row):
+                    if nullstr is not None and v == nullstr:
+                        cols[j].append(None)
+                        continue
                     cols[j].append(self._parse_field(v, td.types[td.order[j]]))
         arrays = {c: to_physical_np(vals, td.types[c])
                   for c, vals in zip(td.order, cols)}

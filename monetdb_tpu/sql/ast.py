@@ -242,9 +242,12 @@ class InsertValues:
 @dataclasses.dataclass
 class CopyFrom:
     table: str
-    path: str
+    path: str                    # file path, or "stdin" with inline data
     delimiter: str = "|"
     records: Optional[int] = None
+    quote: Optional[str] = None  # USING DELIMITERS f, r, quote
+    nullstr: Optional[str] = None
+    data: Optional[str] = None   # inline rows (COPY ... FROM STDIN)
 
 
 @dataclasses.dataclass
@@ -377,6 +380,21 @@ class CommentOn:
     kind: str            # table | column | view | function
     target: str          # table or table.column
     text: Optional[str]  # None = remove
+
+
+@dataclasses.dataclass
+class AlterSetAccess:
+    """ALTER TABLE t SET {READ ONLY|INSERT ONLY|READ WRITE}
+    (sql_cat.c sql_alter_table access modes)."""
+    table: str
+    mode: str            # read_only | insert_only | read_write
+
+
+@dataclasses.dataclass
+class NoOp:
+    """A statement accepted for compatibility with no engine effect
+    (unenforced ALTER access modes / post-hoc constraints)."""
+    reason: str = ""
 
 
 @dataclasses.dataclass

@@ -82,6 +82,14 @@ class Parser:
         return t.kind == "op" and t.value in ops
 
     # -- statements ---------------------------------------------------------
+    def _qname(self) -> str:
+        """Possibly schema-qualified object name (sql_parser.y qname):
+        kept dotted; resolution strips the schema downstream."""
+        name = self.next().value
+        while self.eat_punct("."):
+            name += "." + self.next().value
+        return name
+
     def parse_stmt(self):
         if self.at_kw("select") or self.at_punct("(") or self.at_kw("with"):
             return self.parse_select()
@@ -90,7 +98,13 @@ class Parser:
             self.next()
             self.eat_kw("table")
             from .ast import Truncate
-            return Truncate(self.next().value)
+            name = self._qname()
+            # [CONTINUE|RESTART IDENTITY] [CASCADE|RESTRICT]
+            if self._eat_ident("continue") or self._eat_ident("restart"):
+                self._eat_ident("identity")
+            self._eat_ident("cascade")
+            self._eat_ident("restrict")
+            return Truncate(name)
         if self.at_kw("set") and self.peek(1).kind == "ident":
             self.next()
             from .ast import SetVar
@@ -146,7 +160,7 @@ class Parser:
             self.next()
             if self.eat_kw("view"):
                 from .ast import DropView
-                return DropView(self.next().value)
+                return DropView(self._qname())
             if self.peek().kind == "ident" and \
                     self.peek().value == "schema":
                 self.next()
@@ -163,22 +177,22 @@ class Parser:
                     self.peek().value == "index":
                 self.next()
                 from .ast import DropIndex
-                return DropIndex(self.next().value)
+                return DropIndex(self._qname())
             if self.peek().kind == "ident" and \
                     self.peek().value == "function":
                 self.next()
                 from .ast import DropFunction
-                return DropFunction(self.next().value)
+                return DropFunction(self._qname())
             if self.peek().kind == "ident" and \
                     self.peek().value == "sequence":
                 self.next()
                 from .ast import DropSequence
-                return DropSequence(self.next().value)
+                return DropSequence(self._qname())
             if self.peek().kind == "ident" and \
                     self.peek().value == "trigger":
                 self.next()
                 from .ast import DropTrigger
-                return DropTrigger(self.next().value)
+                return DropTrigger(self._qname())
             if self.peek().kind == "ident" and self.peek().value == "user":
                 self.next()
                 from .ast import DropUser
@@ -191,7 +205,7 @@ class Parser:
                     self.peek().value == "procedure":
                 self.next()
                 from .ast import DropProcedure
-                return DropProcedure(self.next().value)
+                return DropProcedure(self._qname())
             self.expect_kw("table")
             if_exists = False
             if self.eat_kw("if") or self._eat_ident("if"):
@@ -200,7 +214,7 @@ class Parser:
                         or self._eat_ident("exists")):
                     raise SQLSyntaxError("expected EXISTS")
                 if_exists = True
-            name = self.next().value
+            name = self._qname()
             self._eat_ident("cascade")
             self._eat_ident("restrict")
             return DropTable(name, if_exists)
@@ -227,12 +241,12 @@ class Parser:
         if self.at_kw("delete"):
             self.next()
             self.expect_kw("from")
-            name = self.next().value
+            name = self._qname()
             where = self.parse_expr() if self.eat_kw("where") else None
             return Delete(name, where)
         if self.at_kw("update"):
             self.next()
-            name = self.next().value
+            name = self._qname()
             self.expect_kw("set")
             sets = []
             while True:
@@ -1075,11 +1089,20 @@ class Parser:
                 self.expect_punct(")")
             return dec_t(p, s)
         if t in ("varchar", "char", "character", "text", "string", "clob"):
+            if t in ("char", "character", "varchar"):
+                # CHARACTER VARYING / CHARACTER LARGE OBJECT (sql_parser.y
+                # character_string_type)
+                self._eat_ident("varying")
+                if self._eat_ident("large"):
+                    self._eat_ident("object")
             if self.eat_punct("("):
                 self.next()
                 self.expect_punct(")")
             return varchar()
         if t in ("blob", "binary", "varbinary"):
+            if t == "binary":
+                if self._eat_ident("large"):   # BINARY LARGE OBJECT
+                    self._eat_ident("object")
             if self.eat_punct("("):
                 self.next()
                 self.expect_punct(")")
@@ -1087,17 +1110,50 @@ class Parser:
             return _blob()
         if t == "date":
             return DATE
-        if t == "timestamp":
+        if t in ("timestamp", "timestamptz"):
+            if self.eat_punct("("):            # precision
+                self.next()
+                self.expect_punct(")")
+            if self.eat_kw("with") or self._eat_ident("without"):
+                self._eat_ident("time")
+                self._eat_ident("zone")
             return TIMESTAMP
-        if t == "time":
+        if t in ("time", "timetz"):
             from ..dtypes import TIME
+            if self.eat_punct("("):
+                self.next()
+                self.expect_punct(")")
+            if self.eat_kw("with") or self._eat_ident("without"):
+                self._eat_ident("time")
+                self._eat_ident("zone")
             return TIME
+        if t == "interval":
+            # INTERVAL <field> [TO <field>] (sql_types.c month_interval
+            # i32 months / sec_interval i64 µs)
+            from ..dtypes import MONTH_INTERVAL, SEC_INTERVAL
+            fields = []
+            while self.peek().kind in ("ident", "kw") and \
+                    self.peek().value in ("year", "month", "day", "hour",
+                                          "minute", "second", "to"):
+                fields.append(self.next().value)
+                if self.eat_punct("("):        # leading precision
+                    self.next()
+                    self.expect_punct(")")
+            months = fields and fields[0] in ("year", "month")
+            return MONTH_INTERVAL if months else SEC_INTERVAL
         if t in ("boolean", "bool"):
             return BOOL
         if t in ("hugeint",):
             # reference hge is int128 (gdk/gdk.h:441); we map to int64 with
             # overflow checking — documented narrowing until limb columns land
             return I64
+        if t in ("oid", "wrd"):
+            return I64
+        if t in ("uuid", "inet", "url", "json"):
+            # textual atom types (modules/atoms/{uuid,inet,url,json}.c):
+            # stored as dictionary-encoded strings; type-specific
+            # functions live in the json/uuid function modules
+            return varchar()
         raise SQLSyntaxError(f"unknown type {t!r}")
 
     # -- DDL / DML ----------------------------------------------------------
@@ -1276,10 +1332,18 @@ class Parser:
                 else:
                     break
             return CreateSequence(name, start, inc, minv, maxv)
+        # CREATE [LOCAL|GLOBAL] TEMP[ORARY] TABLE — approximated as a
+        # regular table in the shared namespace (the reference's tmp
+        # schema, rel_schema.c); ON COMMIT clause parsed below
+        is_temp = False
+        if self._eat_ident("local") or self._eat_ident("global"):
+            is_temp = True
+        if self._eat_ident("temporary") or self._eat_ident("temp"):
+            is_temp = True
         self.expect_kw("table")
-        name = self.next().value
-        while self.eat_punct("."):
-            name += "." + self.next().value
+        name = self._qname()
+        if is_temp and name.startswith("tmp."):
+            name = name[4:]
         if self.at_kw("as"):
             # CREATE TABLE t AS SELECT ... [WITH [NO] DATA]
             # (sql_parser.y table_def AS, rel_schema.c rel_create_table)
@@ -1293,6 +1357,11 @@ class Parser:
             from .ast import CreateTableAs
             return CreateTableAs(name, sel, with_data)
         cols = self.parse_column_defs()
+        if self.eat_kw("on") or self._eat_ident("on"):
+            # ON COMMIT {PRESERVE|DELETE} ROWS / DROP (temp tables)
+            self._eat_ident("commit")
+            self.next()
+            self._eat_ident("rows")
         return CreateTable(name, cols)
 
     def _parse_column_flags(self) -> dict:
@@ -1301,6 +1370,9 @@ class Parser:
         insert time — rel_schema.c column_option)."""
         flags = {"notnull": False, "pk": False, "serial": False}
         while True:
+            if self.eat_kw("constraint"):      # CONSTRAINT <name> <def>
+                self.next()
+                continue
             if self.eat_kw("not"):
                 self.expect_kw("null")
                 flags["notnull"] = True
@@ -1310,9 +1382,30 @@ class Parser:
                 self.expect_kw("key")
                 flags["notnull"] = flags["pk"] = True
             elif self._eat_ident("unique"):
+                if self._eat_ident("nulls"):   # UNIQUE NULLS [NOT] DISTINCT
+                    self.eat_kw("not")
+                    self._eat_ident("distinct")
                 flags["unique"] = True
             elif self._eat_ident("auto_increment"):
                 flags["serial"] = True
+            elif self.eat_kw("references") or self._eat_ident("references"):
+                # inline FK (sql_parser.y column_constraint_type ref):
+                # parsed, not enforced — matches the engine's table-level
+                # FOREIGN KEY handling
+                self._qname()
+                if self.eat_punct("("):
+                    while not self.eat_punct(")"):
+                        self.next()
+                self._eat_fk_actions()
+            elif self.eat_kw("check") or self._eat_ident("check"):
+                self.expect_punct("(")
+                depth = 1
+                while depth:
+                    tk = self.next()
+                    if tk.kind == "punct" and tk.value == "(":
+                        depth += 1
+                    elif tk.kind == "punct" and tk.value == ")":
+                        depth -= 1
             elif self.eat_kw("default"):
                 start = self.peek().pos
                 # additive expr only: NOT/IN/BETWEEN belong to the column
@@ -1324,12 +1417,44 @@ class Parser:
                 break
         return flags
 
+    def _eat_fk_actions(self):
+        """[MATCH ...] [ON DELETE action] [ON UPDATE action] — parsed and
+        ignored (FKs are not enforced; sql_parser.y opt_ref_action)."""
+        while True:
+            if self._eat_ident("match"):
+                self.next()
+            elif self.eat_kw("on") or self._eat_ident("on"):
+                self.next()                    # delete | update
+                if self.eat_kw("set") or self._eat_ident("set"):
+                    self.next()                # null | default
+                elif self._eat_ident("no"):
+                    self._eat_ident("action")
+                else:
+                    self.next()                # cascade | restrict
+            else:
+                return
+
     def parse_column_defs(self):
         self.expect_punct("(")
         cols = []
         table_pks = []
         while True:
-            if self.at_kw("primary"):
+            if self.eat_kw("constraint"):      # CONSTRAINT <name> <def>
+                self.next()
+                continue
+            if self.eat_kw("check") or (self._at_ident("check") and
+                                        self.peek(1).kind == "punct" and
+                                        self.peek(1).value == "("):
+                self._eat_ident("check")
+                self.expect_punct("(")
+                depth = 1
+                while depth:
+                    tk = self.next()
+                    if tk.kind == "punct" and tk.value == "(":
+                        depth += 1
+                    elif tk.kind == "punct" and tk.value == ")":
+                        depth -= 1
+            elif self.at_kw("primary"):
                 self.next()
                 self.expect_kw("key")
                 self.expect_punct("(")
@@ -1344,22 +1469,32 @@ class Parser:
                 while not self.eat_punct(")"):
                     self.next()
                 self.expect_kw("references")
-                self.next()
+                self._qname()
                 if self.eat_punct("("):
                     while not self.eat_punct(")"):
                         self.next()
-            elif self._at_ident("unique") and self.peek(1).kind == "punct" \
-                    and self.peek(1).value == "(":
-                # table-level UNIQUE (cols) — single-column only for now
+                self._eat_fk_actions()
+            elif self._at_ident("unique") and (
+                    (self.peek(1).kind == "punct" and
+                     self.peek(1).value == "(") or
+                    (self.peek(1).kind == "ident" and
+                     self.peek(1).value == "nulls")):
+                # table-level UNIQUE [NULLS [NOT] DISTINCT] (cols)
                 self.next()
+                if self._eat_ident("nulls"):
+                    self.eat_kw("not")
+                    self._eat_ident("distinct") or self.eat_kw("distinct")
                 self.expect_punct("(")
                 ucols = [self.next().value]
                 while self.eat_punct(","):
                     ucols.append(self.next().value)
                 self.expect_punct(")")
-                for c, _t, flags in cols:
-                    if c in ucols:
-                        flags["unique"] = True
+                if len(ucols) == 1:
+                    # multi-column UNIQUE is a constraint on the
+                    # combination — per-column flags would over-enforce
+                    for c, _t, flags in cols:
+                        if c in ucols:
+                            flags["unique"] = True
             else:
                 cname = self.next().value
                 if self.peek().kind == "ident" and \
@@ -1461,7 +1596,9 @@ class Parser:
                     break
             return AlterSequence(name, restart, inc)
         self.expect_kw("table")
-        parent = self.next().value
+        self.eat_kw("if") and (self.eat_kw("exists")
+                               or self._eat_ident("exists"))
+        parent = self._qname()
         if self._eat_ident("rename"):
             if self.eat_kw("to"):
                 return AlterRenameTable(parent, self.next().value)
@@ -1471,10 +1608,44 @@ class Parser:
             return AlterRenameColumn(parent, col, self.next().value)
         if self.eat_kw("drop"):
             if self.eat_kw("table"):
-                return AlterDropTable(parent, self.next().value)
+                return AlterDropTable(parent, self._qname())
+            if self.eat_kw("constraint"):
+                self.next()                     # constraints unenforced
+                self._eat_ident("cascade")
+                self._eat_ident("restrict")
+                from .ast import NoOp
+                return NoOp("drop constraint")
             self._eat_ident("column")
             return AlterDropColumn(parent, self.next().value)
+        if self.eat_kw("set") or self._eat_ident("set"):
+            # SET {READ ONLY | READ WRITE | INSERT ONLY} (sql_parser.y
+            # alter_statement; sql_cat.c sql_alter_table access modes)
+            from .ast import AlterSetAccess
+            if self._eat_ident("insert"):
+                self._eat_ident("only")
+                return AlterSetAccess(parent, "insert_only")
+            self._eat_ident("read")
+            if self._eat_ident("only"):
+                return AlterSetAccess(parent, "read_only")
+            self._eat_ident("write")
+            return AlterSetAccess(parent, "read_write")
+        if self._eat_ident("alter"):
+            # ALTER TABLE t ALTER [COLUMN] c SET ... / SET DEFAULT / NULL
+            self._eat_ident("column")
+            self.next()
+            while self.peek().kind != "eof":
+                self.next()
+            from .ast import NoOp
+            return NoOp("alter column")
         self.expect_kw("add")
+        if self.at_kw("constraint", "foreign", "primary", "check") or \
+                self._at_ident("unique") or self._at_ident("check"):
+            # ALTER TABLE t ADD [CONSTRAINT name] <constraint-def>:
+            # parsed, recorded nowhere (constraints unenforced post-hoc)
+            while self.peek().kind != "eof":
+                self.next()
+            from .ast import NoOp
+            return NoOp("add constraint")
         if not self.eat_kw("table"):
             # ALTER TABLE t ADD [COLUMN] c type [NOT NULL] [DEFAULT expr]
             self._eat_ident("column")
@@ -1516,7 +1687,7 @@ class Parser:
     def parse_insert(self):
         self.expect_kw("insert")
         self.expect_kw("into")
-        name = self.next().value
+        name = self._qname()
         columns = None
         if self.eat_punct("("):
             columns = []
@@ -1579,16 +1750,27 @@ class Parser:
             from .ast import CopyInto
             return CopyInto(src, path, delim)
         self.expect_kw("into")
-        name = self.next().value
+        name = self._qname()
         self.expect_kw("from")
-        path = self.next().value
+        path = self.next().value       # 'file' or STDIN (sql_parser.y)
         delim = "|"
+        quote = None
+        nullstr = None
         self.eat_kw("using")   # COPY ... USING DELIMITERS (sql_parser.y)
         if self.eat_kw("delimiters"):
             delim = self.next().value
+            extras = []
             while self.eat_punct(","):
-                self.next()
-        return CopyFrom(name, path, delim, records)
+                extras.append(self.next().value)
+            if len(extras) >= 2:       # field, row, quote
+                quote = extras[1]
+        if self.eat_kw("null") or self._eat_ident("null"):
+            self.eat_kw("as") or self._eat_ident("as")
+            nullstr = self.next().value
+        self._eat_ident("best")        # BEST EFFORT error tolerance
+        self._eat_ident("effort")
+        return CopyFrom(name, path, delim, records, quote=quote,
+                        nullstr=nullstr)
 
 
 _CREATE_FUNC_RE = __import__("re").compile(

@@ -287,13 +287,120 @@ _RELATIONS["information_schema.tables"] = _RELATIONS["sys.tables"]
 _RELATIONS["information_schema.columns"] = _RELATIONS["sys.columns"]
 
 
+def _columns_full_rows(cat: Catalog):
+    """sys._columns: id/name/type/table_id/number (sql_catalog.h)."""
+    rows = []
+    for tname in sorted(getattr(cat, "tables", {}) or {}):
+        if tname.startswith("sys."):
+            continue
+        t = cat.get(tname)
+        for i, cname in enumerate(t.names()):
+            if cname == "__rowid__":
+                continue
+            rows.append((_oid(cat, "column", f"{tname}.{cname}"), cname,
+                        str(t.col(cname).typ), _oid(cat, "table", tname), i))
+    return rows
+
+
+def _keys_rows(cat: Catalog):
+    """sys.keys: pk/unique constraints from column flags (objectset keys,
+    sql/storage/store.c; type 0=pkey 1=ukey 2=fkey)."""
+    rows = []
+    for tname in sorted(getattr(cat, "tables", {}) or {}):
+        if tname.startswith("sys."):
+            continue
+        t = cat.get(tname)
+        for cname in t.names():
+            if cname != "__rowid__" and t.col(cname).key:
+                rows.append((_oid(cat, "key", f"{tname}.{cname}"),
+                             _oid(cat, "table", tname), 0,
+                             f"{tname}_{cname}_pkey", -1, -1))
+    return rows
+
+
+def _idxs_rows(cat: Catalog):
+    return [(_oid(cat, "idx", n), _oid(cat, "table", d.get("table", "")),
+             0, n)
+            for n, d in sorted((getattr(cat, "indexes", {}) or {}).items())]
+
+
+def _users_rows(cat: Catalog):
+    rows = [("monetdb", "MonetDB Admin", "sys")]
+    for u in sorted(getattr(cat, "users", {}) or {}):
+        rows.append((u, u, "sys"))
+    return rows
+
+
+# reference dependency kinds (sql/include/sql_catalog.h sql_dependency)
+_DEP_TYPES = [(1, "SCHEMA"), (2, "TABLE"), (3, "COLUMN"), (4, "KEY"),
+              (5, "VIEW"), (6, "USER"), (7, "FUNC"), (8, "TRIGGER"),
+              (9, "OWNER"), (10, "INDEX"), (11, "FKEY"), (12, "SEQUENCE"),
+              (13, "PROCEDURE"), (14, "BE_DROPPED"), (15, "TYPE")]
+
+
+def _args_rows(cat: Catalog):
+    rows = []
+    for fname, d in sorted((getattr(cat, "udfs", {}) or {}).items()):
+        params = d.get("params") or []
+        for i, p in enumerate(params):
+            pname = p[0] if isinstance(p, (list, tuple)) else str(p)
+            rows.append((_oid(cat, "arg", f"{fname}.{pname}"),
+                         _oid(cat, "func", fname), pname, i + 1))
+    return rows
+
+
+_RELATIONS.update({
+    "sys._columns": (
+        [("id", I32), ("name", _VC), ("type", _VC), ("table_id", I32),
+         ("number", I32)], _columns_full_rows),
+    "sys.keys": (
+        [("id", I32), ("table_id", I32), ("type", I32), ("name", _VC),
+         ("rkey", I32), ("action", I32)], _keys_rows),
+    "sys.idxs": (
+        [("id", I32), ("table_id", I32), ("type", I32), ("name", _VC)],
+        _idxs_rows),
+    "sys.users": (
+        [("name", _VC), ("fullname", _VC), ("default_schema", _VC)],
+        _users_rows),
+    "sys.db_user_info": (
+        [("name", _VC), ("fullname", _VC), ("default_schema", _VC)],
+        _users_rows),
+    "sys.dependency_types": (
+        [("dependency_type_id", I32), ("dependency_type_name", _VC)],
+        lambda cat=None: list(_DEP_TYPES)),
+    "sys.dependencies": (
+        [("id", I32), ("depend_id", I32), ("depend_type", I32)],
+        lambda cat=None: []),
+    "sys.args": (
+        [("id", I32), ("func_id", I32), ("name", _VC), ("number", I32)],
+        _args_rows),
+    # COPY BEST EFFORT rejects (sql/scripts/27_rejects.sql) — the loader
+    # raises instead of rejecting, so this is always empty
+    "sys.rejects": (
+        [("rowid", I64), ("fldid", I32), ("message", _VC),
+         ("input", _VC)], lambda cat=None: []),
+    "sys.objects": (
+        [("id", I32), ("name", _VC), ("nr", I32)], lambda cat=None: []),
+    "sys.roles": (
+        [("id", I32), ("name", _VC), ("grantor", I32)],
+        lambda cat: [(_oid(cat, "auth", r), r, 3)
+                     for r in sorted(getattr(cat, "roles", {}) or {})]),
+})
+
+
 def is_system_table(name: str) -> bool:
-    return name.lower() in _RELATIONS
+    n = name.lower()
+    # unqualified references resolve against the sys schema, as the
+    # reference's name resolution does (rel_semantic.c sql_bind_table)
+    return n in _RELATIONS or ("." not in n and "sys." + n in _RELATIONS)
 
 
 def system_table(cat: Catalog, name: str) -> Table:
     from ..storage.columns import table_from_rows
-    schema, builder = _RELATIONS[name.lower()]
+    n = name.lower()
+    if n not in _RELATIONS and "sys." + n in _RELATIONS:
+        n = "sys." + n
+    schema, builder = _RELATIONS[n]
     try:
         rows = builder(cat)
     except TypeError:

@@ -242,6 +242,9 @@ class Database:
         self._next_oid = 2000
         # table/view → owning schema (created under SET SCHEMA s)
         self.table_schemas: Dict[str, str] = {}
+        # table access mode (sql_cat.c sql_alter_table SET READ ONLY /
+        # INSERT ONLY / READ WRITE): table → mode; absent = read_write
+        self.table_access: Dict[str, str] = {}
         # advisory index definitions (sql_cat.c create_index; execution
         # uses sort-based kernels instead of persisted indexes):
         # name → {table, cols, unique}

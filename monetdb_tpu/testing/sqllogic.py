@@ -187,6 +187,16 @@ class SqlLogicRunner:
         self.n_run += 1
         sess = self._session_for()
         try:
+            if "<COPY_INTO_DATA>" in sql:
+                # COPY ... FROM STDIN with inline rows (the reference
+                # dialect's marker, testing/sqllogictest.py
+                # prepare_copyfrom_stmt; a '.'-only line = empty line)
+                head, _m, tail = sql.partition("<COPY_INTO_DATA>")
+                data = "\n".join(
+                    "" if ln.strip() == "." else ln
+                    for ln in tail.lstrip("\n").split("\n"))
+                sess.sql(head.rstrip().rstrip(";"), copy_data=data)
+                return
             for part in self._split_stmts(sql):
                 sess.sql(part)
         except Exception as ex:
