@@ -192,8 +192,12 @@ class Session:
         if isinstance(stmt, A.CreateTableAs):
             res = self._engine().query_stmt(stmt.select)
             from .dtypes import varchar as _vc
+            out_names = getattr(stmt, "columns", None) or res.names
+            if len(out_names) != len(res.names):
+                raise BindError("CREATE TABLE AS column list arity "
+                                "mismatch")
             schema = [(n.lower(), t if t is not None else _vc())
-                      for n, t in zip(res.names, res.types)]
+                      for n, t in zip(out_names, res.types)]
             self._store().create_table(stmt.name, schema, {})
             if self.user is not None:
                 self.db.set_owner(stmt.name, self.user)
@@ -260,6 +264,15 @@ class Session:
                              A.AlterDropTable)):
             return self._dist_ddl(stmt)
         if isinstance(stmt, A.CreateFunction):
+            if stmt.language == "sql_table":
+                # validate the body parses as a SELECT
+                from .sql.parser import parse as _p
+                _p(stmt.body)
+                self.db.create_sqlfunc(
+                    stmt.name, [(n.lower(), t) for n, t in stmt.params],
+                    None, stmt.body, kind="table",
+                    cols=[(n.lower(), t) for n, t in (stmt.cols or [])])
+                return None
             if stmt.language == "sql":
                 # validate the body parses
                 from .sql.parser import parse_expr

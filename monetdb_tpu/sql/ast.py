@@ -82,11 +82,12 @@ class CreateTable:
 
 @dataclasses.dataclass
 class CreateTableAs:
-    """CREATE TABLE t AS SELECT ... [WITH [NO] DATA] (rel_schema.c
-    rel_create_table as-select form)."""
+    """CREATE TABLE t [(c1, c2)] AS SELECT ... [WITH [NO] DATA]
+    (rel_schema.c rel_create_table as-select form)."""
     name: str
     select: "SelectStmt"
     with_data: bool = True
+    columns: Optional[List[str]] = None   # bare column-name list
 
 
 @dataclasses.dataclass
@@ -175,12 +176,15 @@ class DropSequence:
 @dataclasses.dataclass
 class CreateFunction:
     """CREATE FUNCTION f(args) RETURNS t LANGUAGE PYTHON { body }
-    (reference: sql/backends/monet5/UDF/pyapi3)."""
+    (reference: sql/backends/monet5/UDF/pyapi3), RETURN <expr> SQL
+    scalar functions, and RETURNS TABLE(...) table functions
+    (rel_psm.c)."""
     name: str
     params: List[Tuple[str, Any]]   # (name, SQLType)
-    ret_type: Any
-    language: str
+    ret_type: Any                    # SQLType; None for table functions
+    language: str                    # python | sql | sql_table
     body: str
+    cols: Any = None                 # [(name, SQLType)] for sql_table
 
 
 @dataclasses.dataclass

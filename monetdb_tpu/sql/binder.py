@@ -467,6 +467,34 @@ class Binder:
                                         for nm, c in zip(names, scols)])
             return L.SubPlan(srel, src.alias)
         if isinstance(src, A.TableFuncSource):
+            sf = getattr(self.catalog, "sqlfuncs", {}) or {}
+            f = sf.get(src.name.split(".")[-1].lower())
+            if f is not None and f.get("kind") == "table":
+                # user table function: substitute constant args into the
+                # stored SELECT body and bind it as a derived table
+                # (rel_psm.c table-returning function inlining)
+                import re as _re
+                if len(src.args) != len(f["params"]):
+                    raise BindError(
+                        f"table function {src.name} expects "
+                        f"{len(f['params'])} arguments")
+                body = f["body"]
+                for (pn, _tag), a in zip(f["params"], src.args):
+                    b = self.bind_expr(a)
+                    if not isinstance(b, Const):
+                        raise BindError(
+                            "table function arguments must be constant")
+                    v = b.value
+                    lit = "NULL" if v is None else (
+                        "'" + str(v).replace("'", "''") + "'"
+                        if isinstance(v, str) else str(v))
+                    body = _re.sub(rf"\b{_re.escape(pn)}\b", f"({lit})",
+                                   body, flags=_re.I)
+                from .parser import parse as _parse
+                sel = _parse(body)
+                names = [c[0] for c in (f.get("cols") or [])]
+                return self._bind_source(A.SubquerySource(
+                    sel, src.alias, names or None))
             if src.name != "generate_series":
                 raise BindError(f"unknown table function {src.name}")
             vals = []
@@ -1301,7 +1329,7 @@ class Binder:
         if isinstance(e, Func):
             sf = getattr(self.catalog, "sqlfuncs", {}) or {}
             f = sf.get(e.name)
-            if f is not None:
+            if f is not None and f.get("kind", "scalar") == "scalar":
                 # SQL scalar function: inline the RETURN expression with
                 # arguments substituted (the reference inlines side-effect-
                 # free SQL functions the same way, rel_optimize_proj.c)

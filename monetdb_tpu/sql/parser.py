@@ -20,7 +20,9 @@ from .lexer import SQLSyntaxError, Token, tokenize
 
 __all__ = ["parse", "parse_expr", "SQLSyntaxError"]
 
-AGG_FUNCS = {"sum", "count", "avg", "min", "max", "prod",
+# any_value: non-deterministic pick; lowered as min (modules/kernel/
+# aggr.c ANY_VALUE is similarly "some value from the group")
+AGG_FUNCS = {"sum", "count", "avg", "min", "max", "prod", "any_value",
              "stddev_samp", "stddev_pop", "var_samp", "var_pop", "median",
              "quantile", "corr", "covar_samp", "covar_pop", "group_concat",
              "listagg"}
@@ -643,13 +645,17 @@ class Parser:
             name = name + "." + self.next().value
         if name in ("sys.generate_series",):
             name = name.split(".", 1)[1]
-        if name == "generate_series" and self.at_punct("("):
+        if self.at_punct("("):
+            # table function in FROM position: generate_series or a
+            # user-defined RETURNS TABLE function (rel_psm.c)
             self.expect_punct("(")
-            args = [self.parse_expr()]
-            while self.eat_punct(","):
+            args = []
+            if not self.eat_punct(")"):
                 args.append(self.parse_expr())
-            self.expect_punct(")")
-            alias = self._opt_alias() or "generate_series"
+                while self.eat_punct(","):
+                    args.append(self.parse_expr())
+                self.expect_punct(")")
+            alias = self._opt_alias() or name
             from .ast import TableFuncSource
             return TableFuncSource(name, args, alias)
         alias = self._opt_alias() or name
@@ -978,6 +984,8 @@ class Parser:
                 return self.parse_window(f, None if f == "count_star" else arg)
             if isinstance(arg, Star):
                 return AggRef("count_star", None)
+            if name == "any_value":
+                name = "min"
             return AggRef(name, arg, distinct=distinct, arg2=arg2)
         args = []
         if not self.at_punct(")"):
@@ -1059,6 +1067,8 @@ class Parser:
         self.expect_punct(")")
         if frame is None:
             frame = "range" if order else "full"
+        if func == "any_value":
+            func = "min"       # see AGG_FUNCS note
         w = WinRef(func, arg, partition, order, frame)
         if extra:
             w.extra = extra
@@ -1344,18 +1354,65 @@ class Parser:
         name = self._qname()
         if is_temp and name.startswith("tmp."):
             name = name[4:]
+        # CREATE TABLE t (c1, c2) AS <query>: bare column-name list
+        # (sql_parser.y table_def AS with column list)
+        ctas_cols = None
+        if self.at_punct("("):
+            j = self.i + 1
+            names = []
+            ok = False
+            while j < len(self.toks):
+                t = self.toks[j]
+                if t.kind in ("ident", "kw"):
+                    names.append(t.value)
+                    j += 1
+                    if self.toks[j].kind == "punct" and \
+                            self.toks[j].value == ",":
+                        j += 1
+                        continue
+                    if self.toks[j].kind == "punct" and \
+                            self.toks[j].value == ")":
+                        nxt = self.toks[j + 1] if j + 1 < len(self.toks) \
+                            else None
+                        ok = nxt is not None and nxt.kind == "kw" and \
+                            nxt.value == "as"
+                        j += 1
+                    break
+                break
+            if ok:
+                ctas_cols = names
+                self.i = j
         if self.at_kw("as"):
-            # CREATE TABLE t AS SELECT ... [WITH [NO] DATA]
-            # (sql_parser.y table_def AS, rel_schema.c rel_create_table)
+            # CREATE TABLE t AS SELECT ... / AS VALUES ... [WITH [NO]
+            # DATA] (sql_parser.y table_def AS, rel_schema.c)
             self.next()
-            sel = self.parse_select()
+            if self.at_kw("values"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect_punct("(")
+                    row = [self.parse_expr()]
+                    while self.eat_punct(","):
+                        row.append(self.parse_expr())
+                    self.expect_punct(")")
+                    rows.append(row)
+                    if not self.eat_punct(","):
+                        break
+                from .ast import ValuesSource
+                alias = "_v"
+                sel = SelectStmt(items=[(None, Star())],
+                                 sources=[ValuesSource(rows, alias,
+                                                       ctas_cols)])
+            else:
+                sel = self.parse_select()
             with_data = True
             if self.eat_kw("with"):
                 if self.eat_kw("no") or self._eat_ident("no"):
                     with_data = False
                 self._eat_ident("data")
             from .ast import CreateTableAs
-            return CreateTableAs(name, sel, with_data)
+            return CreateTableAs(name, sel, with_data,
+                                 columns=ctas_cols)
         cols = self.parse_column_defs()
         if self.eat_kw("on") or self._eat_ident("on"):
             # ON COMMIT {PRESERVE|DELETE} ROWS / DROP (temp tables)
@@ -1382,9 +1439,10 @@ class Parser:
                 self.expect_kw("key")
                 flags["notnull"] = flags["pk"] = True
             elif self._eat_ident("unique"):
-                if self._eat_ident("nulls"):   # UNIQUE NULLS [NOT] DISTINCT
+                if self._eat_ident("nulls") or self.eat_kw("nulls"):
+                    # UNIQUE NULLS [NOT] DISTINCT
                     self.eat_kw("not")
-                    self._eat_ident("distinct")
+                    self._eat_ident("distinct") or self.eat_kw("distinct")
                 flags["unique"] = True
             elif self._eat_ident("auto_increment"):
                 flags["serial"] = True
@@ -1477,11 +1535,10 @@ class Parser:
             elif self._at_ident("unique") and (
                     (self.peek(1).kind == "punct" and
                      self.peek(1).value == "(") or
-                    (self.peek(1).kind == "ident" and
-                     self.peek(1).value == "nulls")):
+                    self.peek(1).value == "nulls"):
                 # table-level UNIQUE [NULLS [NOT] DISTINCT] (cols)
                 self.next()
-                if self._eat_ident("nulls"):
+                if self._eat_ident("nulls") or self.eat_kw("nulls"):
                     self.eat_kw("not")
                     self._eat_ident("distinct") or self.eat_kw("distinct")
                 self.expect_punct("(")
@@ -1805,6 +1862,35 @@ def _parse_create_function(sql: str):
     if not (p.peek().kind == "ident" and p.peek().value == "returns"):
         raise SQLSyntaxError("expected RETURNS")
     p.next()
+    if p.at_kw("table") or p._at_ident("table"):
+        # RETURNS TABLE (c1 t1, ...) — table function (rel_psm.c
+        # rel_create_func table-returning case)
+        p.next()
+        p.expect_punct("(")
+        cols = []
+        while True:
+            cn = p.next().value
+            cols.append((cn, p.parse_type()))
+            if not p.eat_punct(","):
+                break
+        p.expect_punct(")")
+        body = sql[p.peek().pos:].strip().rstrip(";").strip()
+        low = body.lower()
+        if low.startswith("begin"):
+            body = body[5:].strip()
+            if body.lower().endswith("end"):
+                body = body[:-3].strip().rstrip(";").strip()
+        if body.lower().startswith("return"):
+            body = body[6:].strip().rstrip(";").strip()
+        if body.lower().startswith("table"):
+            body = body[5:].strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1].strip()
+        if not body.lower().startswith(("select", "with", "(")):
+            raise SQLSyntaxError(
+                "table function body must be RETURN TABLE(select ...)")
+        return CreateFunction(name, params, None, "sql_table", body,
+                              cols=cols)
     ret = p.parse_type()
     if py:
         j = sql.rfind("}")
@@ -1826,7 +1912,44 @@ def _parse_create_function(sql: str):
         if body.lower().endswith("end"):
             body = body[:-3].strip().rstrip(";").strip()
     if not body.lower().startswith("return"):
-        raise SQLSyntaxError("SQL function body must be RETURN <expr>")
+        # straight-line PSM body: DECLARE v t; SET v = expr; ... RETURN
+        # expr — folded into one expression by back-substitution (the
+        # inlinable subset of rel_psm.c; loops/exceptions stay
+        # unsupported and error here)
+        import re as _re
+        stmts = [st.strip() for st in body.split(";") if st.strip()]
+        env = {}
+        ret_expr = None
+        for st in stmts:
+            lw = st.lower()
+            if lw.startswith("declare"):
+                m = _re.match(r"declare\s+(\w+)", st, _re.I)
+                if m:
+                    env.setdefault(m.group(1).lower(), "NULL")
+                continue
+            if lw.startswith("set"):
+                m = _re.match(r"set\s+(\w+)\s*=\s*(.*)", st,
+                              _re.I | _re.S)
+                if not m:
+                    raise SQLSyntaxError(f"bad SET in function body: {st}")
+                v, ex = m.group(1).lower(), m.group(2).strip()
+                for k, val in env.items():
+                    ex = _re.sub(rf"\b{k}\b", f"({val})", ex,
+                                 flags=_re.I)
+                env[v] = ex
+                continue
+            if lw.startswith("return"):
+                ret_expr = st[6:].strip()
+                for k, val in env.items():
+                    ret_expr = _re.sub(rf"\b{k}\b", f"({val})", ret_expr,
+                                       flags=_re.I)
+                break
+            raise SQLSyntaxError(
+                f"unsupported statement in SQL function body: "
+                f"{st.split()[0]}")
+        if ret_expr is None:
+            raise SQLSyntaxError("SQL function body has no RETURN")
+        return CreateFunction(name, params, ret, "sql", ret_expr)
     body = body[6:].strip().rstrip(";").strip()
     return CreateFunction(name, params, ret, "sql", body)
 

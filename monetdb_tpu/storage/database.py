@@ -1054,10 +1054,15 @@ class Database:
         return user is None or user.lower() in (self.ADMIN, "monetdbe",
                                                 "admin")
 
-    def create_sqlfunc(self, name: str, params, ret, body: str) -> None:
+    def create_sqlfunc(self, name: str, params, ret, body: str,
+                       kind: str = "scalar", cols=None) -> None:
         name = name.lower()
         f = {"params": [[n, type_tag(t)] for n, t in params],
-             "ret": type_tag(ret), "body": body}
+             "ret": type_tag(ret) if ret is not None else None,
+             "body": body, "kind": kind}
+        if cols:
+            # table function result signature (RETURNS TABLE(...))
+            f["cols"] = [[n, type_tag(t)] for n, t in cols]
         self.sqlfuncs[name] = f
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "put_sqlfunc", "name": name, "func": f})

@@ -114,7 +114,10 @@ def parse_log(out):
 
 
 def run_driver(args):
-    files = corpus()
+    if args.files:
+        files = [ln.strip() for ln in open(args.files) if ln.strip()]
+    else:
+        files = corpus()
     if args.limit:
         files = files[: args.limit]
     listfile = args.out + ".list"
@@ -161,6 +164,8 @@ def main():
                                                   "CHUNK"))
     ap.add_argument("--out", default="/tmp/ref_sweep.log")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--files", default=None,
+                    help="path to a file listing test paths to sweep")
     ap.add_argument("--chunk", type=int, default=150)
     ap.add_argument("--percap", type=int, default=45)
     ap.add_argument("--stall", type=int, default=240)
