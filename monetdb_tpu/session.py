@@ -181,9 +181,25 @@ class Session:
                         setattr(stmt, attr, bare)
                         qschema = pre.lower()
         if isinstance(stmt, A.CreateTable):
+            flags = {c: f for c, _t, f in stmt.columns
+                     if isinstance(f, dict)}
+            checks = [f["check"] for f in flags.values()
+                      if f.get("check")]
+            if getattr(stmt, "checks", None):
+                flags["#table"] = {"checks": [list(x)
+                                              for x in stmt.checks]}
+                checks += [tx for _nm, tx in stmt.checks]
+            for tx in checks:
+                # validate: parses, and no subqueries (the reference
+                # rejects them at DDL time, 42000)
+                from .sql.parser import parse_expr as _pe
+                from .plan.exprs import Subquery as _Sq, walk as _walk
+                ex = _pe(tx)
+                if any(isinstance(n, _Sq) for n in _walk(ex)):
+                    raise BindError("42000!SELECT: subquery not allowed "
+                                    "in CHECK constraint")
             self._store().create_table(
-                stmt.name, [(c, t) for c, t, _f in stmt.columns],
-                {c: f for c, _t, f in stmt.columns if isinstance(f, dict)})
+                stmt.name, [(c, t) for c, t, _f in stmt.columns], flags)
             if self.user is not None:
                 self.db.set_owner(stmt.name, self.user)
             self.db.set_table_schema(stmt.name,
@@ -837,6 +853,33 @@ class Session:
         if not res.rows:
             return 0
         oids = np.array([r[0] for r in res.rows], np.int64)
+        checks = getattr(td, "checks", ())
+        if checks:
+            # CHECK on UPDATE: evaluate each predicate with the SET
+            # expressions substituted for their columns over the matched
+            # rows (equivalent to checking the post-update rows)
+            import copy as _copy
+            from .sql.binder import Binder as _B
+            from .sql.parser import parse_expr as _pe
+            from .plan.exprs import ColRef as _CR, Not as _Not
+            set_map = {c.lower(): e for c, e in stmt.sets}
+
+            def subst(e):
+                if isinstance(e, _CR) and e.name.lower() in set_map and                         e.table in (None, stmt.table):
+                    return _copy.deepcopy(set_map[e.name.lower()])
+                kids = e.children()
+                if not kids:
+                    return e
+                return _B._clone_with(None, e, [subst(k) for k in kids])
+
+            extras = [(f"_chk{i}", _Not(subst(_pe(tx))))
+                      for i, (_nm, tx) in enumerate(checks)]
+            vres = self._select_oids(stmt.table, stmt.where, extras)
+            for i, (cname, tx) in enumerate(checks):
+                if any(bool(r[i + 1]) for r in vres.rows):
+                    raise ValueError(
+                        f"40002!UPDATE: violated constraint "
+                        f"'sys.{cname}' CHECK({tx})")
         for i, (c, _e) in enumerate(stmt.sets):
             vals = to_physical_np([r[i + 1] for r in res.rows],
                                   td.types[c.lower()])

@@ -78,6 +78,7 @@ class TableFuncSource:
 class CreateTable:
     name: str
     columns: List[Tuple[str, Any, bool]]   # name, SQLType, not_null
+    checks: Any = None   # table-level [(constraint_name|None, expr_sql)]
 
 
 @dataclasses.dataclass

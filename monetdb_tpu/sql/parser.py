@@ -1419,7 +1419,7 @@ class Parser:
             self._eat_ident("commit")
             self.next()
             self._eat_ident("rows")
-        return CreateTable(name, cols)
+        return CreateTable(name, cols, checks=self.table_checks or None)
 
     def _parse_column_flags(self) -> dict:
         """Column constraints: NOT NULL, PRIMARY KEY, UNIQUE,
@@ -1427,7 +1427,8 @@ class Parser:
         insert time — rel_schema.c column_option)."""
         flags = {"notnull": False, "pk": False, "serial": False}
         while True:
-            if self.eat_kw("constraint"):      # CONSTRAINT <name> <def>
+            if self.eat_kw("constraint") or \
+                    self._eat_ident("constraint"):  # CONSTRAINT <name>
                 self.next()
                 continue
             if self.eat_kw("not"):
@@ -1457,13 +1458,17 @@ class Parser:
                 self._eat_fk_actions()
             elif self.eat_kw("check") or self._eat_ident("check"):
                 self.expect_punct("(")
+                start = self.peek().pos
                 depth = 1
+                end = start
                 while depth:
                     tk = self.next()
                     if tk.kind == "punct" and tk.value == "(":
                         depth += 1
                     elif tk.kind == "punct" and tk.value == ")":
                         depth -= 1
+                    end = tk.pos
+                flags["check"] = self.sql_text[start:end].strip()
             elif self.eat_kw("default"):
                 start = self.peek().pos
                 # additive expr only: NOT/IN/BETWEEN belong to the column
@@ -1496,22 +1501,32 @@ class Parser:
         self.expect_punct("(")
         cols = []
         table_pks = []
+        table_checks = []
+        self._cons_name = None
         while True:
-            if self.eat_kw("constraint"):      # CONSTRAINT <name> <def>
-                self.next()
+            if self.eat_kw("constraint") or \
+                    self._eat_ident("constraint"):  # CONSTRAINT <name>
+                self._cons_name = self.next().value
                 continue
             if self.eat_kw("check") or (self._at_ident("check") and
                                         self.peek(1).kind == "punct" and
                                         self.peek(1).value == "("):
                 self._eat_ident("check")
                 self.expect_punct("(")
+                start = self.peek().pos
                 depth = 1
+                end = start
                 while depth:
                     tk = self.next()
                     if tk.kind == "punct" and tk.value == "(":
                         depth += 1
                     elif tk.kind == "punct" and tk.value == ")":
                         depth -= 1
+                    end = tk.pos
+                table_checks.append(
+                    (getattr(self, "_cons_name", None),
+                     self.sql_text[start:end].strip()))
+                self._cons_name = None
             elif self.at_kw("primary"):
                 self.next()
                 self.expect_kw("key")
@@ -1572,6 +1587,7 @@ class Parser:
             if c in table_pks:
                 flags["pk"] = True
                 flags["notnull"] = True
+        self.table_checks = table_checks
         return cols
 
     def parse_create_distributed(self):

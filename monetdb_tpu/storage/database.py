@@ -68,6 +68,12 @@ class TableData:
         self.serials = {c: f"seq_{name}_{c}" for c, f in flags.items()
                         if f.get("serial")}
         self.uniques = {c for c, f in flags.items() if f.get("unique")}
+        # CHECK constraints (sql_cat.c; enforced at append/update):
+        # [(constraint_name, expr_sql)]
+        self.checks = [(f"{name}_{c}_check", f["check"])
+                       for c, f in flags.items() if f.get("check")]
+        self.checks += [(nm or f"{name}_check", tx) for nm, tx in
+                        (flags.get("#table", {}).get("checks") or [])]
         # column → DEFAULT expression SQL text (evaluated at insert)
         self.defaults = {c: f["default"] for c, f in flags.items()
                          if f.get("default") is not None}
@@ -102,6 +108,11 @@ class TableData:
                 f["default"] = self.defaults[c]
             if f:
                 out[c] = f
+        # persist every check (column-level included) as table-level:
+        # enforcement is identical and replay stays simple
+        tbl = [[nm, tx] for nm, tx in getattr(self, "checks", ())]
+        if tbl:
+            out["#table"] = {"checks": tbl}
         return out
 
     def copy(self) -> "TableData":
@@ -113,6 +124,7 @@ class TableData:
         td.pks = list(self.pks)
         td.serials = dict(self.serials)
         td.uniques = set(self.uniques)
+        td.checks = list(getattr(self, "checks", ()))
         td.defaults = dict(self.defaults)
         td.cols = {c: a.copy() for c, a in self.cols.items()}
         td.dicts = {c: a.copy() for c, a in self.dicts.items()}
@@ -1161,6 +1173,44 @@ class Database:
         self.schema_epoch += 1
         self._log(REC_DROP_VIEW, {"view": name})
 
+    @staticmethod
+    def _eval_check_violations(td: TableData,
+                               arrays: Dict[str, np.ndarray],
+                               expr_sql: str) -> int:
+        """Rows in the candidate batch where the CHECK predicate is
+        exactly FALSE (nil passes).  Evaluated by binding
+        ``select count(*) from <batch> where not (expr)`` over a
+        temporary in-memory table of the batch."""
+        from ..engine import Engine
+        from ..table import Catalog, Table
+        from ..column import Column
+        from ..dtypes import Kind as _K
+        cols = {}
+        for c in td.order:
+            t = td.types[c]
+            if c not in arrays:
+                continue
+            a = arrays[c]
+            if t.kind == _K.STR:
+                vals = np.asarray(["" if v is None else str(v)
+                                   for v in a], object)
+                col = Column.from_strings(vals, t)
+                nilpos = np.nonzero([v is None for v in a])[0]
+                if len(nilpos):
+                    codes = np.asarray(col.data[: col.count]).copy()
+                    codes[nilpos] = -1
+                    col = Column.from_numpy(codes, t, sdict=col.sdict,
+                                            nonil=False)
+            else:
+                col = Column.from_numpy(
+                    np.asarray(a, t.np_dtype), t)
+            cols[c] = col
+        cat = Catalog()
+        cat.add(Table.from_dict("_check_batch", cols))
+        res = Engine(cat).query(
+            f"select count(*) from _check_batch where not ({expr_sql})")
+        return int(res.rows[0][0])
+
     def _check_constraints(self, td: TableData,
                            arrays: Dict[str, np.ndarray]) -> None:
         """NOT NULL + PRIMARY KEY enforcement (the reference checks at
@@ -1179,6 +1229,16 @@ class Database:
             if c in arrays and nilmask(c).any():
                 raise ValueError(f"NOT NULL constraint violated for "
                                  f"{td.name}.{c}")
+        for cname, expr_sql in getattr(td, "checks", ()):
+            # CHECK enforcement over the candidate batch (the reference
+            # checks in the append path too; 40002 violation class).
+            # NULL check results pass (SQL 3-valued CHECK semantics), so
+            # a row violates only when the predicate is exactly FALSE.
+            n_bad = self._eval_check_violations(td, arrays, expr_sql)
+            if n_bad:
+                raise ValueError(
+                    f"40002!INSERT INTO: violated constraint "
+                    f"'sys.{cname}' CHECK({expr_sql})")
         for c in td.uniques:
             if c not in arrays:
                 continue

@@ -87,7 +87,7 @@ class SqlLogicRunner:
         skipping = False
         while i < n:
             line = lines[i].strip()
-            if not line or line.startswith("#"):
+            if not line or line.startswith("#") or line.startswith("--"):
                 i += 1
                 continue
             if line.startswith(("skipif", "onlyif")):
