@@ -25,6 +25,37 @@ from .storage import Database
 __all__ = ["Farm", "Funnel"]
 
 
+def _splice(a, b) -> None:
+    """Bidirectional byte relay between two sockets until either side
+    closes (proxy.c's connection splice)."""
+    import socket
+
+    def pump(src, dst):
+        try:
+            while True:
+                data = src.recv(1 << 16)
+                if not data:
+                    break
+                dst.sendall(data)
+        except OSError:
+            pass
+        finally:
+            for s in (src, dst):
+                try:
+                    s.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+
+    t = threading.Thread(target=pump, args=(b, a), daemon=True)
+    t.start()
+    pump(a, b)
+    t.join(timeout=5)
+    try:
+        b.close()
+    except OSError:
+        pass
+
+
 class Farm:
     """A directory of named databases, each startable as a network server
     (monetdbd's dbfarm; `monetdb create/start/stop/status/snapshot`)."""
@@ -39,6 +70,13 @@ class Farm:
         self._crashed: Dict[str, bool] = {}
         self._sup_stop: Optional[threading.Event] = None
         self._sup_thread: Optional[threading.Thread] = None
+        # discovery (discoveryrunner.c): dbname → (host, port, last_seen)
+        self.neighbors: Dict[str, tuple] = {}
+        self._disc_sock = None
+        self._disc_stop: Optional[threading.Event] = None
+        self._disc_threads: List[threading.Thread] = []
+        self._disc_port: Optional[int] = None
+        self._proxy_srv = None
 
     # -- db lifecycle -----------------------------------------------------
     def _dbdir(self, name: str) -> str:
@@ -95,6 +133,8 @@ class Farm:
 
     def stop_all(self) -> None:
         self.stop_supervisor()
+        self.proxy_stop()
+        self.disable_discovery()
         for name in list(self._servers):
             self.stop(name)
 
@@ -192,6 +232,10 @@ class Farm:
                 if self._restarts.get(name):
                     ent["restarts"] = len(self._restarts[name])
                 out.append(ent)
+        # discovered remote databases (discoveryrunner.c neighbor list)
+        for name, (host, port, _ts) in sorted(self.neighbors.items()):
+            out.append({"name": name, "state": "remote",
+                        "host": host, "port": port})
         return out
 
     def _write_status(self) -> None:
@@ -222,6 +266,159 @@ class Farm:
                 shutil.rmtree(d)
             Database.restore(tar_path, d).close()
         self._write_status()
+
+    # -- neighbor discovery (tools/merovingian/daemon/discoveryrunner.c:
+    # UDP HELO/ANNC/LEAV broadcasts; here JSON datagrams on a shared
+    # localhost port with SO_REUSEPORT so several farms on one host —
+    # the reference's multi-daemon test topology — hear each other) -----
+    #: loopback multicast group for discovery datagrams — every farm on
+    #: the host that joined the group receives each announcement (the
+    #: reference broadcasts on the LAN, discoveryrunner.c:40)
+    _DISC_GROUP = "239.254.77.77"
+
+    def enable_discovery(self, port: int = 50001,
+                         interval: float = 0.5) -> None:
+        import socket
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        if hasattr(socket, "SO_REUSEPORT"):
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        s.bind(("", port))
+        mreq = socket.inet_aton(self._DISC_GROUP) + \
+            socket.inet_aton("127.0.0.1")
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_IF,
+                     socket.inet_aton("127.0.0.1"))
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        s.settimeout(0.2)
+        self._disc_sock = s
+        self._disc_port = port
+        self._disc_stop = threading.Event()
+
+        def announce_loop():
+            while not self._disc_stop.is_set():
+                self._announce("ANNC")
+                self._disc_stop.wait(interval)
+
+        def listen_loop():
+            import socket as _s
+            while not self._disc_stop.is_set():
+                try:
+                    data, _addr = s.recvfrom(65536)
+                except (_s.timeout, OSError):
+                    continue
+                try:
+                    msg = json.loads(data.decode())
+                except ValueError:
+                    continue
+                if msg.get("farm") == id(self):
+                    continue                     # own broadcast
+                if msg.get("op") == "LEAV":
+                    self.neighbors.pop(msg.get("db", ""), None)
+                elif msg.get("op") == "ANNC":
+                    h, p = msg.get("addr", (None, 0))
+                    if h:
+                        self.neighbors[msg["db"]] = (h, int(p),
+                                                     time.time())
+
+        for fn in (announce_loop, listen_loop):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._disc_threads.append(t)
+
+    def _announce(self, op: str) -> None:
+        if self._disc_sock is None:
+            return
+        with self._mu:
+            items = [(n, srv.address) for n, srv in self._servers.items()]
+        for name, (host, port) in items:
+            try:
+                self._disc_sock.sendto(
+                    json.dumps({"op": op, "db": name,
+                                "addr": [host, port],
+                                "farm": id(self)}).encode(),
+                    (self._DISC_GROUP, self._disc_port))
+            except OSError:
+                pass
+
+    def disable_discovery(self) -> None:
+        if self._disc_stop is not None:
+            self._announce("LEAV")
+            self._disc_stop.set()
+            for t in self._disc_threads:
+                t.join(timeout=2)
+            self._disc_threads.clear()
+            if self._disc_sock is not None:
+                self._disc_sock.close()
+                self._disc_sock = None
+
+    # -- client proxy (tools/merovingian/daemon/proxy.c: one farm port
+    # reaches every database; the daemon reads the client's database
+    # selector, starts a local db on demand — forkmserver.c — or routes
+    # to a discovered neighbor, then splices bytes both ways) ----------
+    def proxy_listen(self, port: int = 0):
+        import socket
+        import socketserver
+        farm = self
+
+        class _ProxyHandler(socketserver.BaseRequestHandler):
+            def handle(self):
+                from .server import _recv_raw, _send
+                try:
+                    first = _recv_raw(self.request)
+                except (ConnectionError, OSError):
+                    return
+                if first is None:
+                    return
+                try:
+                    sel = json.loads(first.decode())
+                except ValueError:
+                    sel = {}
+                name = sel.get("database")
+                backend = farm._resolve_backend(name)
+                if backend is None:
+                    _send(self.request,
+                          {"error": f"no such database '{name}'"})
+                    return
+                try:
+                    up = socket.create_connection(backend)
+                except OSError as ex:
+                    _send(self.request, {"error": f"proxy: {ex}"})
+                    return
+                _splice(self.request, up)
+
+        class _TCP(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        srv = _TCP(("127.0.0.1", port), _ProxyHandler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        self._proxy_srv = srv
+        return srv.server_address
+
+    def _resolve_backend(self, name):
+        """Database name → (host, port): running local server, else
+        on-demand local start (forkmserver.c), else discovered
+        neighbor."""
+        if not name:
+            return None
+        with self._mu:
+            srv = self._servers.get(name)
+            if srv is not None:
+                return srv.address
+        if os.path.isdir(os.path.join(self.root, name)):
+            return self.start(name)
+        nb = self.neighbors.get(name)
+        if nb is not None:
+            return (nb[0], nb[1])
+        return None
+
+    def proxy_stop(self) -> None:
+        if self._proxy_srv is not None:
+            self._proxy_srv.shutdown()
+            self._proxy_srv.server_close()
+            self._proxy_srv = None
 
     def funnel(self, names: List[str]) -> "Funnel":
         addrs = [self.start(n) for n in names]

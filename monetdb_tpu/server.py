@@ -142,6 +142,15 @@ def _decode_value(v, tag: str):
 
 
 class _Handler(socketserver.BaseRequestHandler):
+    def _recv_skip_dbframe(self):
+        """Read a frame, ignoring a {"database": ...} selector — sent by
+        clients that route through the farm proxy (proxy.c consumes it;
+        a direct connection simply tolerates it)."""
+        msg = _recv(self.request)
+        if msg is not None and "database" in msg and "sql" not in msg:
+            msg = _recv(self.request)
+        return msg
+
     def handle(self):
         db = self.server.db
         auth_user = None
@@ -149,7 +158,7 @@ class _Handler(socketserver.BaseRequestHandler):
             import os
             salt = os.urandom(16).hex()
             _send(self.request, {"challenge": salt})
-            reply = _recv(self.request)
+            reply = self._recv_skip_dbframe()
             if reply is None:
                 return
             stored = db.users.get(reply.get("user", ""))
@@ -175,6 +184,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 return
             if msg is None:
                 return
+            if "database" in msg and "sql" not in msg:
+                continue          # proxy selector on a direct connection
             try:
                 res = session.sql(msg["sql"])
                 if isinstance(res, Result):
@@ -272,8 +283,13 @@ class Client:
     """mapilib analog: blocking query API over the block stream."""
 
     def __init__(self, host: str, port: int, user: Optional[str] = None,
-                 password: Optional[str] = None):
+                 password: Optional[str] = None,
+                 database: Optional[str] = None):
         self.sock = socket.create_connection((host, port))
+        if database is not None:
+            # route through a farm proxy (merovingian proxy.c: the
+            # client names its database; the daemon connects it through)
+            _send(self.sock, {"database": database})
         if user is not None:
             import hashlib
             ch = _recv(self.sock)

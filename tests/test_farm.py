@@ -96,3 +96,62 @@ def test_supervisor_restarts_crashed_server(tmp_path):
     farm.supervise(interval=0.05)
     time.sleep(0.15)
     farm.stop_all()
+
+
+def test_proxy_routes_by_database_name(tmp_path):
+    """merovingian proxy.c analog: one farm port reaches every database
+    by name; a stopped local db starts on demand (forkmserver.c)."""
+    from monetdb_tpu.farm import Farm
+    from monetdb_tpu.server import Client
+    farm = Farm(str(tmp_path / "farm"))
+    try:
+        farm.create("alpha")
+        farm.create("beta")
+        farm.start("alpha")          # beta stays stopped: on-demand start
+        host, port = farm.proxy_listen()
+        c1 = Client(host, port, database="alpha")
+        c1.sql("create table t (x int)")
+        c1.sql("insert into t values (7)")
+        assert c1.sql("select x from t").rows == [(7,)]
+        c2 = Client(host, port, database="beta")   # auto-started
+        c2.sql("create table u (y int)")
+        assert c2.sql("select count(*) from u").rows == [(0,)]
+        assert "beta" in farm._servers
+        c3 = Client(host, port, database="nosuch")
+        import pytest as _pt
+        with _pt.raises(Exception, match="no such database"):
+            c3.sql("select 1")
+    finally:
+        farm.stop_all()
+
+
+def test_discovery_and_cross_farm_proxy(tmp_path):
+    """discoveryrunner.c analog: two farms on one host announce their
+    databases over UDP; a client on farm A's proxy reaches a database
+    hosted by farm B through the discovered address."""
+    import time
+    from monetdb_tpu.farm import Farm
+    from monetdb_tpu.server import Client
+    a = Farm(str(tmp_path / "a"))
+    b = Farm(str(tmp_path / "b"))
+    port = 51234
+    try:
+        b.create("remote_db")
+        b.start("remote_db")
+        a.enable_discovery(port=port, interval=0.1)
+        b.enable_discovery(port=port, interval=0.1)
+        for _ in range(60):
+            if "remote_db" in a.neighbors:
+                break
+            time.sleep(0.1)
+        assert "remote_db" in a.neighbors
+        assert any(e["name"] == "remote_db" and e["state"] == "remote"
+                   for e in a.status())
+        host, pport = a.proxy_listen()
+        c = Client(host, pport, database="remote_db")
+        c.sql("create table r (x int)")
+        c.sql("insert into r values (42)")
+        assert c.sql("select x from r").rows == [(42,)]
+    finally:
+        a.stop_all()
+        b.stop_all()
