@@ -192,6 +192,12 @@ def _decode_np(raw: np.ndarray, typ, sdict=None) -> list:
             m, sec = divmod(rem, 60)
             out.append(datetime.time(int(h) % 24, int(m), int(sec), int(us)))
         return out
+    if typ.kind == Kind.INTERVAL and typ.np_dtype.itemsize == 8:
+        # day-time interval (µs) → timedelta, matching the reference
+        # client's sec_interval mapping (pymonetdb/mapilib render the
+        # same "-1 day, 23:59:41.998000" forms the test corpus pins)
+        return [None if v == nil else datetime.timedelta(microseconds=v)
+                for v in lst]
     return [None if v == nil else v for v in lst]
 
 

@@ -1357,6 +1357,33 @@ class Executor:
         "second", "century", "decade", "epoch"})
 
     def _eval_func(self, e: Func, fr: Frame):
+        if e.name == "like_expr":
+            # x LIKE <expr>: the pattern varies per row — decode both
+            # sides and match on the host (pcre.c likematch over two
+            # columns; inherently row-wise)
+            import re as _re
+            from ..engine import _decode_column
+            a = self.eval(e.args[0], fr)
+            p = self.eval(e.args[1], fr)
+            neg = bool(getattr(e, "like_negated", False))
+            flags = _re.DOTALL | (_re.IGNORECASE if
+                                  getattr(e, "like_caseless", False)
+                                  else 0)
+
+            def match(x, pat):
+                if x is None or pat is None:
+                    return False
+                rx = _re.compile(SF.like_regex(str(pat)).pattern, flags)
+                return (rx.match(str(x)) is not None) != neg
+            xs = [a.value] * fr.count if isinstance(a, Scalar) \
+                else _decode_column(a)
+            ps = [p.value] * fr.count if isinstance(p, Scalar) \
+                else _decode_column(p)
+            vals = np.array([match(x, q) for x, q in zip(xs, ps)],
+                            np.bool_)
+            return Column(BOOL, jnp.asarray(
+                np.pad(vals, (0, fr.cap - len(vals)))), fr.count,
+                nonil=True)
         if e.name.startswith("extract_"):
             col = self.eval(e.args[0], fr)
             if isinstance(col, Scalar):
@@ -1782,8 +1809,10 @@ class Executor:
                     for x in _decode_column(v)]
             return column_from_pyvalues(vals, to)
         if isinstance(v, Scalar):
+            if v.value is None:        # typeless NULL: cast is just typing
+                return Scalar(None, to)
             if to.kind == Kind.STR:
-                return Scalar(None if v.value is None else str(v.value), to)
+                return Scalar(str(v.value), to)
             if v.typ.kind == Kind.STR and v.value is not None:
                 val = _parse_str_cast(str(v.value), to)
                 if to.kind == Kind.DECIMAL:

@@ -115,6 +115,78 @@ class Session:
     # per-session query timeout in seconds (sys.setquerytimeout analog)
     timeout: Optional[float] = None
 
+    def _exec_prepared(self, text: str):
+        """EXEC[UTE] id(args) / DEALLOCATE [PREPARE] {id|ALL}; `**` means
+        the most recent PREPARE (the mclient test convention,
+        clients/mapiclient/mclient.c:2374)."""
+        import re as _re
+        prepared = getattr(self, "_prepared", {})
+        kw, _, rest = text.partition(" ")
+        rest = rest.strip().rstrip(";").strip()
+        if kw.lower() == "deallocate":
+            rest = _re.sub(r"(?i)^prepare\s+", "", rest)
+            if rest == "**":
+                if not prepared:
+                    raise BindError("07003!no prepared statement")
+                prepared.pop(max(prepared))
+            elif rest.lower() == "all":
+                prepared.clear()
+            else:
+                if int(rest) not in prepared:
+                    raise BindError(
+                        f"07003!no prepared statement {rest}")
+                prepared.pop(int(rest))
+            return None
+        m = _re.match(r"(\*\*|\d+)\s*\((.*)\)\s*$", rest, _re.S)
+        if not m:
+            raise BindError(f"07003!bad EXEC syntax: {rest[:40]}")
+        pid = max(prepared) if m.group(1) == "**" else int(m.group(1))
+        ent = prepared.get(pid) if prepared else None
+        if ent is None:
+            raise BindError(f"07003!no prepared statement {pid}")
+        # split args on top-level commas (respecting quotes/parens)
+        args, buf, depth, q = [], [], 0, None
+        for ch in m.group(2):
+            if q:
+                buf.append(ch)
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        if "".join(buf).strip():
+            args.append("".join(buf).strip())
+        if len(args) != ent["nparams"]:
+            raise BindError(
+                f"07001!EXEC: expected {ent['nparams']} parameters, "
+                f"got {len(args)}")
+        # substitute '?' placeholders (outside string literals) in order
+        out, q, it = [], None, iter(args)
+        for ch in ent["text"]:
+            if q:
+                out.append(ch)
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+                out.append(ch)
+            elif ch == "?":
+                out.append("(" + next(it) + ")")
+            else:
+                out.append(ch)
+        return self._sql("".join(out))
+
     def _check_access(self, table: str, op: str) -> None:
         """Enforce ALTER TABLE SET READ ONLY / INSERT ONLY (sql_cat.c
         access modes): read_only blocks all writes, insert_only blocks
@@ -161,6 +233,20 @@ class Session:
             return Result(["usec", "rows", "algorithm", "statement"],
                           [I64, I64, varchar(), varchar()], rows,
                           trace=res.trace)
+        if head.startswith(("prepare ", "prep ")):
+            # PREPARE <stmt> (sql_parser.y PREPARE; query cache entry,
+            # sql_qc.c): validate, count '?' params, remember by id
+            body = text.lstrip().split(None, 1)[1]
+            from .sql.parser import Parser as _P
+            p = _P(body)
+            p.parse_stmt()
+            pid = self._next_prep = getattr(self, "_next_prep", 0) + 1
+            if not hasattr(self, "_prepared"):
+                self._prepared = {}
+            self._prepared[pid] = {"text": body, "nparams": p.n_params}
+            return None
+        if head.startswith(("exec ", "execute ", "deallocate")):
+            return self._exec_prepared(text.lstrip())
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
             return self._cached_query(text)
@@ -317,6 +403,14 @@ class Session:
                     raise RuntimeError("no transaction")
                 t, self.txn = self.txn, None
                 t.commit()
+            elif stmt.kind in ("savepoint", "rollback_to", "release"):
+                if self.txn is None:
+                    raise RuntimeError(
+                        "25001!SAVEPOINT outside a transaction")
+                getattr(self.txn, {"savepoint": "savepoint",
+                                   "rollback_to": "rollback_to",
+                                   "release": "release"}[stmt.kind])(
+                    stmt.savepoint)
             else:
                 if self.txn is None:
                     raise RuntimeError("no transaction")

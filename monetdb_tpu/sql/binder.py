@@ -1416,11 +1416,22 @@ class Binder:
                     return
                 if isinstance(lv, (int, float, Decimal)) and \
                         isinstance(rv, (int, float, Decimal)):
+                    def _idiv(a, b):
+                        # int/int divides like C: truncation toward zero
+                        # (gdk_calc div; python // floors, which differs
+                        # for negative quotients); /0 → 22012
+                        if b == 0:
+                            from ..ops.calc import CalcDivZero
+                            raise CalcDivZero("22012!division by zero")
+                        if not (isinstance(a, int) and isinstance(b, int)):
+                            return a / b
+                        q = a // b
+                        if a % b != 0 and (a < 0) != (b < 0):
+                            q += 1
+                        return q
+
                     f = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
-                         "*": lambda a, b: a * b,
-                         "/": lambda a, b: a / b if not (
-                             isinstance(a, int) and isinstance(b, int))
-                         else a // b}.get(e.op)
+                         "*": lambda a, b: a * b, "/": _idiv}.get(e.op)
                     if f is not None:
                         nv = f(lv, rv)
                         e.__class__ = Const

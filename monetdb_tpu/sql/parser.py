@@ -270,7 +270,23 @@ class Parser:
             return TxnStmt("commit")
         if self.at_kw("rollback"):
             self.next()
+            if self.eat_kw("to") or self._eat_ident("to"):
+                self._eat_ident("savepoint")
+                t = TxnStmt("rollback_to")
+                t.savepoint = self.next().value
+                return t
             return TxnStmt("rollback")
+        if self._at_ident("savepoint"):
+            self.next()
+            t = TxnStmt("savepoint")
+            t.savepoint = self.next().value
+            return t
+        if self._at_ident("release"):
+            self.next()
+            self._eat_ident("savepoint")
+            t = TxnStmt("release")
+            t.savepoint = self.next().value
+            return t
         raise SQLSyntaxError(f"unsupported statement at {self.peek()}")
 
     def _opt_alias_stop(self, stop_words=()):
@@ -362,10 +378,16 @@ class Parser:
         if self.at_kw("on"):
             self.next()
             self.eat_kw("table")
-            table = self.next().value
+            table = self._qname()
+            if table.startswith("sys.") or table.startswith("tmp."):
+                table = table.split(".", 1)[1]
             kw = "to" if kind == "grant" else "from"
             self.expect_kw(kw)
             grantee = self.next().value
+            # [WITH GRANT OPTION] [FROM grantor]
+            if self.eat_kw("with"):
+                self.eat_kw("grant") or self._eat_ident("grant")
+                self._eat_ident("option")
             if kind == "grant":
                 return Grant(privs, table, grantee)
             return Revoke(privs, table, grantee)
@@ -714,9 +736,15 @@ class Parser:
             return InList(e, items, negated=negated)
         if self.at_kw("like") or self.at_kw("ilike"):
             caseless = self.next().value == "ilike"
+            if self.peek().kind != "str":
+                # column/expression pattern: x LIKE y (pcre.c likematch
+                # over two columns) - lowered as a boolean function
+                pat_e = self.parse_additive()
+                f = Func("like_expr", [e, pat_e])
+                f.like_negated = negated
+                f.like_caseless = caseless
+                return f
             pat = self.next()
-            if pat.kind != "str":
-                raise SQLSyntaxError("LIKE requires a string literal pattern")
             esc = None
             if self.eat_kw("escape"):
                 esc = self.next().value
@@ -770,6 +798,7 @@ class Parser:
             return Func("neg", [e])
         if self.at_op("+"):
             self.next()
+            return self.parse_unary()   # chains: + - + - 40
         return self.parse_primary()
 
     def parse_primary(self) -> Expr:
@@ -1125,8 +1154,8 @@ class Parser:
                 self.next()
                 self.expect_punct(")")
             if self.eat_kw("with") or self._eat_ident("without"):
-                self._eat_ident("time")
-                self._eat_ident("zone")
+                self._eat_ident("time") or self.eat_kw("time")
+                self._eat_ident("zone") or self.eat_kw("zone")
             return TIMESTAMP
         if t in ("time", "timetz"):
             from ..dtypes import TIME
@@ -1134,8 +1163,8 @@ class Parser:
                 self.next()
                 self.expect_punct(")")
             if self.eat_kw("with") or self._eat_ident("without"):
-                self._eat_ident("time")
-                self._eat_ident("zone")
+                self._eat_ident("time") or self.eat_kw("time")
+                self._eat_ident("zone") or self.eat_kw("zone")
             return TIME
         if t == "interval":
             # INTERVAL <field> [TO <field>] (sql_types.c month_interval
@@ -1862,10 +1891,13 @@ def _parse_create_function(sql: str):
     header = sql[:brace] if py else sql
     p = Parser(header if py else sql)
     p.expect_kw("create")
+    if p.peek().kind == "kw" and p.peek().value == "or":
+        p.next()
+        p._eat_ident("replace")
     if not (p.peek().kind == "ident" and p.peek().value == "function"):
         raise SQLSyntaxError("expected FUNCTION")
     p.next()
-    name = p.next().value
+    name = p._qname().split(".")[-1]
     params = []
     p.expect_punct("(")
     if not p.eat_punct(")"):

@@ -1415,6 +1415,35 @@ class Transaction:
         self.recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
         self._device: Dict[str, Tuple[int, Table, np.ndarray]] = {}
         self.done = False
+        # SAVEPOINT name → captured write-state (sql_parser.y savepoint;
+        # the reference nests sql_trans the same way)
+        self._savepoints: Dict[str, tuple] = {}
+
+    # -- savepoints --------------------------------------------------------
+    def savepoint(self, name: str) -> None:
+        self._savepoints[name.lower()] = (
+            {n: td.copy() for n, td in self.writes.items()},
+            set(self.created), set(self.dropped), list(self.recs))
+
+    def rollback_to(self, name: str) -> None:
+        st = self._savepoints.get(name.lower())
+        if st is None:
+            raise ValueError(f"3B001!no such savepoint {name!r}")
+        writes, created, dropped, recs = st
+        self.writes = {n: td.copy() for n, td in writes.items()}
+        self.created = set(created)
+        self.dropped = set(dropped)
+        self.recs = list(recs)
+        self._device.clear()
+        # savepoints set after this one vanish (SQL standard)
+        names = list(self._savepoints)
+        for n in names[names.index(name.lower()) + 1:]:
+            del self._savepoints[n]
+
+    def release(self, name: str) -> None:
+        if name.lower() not in self._savepoints:
+            raise ValueError(f"3B001!no such savepoint {name!r}")
+        del self._savepoints[name.lower()]
 
     # -- reads -------------------------------------------------------------
     def visible_tables(self) -> List[str]:
