@@ -193,6 +193,11 @@ class Binder:
         self.ctes: Dict[str, Tuple[Optional[List[str]], object]] = \
             dict(ctes) if ctes else {}
         self._expanding: Set[str] = set()   # SQL-function recursion guard
+        # correlated scalar subqueries found in value position: each is
+        # LEFT-joined into the source tree before projection (the
+        # rel_unnest.c dependent-join flattening for scalar position):
+        # [(srel, [(outer_expr, inner_ref)], )]
+        self.pending_applies: List[tuple] = []
 
     def _sub(self, outer_scope: Optional[Scope] = None) -> "Binder":
         return Binder(self.catalog, outer_scope, ctes=self.ctes)
@@ -896,6 +901,70 @@ class Binder:
         j = L.Join(rel, srel, "inner", on=eq)
         return L.Filter(j, self._mk_cmp(op, outer_b, val_ref))
 
+    def _bind_scalar_apply(self, sub, srel, scols):
+        """Correlated scalar subquery in VALUE position (projection /
+        SET / CASE ...): LEFT-join the subquery on its correlation keys
+        and reference its value column — rel_unnest.c's dependent-join
+        flattening for scalar position.  Aggregated inners already
+        group by the correlation keys (corr_out, _bind_groupby);
+        non-aggregated inners get the keys appended to their
+        projection."""
+        if not scols:
+            raise BindError("scalar subquery with no output")
+        k = len(self.pending_applies)
+        eq = []                      # (outer bound expr, renamed key ref)
+        wrap_items = [(f"_ap{k}_v", self._out_ref(scols[0]))]
+        for j, (o, cop, i) in enumerate(sub.correlations):
+            if cop != "=":
+                raise BindError(
+                    "non-equi correlated scalar subquery unsupported")
+            nm = sub.corr_out.get(id(i))
+            if nm is None:
+                # non-aggregated inner: expose the key through its
+                # projection (srel must end in a Project)
+                if not isinstance(srel, L.Project):
+                    raise BindError(
+                        "correlated subquery in unsupported position")
+                nm = f"_apk{j}"
+                srel.exprs.append((nm, i))
+            ref = ColRef("#out", nm)
+            ref.typ = i.typ
+            wrap_items.append((f"_ap{k}_k{j}", ref))
+            r2 = ColRef("#out", f"_ap{k}_k{j}")
+            r2.typ = i.typ
+            eq.append((self.bind_expr(o), r2))
+        # rename outputs so several applies cannot collide
+        wrap = L.Project(srel, wrap_items)
+        self.pending_applies.append((wrap, eq))
+        out = ColRef("#out", f"_ap{k}_v")
+        out.typ = scols[0].typ
+        # COUNT subqueries yield 0 (not NULL) for outer rows with no
+        # match — the LEFT join's miss-NULL must coalesce back to 0
+        # (rel_unnest.c adds the same ifthenelse over the outer join)
+        gb = srel
+        while not isinstance(gb, L.GroupBy) and gb.children():
+            gb = gb.children()[0]
+        if isinstance(gb, L.GroupBy) and isinstance(srel, L.Project):
+            counts = {nm for nm, f, _a, _d in gb.aggs
+                      if f in ("count", "count_star")}
+            val_e = dict(srel.exprs).get(scols[0].name)
+            if isinstance(val_e, ColRef) and val_e.name in counts:
+                zero = Const(0)
+                zero.typ = out.typ
+                zero.ctype = out.typ
+                f = Func("coalesce", [out, zero])
+                f.typ = out.typ
+                return f
+        return out
+
+    def _drain_applies(self, rel: L.Rel) -> L.Rel:
+        """LEFT-join any pending correlated scalar subqueries into the
+        source tree (missing key → NULL value, scalar semantics)."""
+        while self.pending_applies:
+            srel, eq = self.pending_applies.pop(0)
+            rel = L.Join(rel, srel, "left", on=eq)
+        return rel
+
     def _bind_quant(self, e: Subquery, value_pos: bool = False,
                     negated: bool = False) -> Expr:
         """x op ANY/ALL(subq) -> 3-valued CASE over (count, nonnull count,
@@ -1088,6 +1157,7 @@ class Binder:
         items = [(n, e) for n, e, _d in uni]
         out_cols = [ColInfo("#out", n, e.typ, display=d)
                     for n, e, d in uni]
+        rel = self._drain_applies(rel)
         return L.Project(rel, items), out_cols
 
     def _bind_groupby(self, rel, stmt):
@@ -1322,7 +1392,7 @@ class Binder:
             sub = self._sub(outer_scope=self.scope)
             srel, scols = sub._bind_query(c.select, collect_corr=True)
             if sub.correlations:
-                raise BindError("correlated subquery in unsupported position")
+                return self._bind_scalar_apply(sub, srel, scols)
             c.select = ("bound", srel, scols)
             c.typ = scols[0].typ if scols else F64
             return c
