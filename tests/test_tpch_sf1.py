@@ -3,7 +3,7 @@ north-star config 1).  All 22 queries at SF1 against the independent
 sqlite oracle, plus a 100M-row sort/window capacity test with admission
 active.  Opt-in (MTPU_SF1=1): the SF1 run generates ~6M-row lineitem and
 takes minutes on the CPU mesh — the committed pass ledger lives in
-PARITY.md ("SF1 envelope").  Reference oracle role:
+PARITY.md ("SF1 envelope (ledger)").  Reference oracle role:
 /root/reference/sql/benchmarks/tpch/01.ans-22.ans.
 """
 
