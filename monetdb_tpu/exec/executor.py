@@ -498,6 +498,21 @@ class Executor:
             sd = StrDict(np.array([s.value]))
             data = jnp.zeros(fr.cap, jnp.int32)
             return Column(typ, data, fr.count, sdict=sd)
+        if isinstance(s.value, tuple):
+            # interval pseudo-const in value position: type it as
+            # month_interval (months) or sec_interval (µs)
+            amt, unit = s.value
+            from ..dtypes import MONTH_INTERVAL, SEC_INTERVAL
+            month_u = {"year": 12, "quarter": 3, "month": 1}
+            sec_u = {"week": 604800, "day": 86400, "hour": 3600,
+                     "minute": 60, "second": 1}
+            if unit in month_u:
+                typ = MONTH_INTERVAL
+                v = np.int32(amt * month_u[unit])
+            else:
+                typ = SEC_INTERVAL
+                v = np.int64(int(amt * sec_u[unit] * 1_000_000))
+            return Column(typ, jnp.full(fr.cap, v), fr.count, nonil=True)
         v = typ.nil if s.value is None else typ.np_dtype.type(s.value)
         return Column(typ, jnp.full(fr.cap, v), fr.count,
                       nonil=s.value is not None)

@@ -1472,10 +1472,62 @@ class Binder:
             lt, rt = e.left.typ, e.right.typ
             if isinstance(e.left, Const) and isinstance(e.right, Const):
                 lv, rv = e.left.value, e.right.value
+                if isinstance(lv, tuple) and isinstance(rv, tuple):
+                    # interval ± interval: combine in a common unit
+                    # (months for year-month, seconds for day-time)
+                    la, lu = lv
+                    ra, ru = rv
+                    sgn = -1 if e.op == "-" else 1
+                    month_u = {"year": 12, "quarter": 3, "month": 1}
+                    sec_u = {"week": 604800, "day": 86400, "hour": 3600,
+                             "minute": 60, "second": 1}
+                    nv = None
+                    if lu in month_u and ru in month_u:
+                        nv = (la * month_u[lu] + sgn * ra * month_u[ru],
+                              "month")
+                    elif lu in sec_u and ru in sec_u:
+                        nv = (la * sec_u[lu] + sgn * ra * sec_u[ru],
+                              "second")
+                    if nv is not None:
+                        e.__class__ = Const
+                        e.__dict__.clear()
+                        e.__dict__.update(value=nv, ctype=None)
+                        e.typ = None
+                        return
+                if isinstance(lv, datetime.time) and isinstance(rv, tuple):
+                    # TIME ± interval: wraps mod 24h (mtime rules)
+                    amt, unit = rv
+                    if e.op == "-":
+                        amt = -amt
+                    us = {"hour": 3_600_000_000, "minute": 60_000_000,
+                          "second": 1_000_000}.get(unit)
+                    if us is not None:
+                        cur = ((lv.hour * 60 + lv.minute) * 60
+                               + lv.second) * 1_000_000 + lv.microsecond
+                        tot = (cur + amt * us) % 86_400_000_000
+                        sec, usp = divmod(tot, 1_000_000)
+                        h, rem = divmod(sec, 3600)
+                        m, sc = divmod(rem, 60)
+                        from ..dtypes import TIME as _TIME
+                        nv = datetime.time(int(h), int(m), int(sc),
+                                           int(usp))
+                        e.__class__ = Const
+                        e.__dict__.clear()
+                        e.__dict__.update(value=nv, ctype=_TIME)
+                        e.typ = _TIME
+                        return
                 if isinstance(lv, datetime.date) and isinstance(rv, tuple):
                     amt, unit = rv
                     if e.op == "-":
                         amt = -amt
+                    us = {"hour": 3_600_000_000, "minute": 60_000_000,
+                          "second": 1_000_000}.get(unit)
+                    if us is not None and not isinstance(
+                            lv, datetime.datetime):
+                        # DATE ± sub-day interval stays DATE: the delta
+                        # applies at day granularity (mtime date rules)
+                        unit = "day"
+                        amt = int(amt * us / 86_400_000_000)
                     nv = add_interval(lv, amt, unit)
                     from ..dtypes import TIMESTAMP as _TS
                     ct = _TS if isinstance(nv, datetime.datetime) else DATE

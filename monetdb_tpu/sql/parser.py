@@ -909,6 +909,9 @@ class Parser:
             return Const(datetime.time.fromisoformat(s), TIME)
         if v == "interval":
             amount = self.next().value
+            sign = 1
+            if isinstance(amount, str) and amount.startswith("-"):
+                sign, amount = -1, amount[1:]
             unit = self.next().value.rstrip("s")  # day(s) month hour ...
             if unit not in ("day", "month", "year", "hour", "minute",
                             "second", "week", "quarter"):
@@ -918,7 +921,34 @@ class Parser:
                 # (sql_parser.y interval_qualifier) — semantics unaffected
                 self.next()
                 self.expect_punct(")")
-            return Const((int(amount), unit), None)  # interval pseudo-const
+            unit2 = None
+            if self.eat_kw("to") or self._eat_ident("to"):
+                unit2 = self.next().value.rstrip("s")
+            if ":" in str(amount) or unit2 is not None:
+                # multi-field literal: '2:30' hour to minute etc.
+                # (sql_parser.y interval_string): fields assign from the
+                # leading unit downward
+                parts = [p.strip() for p in str(amount).split(":")]
+                order = ["day", "hour", "minute", "second"]
+                if unit == "year":
+                    months = int(parts[0]) * 12 + (
+                        int(parts[1]) if len(parts) > 1 else 0)
+                    return Const((sign * months, "month"), None)
+                start = order.index(unit)
+                sec_per = {"day": 86400, "hour": 3600, "minute": 60,
+                           "second": 1}
+                total = 0.0
+                lim = {"hour": 24, "minute": 60, "second": 60}
+                for k, part in enumerate(parts):
+                    u = order[min(start + k, 3)]
+                    val = float(part or 0)
+                    if k > 0 and val >= lim.get(u, 60):
+                        raise SQLSyntaxError(
+                            f"22006!field {u} out of range in interval "
+                            f"literal {amount!r}")
+                    total += val * sec_per[u]
+                return Const((sign * total, "second"), None)
+            return Const((sign * int(amount), unit), None)
         if v == "case":
             whens = []
             base = None

@@ -40,7 +40,9 @@ def _fmt(v, t: str) -> str:
         return str(int(v))
     if t == "R":
         return "%.3f" % float(v)
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")     # MonetDB renders a space, not T
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, Decimal):
         return str(v)
