@@ -209,16 +209,32 @@ class _Handler(socketserver.BaseRequestHandler):
 class _TCP(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    tls_ctx = None
+
+    def get_request(self):
+        sock, addr = super().get_request()
+        if self.tls_ctx is not None:
+            sock = self.tls_ctx.wrap_socket(sock, server_side=True)
+        return sock, addr
 
 
 class Server:
     """mserver5 analog: owns the Database, accepts clients, one session
-    thread per connection."""
+    thread per connection.  ``tls=(certfile, keyfile)`` wraps every
+    accepted connection in TLS (the reference's OpenSSL stream layer,
+    common/stream/; tlstester.py covers the same surface)."""
 
-    def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 0,
+                 tls: Optional[Tuple[str, str]] = None):
         self.db = db
         self._srv = _TCP((host, port), _Handler)
         self._srv.db = db
+        self._srv.tls_ctx = None
+        if tls is not None:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile=tls[0], keyfile=tls[1])
+            self._srv.tls_ctx = ctx
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -284,8 +300,17 @@ class Client:
 
     def __init__(self, host: str, port: int, user: Optional[str] = None,
                  password: Optional[str] = None,
-                 database: Optional[str] = None):
+                 database: Optional[str] = None,
+                 tls: bool = False, tls_verify: bool = True,
+                 cafile: Optional[str] = None):
         self.sock = socket.create_connection((host, port))
+        if tls:
+            import ssl
+            ctx = ssl.create_default_context(cafile=cafile)
+            if not tls_verify:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
         if database is not None:
             # route through a farm proxy (merovingian proxy.c: the
             # client names its database; the daemon connects it through)

@@ -26,6 +26,21 @@ from .storage.database import Database
 __all__ = ["Session"]
 
 
+def _open_maybe_compressed(path: str):
+    """Text reader with transparent gz/bz2/xz decompression by suffix —
+    the reference's layered compressed streams (common/stream/)."""
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, "rt", newline="")
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rt", newline="")
+    if path.endswith((".xz", ".lzma")):
+        import lzma
+        return lzma.open(path, "rt", newline="")
+    return open(path, newline="")
+
+
 class Session:
     def __init__(self, db: Database, user: Optional[str] = None,
                  mesh=None):
@@ -996,6 +1011,8 @@ class Session:
             and getattr(stmt, "quote", None) is None \
             and getattr(stmt, "nullstr", None) is None \
             and getattr(stmt, "data", None) is None
+        native_ok = native_ok and not stmt.path.endswith(
+            (".gz", ".bz2", ".xz", ".lzma"))
         if native_ok and csv_native.native_available():
             with open(stmt.path, "rb") as f:
                 data = f.read()
@@ -1017,7 +1034,7 @@ class Session:
         quote = getattr(stmt, "quote", None)
         nullstr = getattr(stmt, "nullstr", None)
         f = io.StringIO(data) if data is not None \
-            else open(stmt.path, newline="")
+            else _open_maybe_compressed(stmt.path)
         with f:
             kw = {"delimiter": stmt.delimiter}
             if quote is not None:

@@ -75,3 +75,29 @@ def test_dbapi_network():
         conn.close()
     finally:
         srv.stop()
+
+
+def test_tls_server_client(tmp_path):
+    """TLS-wrapped connections (the reference's OpenSSL stream layer;
+    testing/tlstester.py surface): handshake, query, and a plaintext
+    client failing against a TLS port."""
+    import subprocess
+    from monetdb_tpu.server import Client, Server
+    from monetdb_tpu.storage import Database
+    cert, key = str(tmp_path / "c.pem"), str(tmp_path / "k.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj",
+         "/CN=127.0.0.1"], check=True, capture_output=True)
+    db = Database()
+    srv = Server(db, tls=(cert, key)).start()
+    host, port = srv.address
+    c = Client(host, port, tls=True, tls_verify=False)
+    c.sql("create table t (x int)")
+    c.sql("insert into t values (41), (1)")
+    assert c.sql("select sum(x) from t").rows == [(42,)]
+    import pytest as _pt
+    with _pt.raises(Exception):
+        plain = Client(host, port)          # plaintext against TLS port
+        plain.sql("select 1")
+    srv.stop()

@@ -74,3 +74,25 @@ def test_copy_binary(tmp_path):
     assert n == 3
     r = s.sql("select x, y, nm from b order by x")
     assert r.rows == [(1, 1.5, "aa"), (2, 2.5, None), (3, 3.5, "cc")]
+
+
+def test_copy_from_compressed(tmp_path):
+    """COPY INTO reads gz/bz2/xz transparently (the reference's layered
+    compressed streams, common/stream/)."""
+    import bz2
+    import gzip
+    import lzma
+    from monetdb_tpu.session import Session
+    from monetdb_tpu.storage import Database
+    rows = "1|a\n2|b\n3|c\n"
+    files = {"t.csv.gz": gzip.compress(rows.encode()),
+             "t.csv.bz2": bz2.compress(rows.encode()),
+             "t.csv.xz": lzma.compress(rows.encode())}
+    s = Session(Database())
+    for i, (name, blob) in enumerate(files.items()):
+        p = tmp_path / name
+        p.write_bytes(blob)
+        s.sql(f"create table t{i} (x int, y varchar(5))")
+        assert s.sql(f"copy into t{i} from '{p}'") == 3
+        assert s.sql(f"select count(*), max(y) from t{i}").rows == \
+            [(3, "c")]
