@@ -1563,6 +1563,51 @@ class Executor:
         if e.name in ("sqrt", "ln", "log10", "exp", "sin", "cos", "tan",
                       "floor", "ceil", "ceiling", "power", "mod"):
             return self._eval_math(e, fr)
+        if e.name in ("round", "truncate", "trunc"):
+            # round(x[, d]) / truncate(x[, d]) — sql_round: decimals keep
+            # their type, half away from zero (sql/common/sql_types.c)
+            v = self.eval(e.args[0], fr)
+            d = int(self.eval(e.args[1], fr).value) if len(e.args) > 1 \
+                else 0
+            trunc = e.name != "round"
+            if isinstance(v, Scalar):
+                if v.value is None:
+                    return v
+                if v.is_float():
+                    import math
+                    x = float(v.value)
+                    f = 10.0 ** d
+                    y = math.trunc(x * f) / f if trunc else \
+                        math.floor(abs(x) * f + 0.5) / f * (1 if x >= 0
+                                                            else -1)
+                    return Scalar(y, v.typ or F64)
+                sc = v.scale
+                if d >= sc:
+                    return v
+                f = 10 ** (sc - d)
+                val = int(v.value)
+                q = abs(val) // f
+                if not trunc and abs(val) % f >= f // 2:
+                    q += 1
+                return Scalar(q * f * (1 if val >= 0 else -1), v.typ)
+            if v.typ.np_dtype.kind == "f":
+                f = jnp.float64(10.0 ** d)
+                x = v.data * f
+                y = jnp.trunc(x) if trunc else \
+                    jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+                return Column(v.typ, y / f, v.count, nonil=v.nonil)
+            sc = v.typ.scale if v.typ.kind == Kind.DECIMAL else 0
+            if d >= sc:
+                return v
+            f = np.int64(10 ** (sc - d))
+            nilv = v.typ.nil
+            a = v.data
+            q = jnp.abs(a) // f
+            if not trunc:
+                q = q + jnp.where(jnp.abs(a) % f >= f // 2, 1, 0)
+            out = jnp.where(a == nilv, a,
+                            q * f * jnp.where(a >= 0, 1, -1))
+            return Column(v.typ, out, v.count, nonil=v.nonil)
         if e.name in ("levenshtein", "editdistance", "editdistance2",
                       "jarowinkler", "difference"):
             a = self.eval(e.args[0], fr)

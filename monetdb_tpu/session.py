@@ -1028,7 +1028,14 @@ class Session:
     def _copy_python(self, stmt: A.CopyFrom) -> int:
         import io
         td = self._td(stmt.table)
-        cols: List[List] = [[] for _ in td.order]
+        # optional column subset/order (COPY INTO t(cols); sql_parser.y
+        # opt_column_list): unlisted columns fill with DEFAULT/NULL
+        order = [c.lower() for c in getattr(stmt, "columns", None)
+                 or td.order]
+        for c in order:
+            if c not in td.types:
+                raise BindError(f"42S22!no such column {stmt.table}.{c}")
+        cols: List[List] = [[] for _ in order]
         limit = stmt.records
         data = getattr(stmt, "data", None)
         quote = getattr(stmt, "quote", None)
@@ -1047,15 +1054,23 @@ class Session:
                 if limit is not None and i >= limit:
                     break
                 # MonetDB dumps may carry a trailing delimiter
-                if len(row) == len(td.order) + 1 and row[-1] == "":
+                if len(row) == len(order) + 1 and row[-1] == "":
                     row = row[:-1]
                 for j, v in enumerate(row):
                     if nullstr is not None and v == nullstr:
                         cols[j].append(None)
                         continue
-                    cols[j].append(self._parse_field(v, td.types[td.order[j]]))
+                    cols[j].append(self._parse_field(v, td.types[order[j]]))
         arrays = {c: to_physical_np(vals, td.types[c])
-                  for c, vals in zip(td.order, cols)}
+                  for c, vals in zip(order, cols)}
+        n0 = len(cols[0]) if cols else 0
+        for c in td.order:
+            if c in arrays or n0 == 0:
+                continue
+            # unlisted column: DEFAULT when declared, else NULL
+            dflt = td.defaults.get(c)
+            fill = self._default_value(dflt, td.types[c])                 if dflt is not None else None
+            arrays[c] = to_physical_np([fill] * n0, td.types[c])
         n = len(cols[0]) if cols else 0
         if n == 0:
             return 0

@@ -253,6 +253,7 @@ class CopyFrom:
     quote: Optional[str] = None  # USING DELIMITERS f, r, quote
     nullstr: Optional[str] = None
     data: Optional[str] = None   # inline rows (COPY ... FROM STDIN)
+    columns: Optional[List[str]] = None  # target column subset/order
 
 
 @dataclasses.dataclass

@@ -1027,6 +1027,7 @@ class Parser:
             return Func("position", [sub, s])
         if name in AGG_FUNCS:
             distinct = bool(self.eat_kw("distinct"))
+            self.eat_kw("all")            # AVG(ALL x) = AVG(x)
             if name == "count" and self.at_op("*"):
                 self.next()
                 self.expect_punct(")")
@@ -1506,6 +1507,21 @@ class Parser:
                 flags["unique"] = True
             elif self._eat_ident("auto_increment"):
                 flags["serial"] = True
+            elif self._eat_ident("generated"):
+                # GENERATED ALWAYS AS IDENTITY [(seq options)]
+                # (sql_parser.y serial_opt_params; = serial)
+                self.eat_kw("always") or self._eat_ident("always")
+                self.eat_kw("as") or self._eat_ident("as")
+                self._eat_ident("identity")
+                flags["serial"] = True
+                if self.eat_punct("("):
+                    depth = 1
+                    while depth:
+                        tk = self.next()
+                        if tk.kind == "punct" and tk.value == "(":
+                            depth += 1
+                        elif tk.kind == "punct" and tk.value == ")":
+                            depth -= 1
             elif self.eat_kw("references") or self._eat_ident("references"):
                 # inline FK (sql_parser.y column_constraint_type ref):
                 # parsed, not enforced — matches the engine's table-level
@@ -1883,8 +1899,19 @@ class Parser:
             return CopyInto(src, path, delim)
         self.expect_kw("into")
         name = self._qname()
+        columns = None
+        if self.eat_punct("("):        # COPY INTO t(cols) FROM ...
+            columns = [self.next().value]
+            while self.eat_punct(","):
+                columns.append(self.next().value)
+            self.expect_punct(")")
         self.expect_kw("from")
         path = self.next().value       # 'file' or STDIN (sql_parser.y)
+        if self.eat_punct("("):        # FROM STDIN (header list)
+            columns = [self.next().value]
+            while self.eat_punct(","):
+                columns.append(self.next().value)
+            self.expect_punct(")")
         delim = "|"
         quote = None
         nullstr = None
@@ -1902,7 +1929,7 @@ class Parser:
         self._eat_ident("best")        # BEST EFFORT error tolerance
         self._eat_ident("effort")
         return CopyFrom(name, path, delim, records, quote=quote,
-                        nullstr=nullstr)
+                        nullstr=nullstr, columns=columns)
 
 
 _CREATE_FUNC_RE = __import__("re").compile(
