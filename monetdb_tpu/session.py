@@ -202,6 +202,32 @@ class Session:
                 out.append(ch)
         return self._sql("".join(out))
 
+    def _try_interp_call(self, stmt):
+        """SELECT f(args) over an interpreted PSM function (no FROM,
+        constant args): run the body through the PSM interpreter and
+        return its value as a one-row result."""
+        from .plan.exprs import Const as _C, Func as _F
+        if stmt.sources or stmt.where is not None or stmt.group_by or \
+                len(stmt.items) != 1:
+            return None
+        _alias, e = stmt.items[0]
+        if not isinstance(e, _F):
+            return None
+        f = self.db.sqlfuncs.get(e.name.split(".")[-1].lower())
+        if f is None or f.get("kind") != "interp":
+            return None
+        if not all(isinstance(a, _C) for a in e.args):
+            return None
+        if len(e.args) != len(f["params"]):
+            raise BindError(
+                f"function {e.name} expects {len(f['params'])} args")
+        from .sql.psm import run_psm_body
+        from .storage.columns import tag_type
+        env = {pn: a.value for (pn, _t), a in zip(f["params"], e.args)}
+        val = run_psm_body(self, f["body"], env)
+        rt = tag_type(f["ret"]) if f.get("ret") else None
+        return Result([e.name], [rt], [(val,)])
+
     def _check_access(self, table: str, op: str) -> None:
         """Enforce ALTER TABLE SET READ ONLY / INSERT ONLY (sql_cat.c
         access modes): read_only blocks all writes, insert_only blocks
@@ -264,6 +290,9 @@ class Session:
             return self._exec_prepared(text.lstrip())
         stmt = parse(text)
         if isinstance(stmt, A.SelectStmt):
+            interp = self._try_interp_call(stmt)
+            if interp is not None:
+                return interp
             return self._cached_query(text)
         if isinstance(stmt, A.NoOp):
             return None
@@ -381,6 +410,16 @@ class Session:
                              A.AlterDropTable)):
             return self._dist_ddl(stmt)
         if isinstance(stmt, A.CreateFunction):
+            if stmt.language == "sql_interp":
+                # control-flow body: validated by the PSM block parser,
+                # interpreted per call (rel_psm.c)
+                from .sql.psm import parse_blocks
+                from .sql.psm import _split_stmts as _ss
+                parse_blocks(_ss(stmt.body))
+                self.db.create_sqlfunc(
+                    stmt.name, [(n.lower(), t) for n, t in stmt.params],
+                    stmt.ret_type, stmt.body, kind="interp")
+                return None
             if stmt.language == "sql_table":
                 # validate the body parses as a SELECT
                 from .sql.parser import parse as _p
@@ -673,16 +712,13 @@ class Session:
             return None
         proc = self.db.procedures.get(name.split(".")[-1])
         if proc is not None:
-            body = proc["body"]
-            import re as _re
-            for (pname, _tag), val in zip(proc["params"], args):
-                from .sql.distribute import _sql_value
-                body = _re.sub(rf"\b{_re.escape(pname)}\b",
-                               _sql_value(val), body)
-            out = None
-            for stmt_text in _split_statements(body):
-                out = self._sql(stmt_text)
-            return out
+            # full PSM interpretation: DECLARE/SET/IF/WHILE/RETURN plus
+            # arbitrary side-effecting statements (rel_psm.c)
+            from .sql.psm import run_psm_body
+            env = {pname: val for (pname, _tag), val
+                   in zip(proc["params"], args)}
+            run_psm_body(self, proc["body"], env)
+            return None
         raise BindError(f"unknown procedure {stmt.name}")
 
     # -- distribution DDL (merge/remote/replica; rel_schema.c analog) ------

@@ -2049,9 +2049,9 @@ def _parse_create_function(sql: str):
                     ret_expr = _re.sub(rf"\b{k}\b", f"({val})", ret_expr,
                                        flags=_re.I)
                 break
-            raise SQLSyntaxError(
-                f"unsupported statement in SQL function body: "
-                f"{st.split()[0]}")
+            # control flow / side effects (WHILE, IF, INSERT, ...):
+            # interpreted at call time (rel_psm.c full PSM)
+            return CreateFunction(name, params, ret, "sql_interp", body)
         if ret_expr is None:
             raise SQLSyntaxError("SQL function body has no RETURN")
         return CreateFunction(name, params, ret, "sql", ret_expr)
