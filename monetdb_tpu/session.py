@@ -315,10 +315,16 @@ class Session:
                      if isinstance(f, dict)}
             checks = [f["check"] for f in flags.values()
                       if f.get("check")]
-            if getattr(stmt, "checks", None):
-                flags["#table"] = {"checks": [list(x)
-                                              for x in stmt.checks]}
-                checks += [tx for _nm, tx in stmt.checks]
+            if getattr(stmt, "checks", None) or \
+                    getattr(stmt, "uniques", None):
+                flags["#table"] = {}
+                if getattr(stmt, "checks", None):
+                    flags["#table"]["checks"] = [list(x)
+                                                 for x in stmt.checks]
+                    checks += [tx for _nm, tx in stmt.checks]
+                if getattr(stmt, "uniques", None):
+                    flags["#table"]["uniques"] = [list(u)
+                                                  for u in stmt.uniques]
             for tx in checks:
                 # validate: parses, and no subqueries (the reference
                 # rejects them at DDL time, 42000)

@@ -79,6 +79,7 @@ class CreateTable:
     name: str
     columns: List[Tuple[str, Any, bool]]   # name, SQLType, not_null
     checks: Any = None   # table-level [(constraint_name|None, expr_sql)]
+    uniques: Any = None  # multi-column UNIQUE sets [[col, ...], ...]
 
 
 @dataclasses.dataclass

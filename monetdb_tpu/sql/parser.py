@@ -293,7 +293,10 @@ class Parser:
         """Alias unless the next ident is a context keyword (USING/ON are
         plain idents in this dialect)."""
         if self.eat_kw("as"):
-            return self.next().value
+            v = self.next().value
+            if not v or not v.strip():
+                raise SQLSyntaxError("42000!empty alias")
+            return v
         if self.peek().kind == "ident" and \
                 self.peek().value not in stop_words:
             return self.next().value
@@ -462,6 +465,8 @@ class Parser:
             alias = None
             if self.eat_kw("as"):
                 alias = self.next().value
+                if not alias or not alias.strip():
+                    raise SQLSyntaxError("42000!empty alias")
             elif self.peek().kind == "ident":
                 alias = self.next().value
             items.append((alias, e))
@@ -685,7 +690,10 @@ class Parser:
 
     def _opt_alias(self) -> Optional[str]:
         if self.eat_kw("as"):
-            return self.next().value
+            v = self.next().value
+            if not v or not v.strip():
+                raise SQLSyntaxError("42000!empty alias")
+            return v
         if self.peek().kind == "ident":
             return self.next().value
         return None
@@ -1479,7 +1487,8 @@ class Parser:
             self._eat_ident("commit")
             self.next()
             self._eat_ident("rows")
-        return CreateTable(name, cols, checks=self.table_checks or None)
+        return CreateTable(name, cols, checks=self.table_checks or None,
+                           uniques=self.table_uniques or None)
 
     def _parse_column_flags(self) -> dict:
         """Column constraints: NOT NULL, PRIMARY KEY, UNIQUE,
@@ -1577,6 +1586,7 @@ class Parser:
         cols = []
         table_pks = []
         table_checks = []
+        table_uniques = []
         self._cons_name = None
         while True:
             if self.eat_kw("constraint") or \
@@ -1637,11 +1647,12 @@ class Parser:
                     ucols.append(self.next().value)
                 self.expect_punct(")")
                 if len(ucols) == 1:
-                    # multi-column UNIQUE is a constraint on the
-                    # combination — per-column flags would over-enforce
                     for c, _t, flags in cols:
                         if c in ucols:
                             flags["unique"] = True
+                else:
+                    # constraint on the combination (sql_cat.c ukey)
+                    table_uniques.append([c.lower() for c in ucols])
             else:
                 cname = self.next().value
                 if self.peek().kind == "ident" and \
@@ -1663,6 +1674,7 @@ class Parser:
                 flags["pk"] = True
                 flags["notnull"] = True
         self.table_checks = table_checks
+        self.table_uniques = table_uniques
         return cols
 
     def parse_create_distributed(self):

@@ -68,6 +68,9 @@ class TableData:
         self.serials = {c: f"seq_{name}_{c}" for c, f in flags.items()
                         if f.get("serial")}
         self.uniques = {c for c, f in flags.items() if f.get("unique")}
+        # multi-column UNIQUE constraints: [(col, col, ...)]
+        self.unique_sets = [tuple(u) for u in
+                            (flags.get("#table", {}).get("uniques") or [])]
         # CHECK constraints (sql_cat.c; enforced at append/update):
         # [(constraint_name, expr_sql)]
         self.checks = [(f"{name}_{c}_check", f["check"])
@@ -111,8 +114,13 @@ class TableData:
         # persist every check (column-level included) as table-level:
         # enforcement is identical and replay stays simple
         tbl = [[nm, tx] for nm, tx in getattr(self, "checks", ())]
-        if tbl:
-            out["#table"] = {"checks": tbl}
+        usets = [list(u) for u in getattr(self, "unique_sets", ())]
+        if tbl or usets:
+            out["#table"] = {}
+            if tbl:
+                out["#table"]["checks"] = tbl
+            if usets:
+                out["#table"]["uniques"] = usets
         return out
 
     def copy(self) -> "TableData":
@@ -125,6 +133,7 @@ class TableData:
         td.serials = dict(self.serials)
         td.uniques = set(self.uniques)
         td.checks = list(getattr(self, "checks", ()))
+        td.unique_sets = list(getattr(self, "unique_sets", ()))
         td.defaults = dict(self.defaults)
         td.cols = {c: a.copy() for c, a in self.cols.items()}
         td.dicts = {c: a.copy() for c, a in self.dicts.items()}
@@ -636,6 +645,20 @@ class Database:
         if name in self.tables:
             raise ValueError(f"table {name} exists")
         flags = {c.lower(): f for c, f in (flags or {}).items()}
+        if not name or not name.strip():
+            raise ValueError("42000!CREATE TABLE: empty table name")
+        for c, _t in schema:
+            if not c or not c.strip():
+                raise ValueError("42000!CREATE TABLE: empty column name")
+        import re as _re
+        for c, f in flags.items():
+            d = f.get("default") if isinstance(f, dict) else None
+            if d:
+                m = _re.search(r"next\s+value\s+for\s+\"?(\w+)", str(d),
+                               _re.I)
+                if m and m.group(1).lower() not in self.sequences:
+                    raise ValueError(
+                        f"42000!DEFAULT: no such sequence {m.group(1)!r}")
         td = TableData(name, [(c.lower(), t) for c, t in schema], flags)
         self.tables[name] = td
         for c, seq in td.serials.items():
@@ -1229,6 +1252,51 @@ class Database:
             if c in arrays and nilmask(c).any():
                 raise ValueError(f"NOT NULL constraint violated for "
                                  f"{td.name}.{c}")
+        for c in td.order:
+            # decimal precision envelope (22003): a decimal(p,s) value
+            # must fit p digits scaled (gdk_calc convert checks)
+            t = td.types[c]
+            if c in arrays and t.kind == Kind.DECIMAL and \
+                    0 < t.precision < 19:
+                lim = 10 ** t.precision
+                vals = np.asarray(arrays[c])
+                from ..dtypes import is_nil_np
+                bad = (~is_nil_np(vals, t)) & (np.abs(vals) >= lim)
+                if bad.any():
+                    raise ValueError(
+                        f"22003!value exceeds decimal({t.precision},"
+                        f"{t.scale}) range for {td.name}.{c}")
+        for uset in getattr(td, "unique_sets", ()):
+            if not all(c in arrays for c in uset):
+                continue
+            live = ~td.deleted
+
+            def norm_new(c):
+                t = td.types[c]
+                if t.kind == Kind.STR:
+                    return [None if v is None else str(v)
+                            for v in arrays[c]]
+                return [None if b else v for v, b in
+                        zip(np.asarray(arrays[c]).tolist(),
+                            nilmask(c).tolist())]
+
+            def norm_old(c):
+                t = td.types[c]
+                col = td.cols[c][live]
+                if t.kind == Kind.STR:
+                    d = td.dicts[c]
+                    return [None if k < 0 else str(d[k]) for k in col]
+                from ..dtypes import is_nil_np
+                nm = is_nil_np(col, t)
+                return [None if b else v for v, b in
+                        zip(col.tolist(), nm.tolist())]
+            newt = list(zip(*[norm_new(c) for c in uset]))
+            oldt = set(zip(*[norm_old(c) for c in uset])) \
+                if td.count else set()
+            if len(set(newt)) != len(newt) or set(newt) & oldt:
+                raise ValueError(
+                    f"40002!UNIQUE constraint violated for "
+                    f"{td.name}({', '.join(uset)})")
         for cname, expr_sql in getattr(td, "checks", ()):
             # CHECK enforcement over the candidate batch (the reference
             # checks in the append path too; 40002 violation class).
