@@ -280,7 +280,19 @@ class Session:
             body = text.lstrip().split(None, 1)[1]
             from .sql.parser import Parser as _P
             p = _P(body)
-            p.parse_stmt()
+            ps = p.parse_stmt()
+            if isinstance(ps, A.SelectStmt):
+                # validate semantics at PREPARE time, as the reference
+                # compiles the full plan (sql_qc.c); a bare untyped
+                # parameter in output position cannot be planned
+                from .plan.exprs import Param as _Param
+                for _al, it in ps.items:
+                    if isinstance(it, _Param):
+                        raise BindError(
+                            "42000!PREPARE: untyped parameter in "
+                            "output position")
+                if p.n_params == 0:
+                    bind_select(self._catalog(), ps)
             pid = self._next_prep = getattr(self, "_next_prep", 0) + 1
             if not hasattr(self, "_prepared"):
                 self._prepared = {}

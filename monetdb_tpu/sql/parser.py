@@ -294,7 +294,7 @@ class Parser:
         plain idents in this dialect)."""
         if self.eat_kw("as"):
             v = self.next().value
-            if not v or not v.strip():
+            if v == "":
                 raise SQLSyntaxError("42000!empty alias")
             return v
         if self.peek().kind == "ident" and \
@@ -465,7 +465,7 @@ class Parser:
             alias = None
             if self.eat_kw("as"):
                 alias = self.next().value
-                if not alias or not alias.strip():
+                if alias == "":
                     raise SQLSyntaxError("42000!empty alias")
             elif self.peek().kind == "ident":
                 alias = self.next().value
@@ -691,7 +691,7 @@ class Parser:
     def _opt_alias(self) -> Optional[str]:
         if self.eat_kw("as"):
             v = self.next().value
-            if not v or not v.strip():
+            if v == "":
                 raise SQLSyntaxError("42000!empty alias")
             return v
         if self.peek().kind == "ident":

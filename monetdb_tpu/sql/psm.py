@@ -98,6 +98,10 @@ def parse_blocks(stmts: List[str], i: int = 0,
             nodes.append(("if", cond, then, els))
             continue
         if lw.startswith("declare"):
+            if re.match(r"declare\s+table\b", st, re.I):
+                # the reference rejects DECLARE TABLE in PSM bodies too
+                raise ValueError(
+                    "3F000!DECLARE TABLE: not supported in functions")
             m = re.match(r"declare\s+(\w+)", st, re.I)
             if m:
                 nodes.append(("declare", m.group(1).lower()))

@@ -645,10 +645,10 @@ class Database:
         if name in self.tables:
             raise ValueError(f"table {name} exists")
         flags = {c.lower(): f for c, f in (flags or {}).items()}
-        if not name or not name.strip():
+        if name == "":
             raise ValueError("42000!CREATE TABLE: empty table name")
         for c, _t in schema:
-            if not c or not c.strip():
+            if c == "":
                 raise ValueError("42000!CREATE TABLE: empty column name")
         import re as _re
         for c, f in flags.items():
