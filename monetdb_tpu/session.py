@@ -216,14 +216,35 @@ class Session:
         f = self.db.sqlfuncs.get(e.name.split(".")[-1].lower())
         if f is None or f.get("kind") != "interp":
             return None
-        if not all(isinstance(a, _C) for a in e.args):
-            return None
         if len(e.args) != len(f["params"]):
             raise BindError(
                 f"function {e.name} expects {len(f['params'])} args")
+        # non-constant arguments (e.g. scalar subqueries) evaluate
+        # through the engine before the body runs (call-by-value)
+        from .plan.exprs import ColRef as _CRef, walk as _walk
+        args = []
+        for a in e.args:
+            if isinstance(a, _C):
+                args.append(a)
+                continue
+            if any(isinstance(x, _CRef) for x in _walk(a)):
+                return None     # row-dependent call: not interpretable
+            res = self._engine().query_stmt(
+                A.SelectStmt(items=[(None, a)], sources=[]))
+            args.append(_C(res.rows[0][0] if res.rows else None))
+        e = type(e)(e.name, args)
         from .sql.psm import run_psm_body
         from .storage.columns import tag_type
-        env = {pn: a.value for (pn, _t), a in zip(f["params"], e.args)}
+        env = {}
+        for (pn, tg), a in zip(f["params"], args):
+            v = a.value
+            pt = tag_type(tg)
+            if pt.kind in (Kind.DATE, Kind.TIME, Kind.TIMESTAMP) and \
+                    isinstance(v, (int, float)):
+                raise BindError(
+                    f"22007!invalid {pt.kind.value} value for "
+                    f"parameter {pn}")
+            env[pn] = v
         val = run_psm_body(self, f["body"], env)
         rt = tag_type(f["ret"]) if f.get("ret") else None
         return Result([e.name], [rt], [(val,)])
@@ -346,8 +367,22 @@ class Session:
                 if any(isinstance(n, _Sq) for n in _walk(ex)):
                     raise BindError("42000!SELECT: subquery not allowed "
                                     "in CHECK constraint")
-            self._store().create_table(
-                stmt.name, [(c, t) for c, t, _f in stmt.columns], flags)
+            if getattr(stmt, "fks", None) and self.txn is None:
+                self._store().create_table(
+                    stmt.name, [(c, t) for c, t, _f in stmt.columns],
+                    flags, fks=stmt.fks)
+            else:
+                self._store().create_table(
+                    stmt.name, [(c, t) for c, t, _f in stmt.columns],
+                    flags)
+                if getattr(stmt, "fks", None):
+                    def _lk2(n):
+                        try:
+                            return self._td(n)
+                        except KeyError:
+                            return None
+                    self.db.add_foreign_keys(stmt.name, stmt.fks,
+                                             lookup=_lk2)
             if self.user is not None:
                 self.db.set_owner(stmt.name, self.user)
             self.db.set_table_schema(stmt.name,
@@ -431,9 +466,9 @@ class Session:
             if stmt.language == "sql_interp":
                 # control-flow body: validated by the PSM block parser,
                 # interpreted per call (rel_psm.c)
-                from .sql.psm import parse_blocks
-                from .sql.psm import _split_stmts as _ss
-                parse_blocks(_ss(stmt.body))
+                from .sql.psm import (parse_blocks, strip_line_comments,
+                                      _split_stmts as _ss)
+                parse_blocks(_ss(strip_line_comments(stmt.body)))
                 self.db.create_sqlfunc(
                     stmt.name, [(n.lower(), t) for n, t in stmt.params],
                     stmt.ret_type, stmt.body, kind="interp")
@@ -488,6 +523,16 @@ class Session:
                     raise RuntimeError("no transaction")
                 t, self.txn = self.txn, None
                 t.rollback()
+            return None
+        if isinstance(stmt, A.AddForeignKey):
+            def _lk(n):
+                try:
+                    return self._td(n)
+                except KeyError:
+                    return None
+            self.db.add_foreign_keys(
+                stmt.table, [[stmt.cols, stmt.rtable, stmt.rcols]],
+                lookup=_lk)
             return None
         if isinstance(stmt, A.AlterSetAccess):
             t = stmt.table.lower()

@@ -80,6 +80,17 @@ class CreateTable:
     columns: List[Tuple[str, Any, bool]]   # name, SQLType, not_null
     checks: Any = None   # table-level [(constraint_name|None, expr_sql)]
     uniques: Any = None  # multi-column UNIQUE sets [[col, ...], ...]
+    fks: Any = None      # [[cols], rtable, [rcols]] foreign keys
+
+
+@dataclasses.dataclass
+class AddForeignKey:
+    """ALTER TABLE t ADD [CONSTRAINT n] FOREIGN KEY (cols) REFERENCES
+    rt (rcols) (sql_cat.c ukey/fkey DDL)."""
+    table: str
+    cols: List[str]
+    rtable: str
+    rcols: List[str]
 
 
 @dataclasses.dataclass

@@ -1432,10 +1432,31 @@ class Binder:
     def _subst(self, e: Expr, sub: Dict[str, Expr]) -> Expr:
         if isinstance(e, ColRef) and e.table is None and e.name in sub:
             return copy.deepcopy(sub[e.name])
+        if isinstance(e, Subquery) and not isinstance(e.select, tuple):
+            # SQL-function params reach into subquery bodies (rel_psm.c
+            # inlines through nested selects the same way)
+            c = copy.copy(e)
+            c.select = self._subst_stmt(e.select, sub)
+            if c.outer is not None:
+                c.outer = self._subst(c.outer, sub)
+            return c
         kids = e.children()
         if not kids:
             return e
         return self._clone_with(e, [self._subst(k, sub) for k in kids])
+
+    def _subst_stmt(self, st, sub):
+        """Parameter substitution inside an unbound SelectStmt AST."""
+        st = copy.copy(st)
+        st.items = [(al, self._subst(it, sub)) for al, it in st.items]
+        if st.where is not None:
+            st.where = self._subst(st.where, sub)
+        if st.having is not None:
+            st.having = self._subst(st.having, sub)
+        st.group_by = [self._subst(g, sub) for g in st.group_by]
+        st.order_by = [(self._subst(o, sub), d, nl)
+                       for o, d, nl in st.order_by]
+        return st
 
     def _type_const(self, c: Const):
         v = c.value

@@ -818,7 +818,8 @@ class Parser:
             self.next()
             self.next()
             self.expect_kw("for")
-            return Func("next_value_for", [Const(self.next().value)])
+            seq = self._qname().split(".")[-1]
+            return Func("next_value_for", [Const(seq)])
         if t.kind == "punct" and t.value == "(":
             self.next()
             if self.at_kw("select"):
@@ -1385,7 +1386,7 @@ class Parser:
         if self.peek().kind == "ident" and self.peek().value == "sequence":
             self.next()
             from .ast import CreateSequence
-            name = self.next().value
+            name = self._qname()
             start, inc, minv, maxv = 1, 1, None, None
             while True:
                 if self.at_kw("start"):
@@ -1405,8 +1406,8 @@ class Parser:
                     self.parse_expr()       # advisory here
                 elif self._eat_ident("cycle"):
                     pass
-                elif self.eat_kw("no"):
-                    self.next()             # NO MINVALUE/MAXVALUE/CYCLE
+                elif self.eat_kw("no") or self._eat_ident("no"):
+                    self.next()             # NO MINVALUE/MAXVALUE/CYCLE             # NO MINVALUE/MAXVALUE/CYCLE
                 else:
                     break
             return CreateSequence(name, start, inc, minv, maxv)
@@ -1488,7 +1489,8 @@ class Parser:
             self.next()
             self._eat_ident("rows")
         return CreateTable(name, cols, checks=self.table_checks or None,
-                           uniques=self.table_uniques or None)
+                           uniques=self.table_uniques or None,
+                           fks=self.table_fks or None)
 
     def _parse_column_flags(self) -> dict:
         """Column constraints: NOT NULL, PRIMARY KEY, UNIQUE,
@@ -1532,14 +1534,18 @@ class Parser:
                         elif tk.kind == "punct" and tk.value == ")":
                             depth -= 1
             elif self.eat_kw("references") or self._eat_ident("references"):
-                # inline FK (sql_parser.y column_constraint_type ref):
-                # parsed, not enforced — matches the engine's table-level
-                # FOREIGN KEY handling
-                self._qname()
+                # inline FK (sql_parser.y column_constraint_type ref)
+                rtab = self._qname().split(".")[-1].lower()
+                rcols = []
                 if self.eat_punct("("):
-                    while not self.eat_punct(")"):
-                        self.next()
+                    while not self.at_punct(")"):
+                        t = self.next()
+                        if t.kind in ("ident", "kw"):
+                            rcols.append(t.value.lower())
+                        self.eat_punct(",")
+                    self.expect_punct(")")
                 self._eat_fk_actions()
+                flags["fk"] = [rtab, rcols]
             elif self.eat_kw("check") or self._eat_ident("check"):
                 self.expect_punct("(")
                 start = self.peek().pos
@@ -1587,6 +1593,7 @@ class Parser:
         table_pks = []
         table_checks = []
         table_uniques = []
+        table_fks = []
         self._cons_name = None
         while True:
             if self.eat_kw("constraint") or \
@@ -1624,14 +1631,25 @@ class Parser:
                 self.next()
                 self.expect_kw("key")
                 self.expect_punct("(")
-                while not self.eat_punct(")"):
-                    self.next()
+                fcols = []
+                while not self.at_punct(")"):
+                    t = self.next()
+                    if t.kind in ("ident", "kw"):
+                        fcols.append(t.value.lower())
+                    self.eat_punct(",")
+                self.expect_punct(")")
                 self.expect_kw("references")
-                self._qname()
+                rtab = self._qname().split(".")[-1].lower()
+                rcols = []
                 if self.eat_punct("("):
-                    while not self.eat_punct(")"):
-                        self.next()
+                    while not self.at_punct(")"):
+                        t = self.next()
+                        if t.kind in ("ident", "kw"):
+                            rcols.append(t.value.lower())
+                        self.eat_punct(",")
+                    self.expect_punct(")")
                 self._eat_fk_actions()
+                table_fks.append([fcols, rtab, rcols])
             elif self._at_ident("unique") and (
                     (self.peek(1).kind == "punct" and
                      self.peek(1).value == "(") or
@@ -1675,6 +1693,11 @@ class Parser:
                 flags["notnull"] = True
         self.table_checks = table_checks
         self.table_uniques = table_uniques
+        for c, _t, flags in cols:
+            if flags.get("fk"):
+                rtab, rcols = flags.pop("fk")
+                table_fks.append([[c.lower()], rtab, rcols])
+        self.table_fks = table_fks
         return cols
 
     def parse_create_distributed(self):
@@ -1729,7 +1752,7 @@ class Parser:
             # ALTER SEQUENCE s RESTART [WITH n] | INCREMENT BY n | ...
             self.next()
             from .ast import AlterSequence
-            name = self.next().value
+            name = self._qname()
             restart = inc = None
             while True:
                 if self._eat_ident("restart"):
@@ -1747,8 +1770,8 @@ class Parser:
                     self.parse_expr()
                 elif self._eat_ident("cycle"):
                     pass
-                elif self.eat_kw("no"):
-                    self.next()
+                elif self.eat_kw("no") or self._eat_ident("no"):
+                    self.next()             # NO MINVALUE/MAXVALUE/CYCLE
                 elif self.eat_kw("start"):
                     self.expect_kw("with")
                     restart = int(self.parse_expr().value)
@@ -1798,10 +1821,38 @@ class Parser:
             from .ast import NoOp
             return NoOp("alter column")
         self.expect_kw("add")
-        if self.at_kw("constraint", "foreign", "primary", "check") or \
-                self._at_ident("unique") or self._at_ident("check"):
-            # ALTER TABLE t ADD [CONSTRAINT name] <constraint-def>:
-            # parsed, recorded nowhere (constraints unenforced post-hoc)
+        if self.at_kw("constraint") or self._at_ident("constraint"):
+            self.next()
+            self.next()                      # constraint name
+        if self.at_kw("foreign") or self._at_ident("foreign"):
+            self.next()
+            self.expect_kw("key") if self.at_kw("key") else \
+                self._eat_ident("key")
+            self.expect_punct("(")
+            fcols = []
+            while not self.at_punct(")"):
+                t = self.next()
+                if t.kind in ("ident", "kw"):
+                    fcols.append(t.value.lower())
+                self.eat_punct(",")
+            self.expect_punct(")")
+            self.expect_kw("references") if self.at_kw("references") \
+                else self._eat_ident("references")
+            rtab = self._qname().split(".")[-1].lower()
+            rcols = []
+            if self.eat_punct("("):
+                while not self.at_punct(")"):
+                    t = self.next()
+                    if t.kind in ("ident", "kw"):
+                        rcols.append(t.value.lower())
+                    self.eat_punct(",")
+                self.expect_punct(")")
+            self._eat_fk_actions()
+            from .ast import AddForeignKey
+            return AddForeignKey(parent, fcols, rtab, rcols)
+        if self.at_kw("primary", "check") or self._at_ident("unique") \
+                or self._at_ident("check"):
+            # other post-hoc constraints: parsed, not enforced
             while self.peek().kind != "eof":
                 self.next()
             from .ast import NoOp
@@ -2022,7 +2073,9 @@ def _parse_create_function(sql: str):
             raise SQLSyntaxError(f"unsupported UDF language {lang}")
         return CreateFunction(name, params, ret, "python", body)
     # SQL scalar function: capture the RETURN expression text
-    body = sql[p.peek().pos:].strip().rstrip(";").strip()
+    from .psm import strip_line_comments
+    body = strip_line_comments(sql[p.peek().pos:]).strip()\
+        .rstrip(";").strip()
     low = body.lower()
     if low.startswith("begin"):
         body = body[5:].strip()
@@ -2068,6 +2121,9 @@ def _parse_create_function(sql: str):
             raise SQLSyntaxError("SQL function body has no RETURN")
         return CreateFunction(name, params, ret, "sql", ret_expr)
     body = body[6:].strip().rstrip(";").strip()
+    if body.lower().startswith(("select", "with")):
+        # RETURN SELECT ...: a scalar subquery (rel_psm.c rel_psm_return)
+        body = "(" + body + ")"
     return CreateFunction(name, params, ret, "sql", body)
 
 

@@ -15,7 +15,36 @@ from __future__ import annotations
 import re
 from typing import List, Optional, Tuple
 
-__all__ = ["run_psm_body", "parse_blocks"]
+__all__ = ["run_psm_body", "parse_blocks", "strip_line_comments"]
+
+def strip_line_comments(text: str) -> str:
+    """Remove SQL -- line comments (quote-aware); body-level text
+    processing (PSM folding/interpretation) needs them gone."""
+    out = []
+    q = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif ch == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
 
 _MAX_ITER = 1_000_000
 
@@ -146,6 +175,7 @@ def _lit(v) -> str:
 def run_psm_body(session, body: str, env: dict):
     """Interpret a PSM body with the given parameter environment;
     returns the RETURN value (or None)."""
+    body = strip_line_comments(body)
     stmts = _split_stmts(body)
     low = body.strip().lower()
     if low.startswith("begin"):
@@ -175,6 +205,18 @@ def _subst(text: str, env: dict) -> str:
     return text
 
 
+def _subst_stmt(text: str, env: dict) -> str:
+    """Substitute parameters into a statement, but not into an INSERT's
+    column-name list (a parameter may share a column's name; the
+    reference resolves by position, textual substitution must skip the
+    name position)."""
+    m = re.match(r"(?is)(\s*insert\s+into\s+\S+\s*\()(.*?)(\)\s*"
+                 r"(?:values|select)\b.*)", text)
+    if m:
+        return m.group(1) + m.group(2) + _subst(m.group(3), env)
+    return _subst(text, env)
+
+
 def _eval(session, expr: str, env: dict):
     res = session._sql("select " + _subst(expr, env))
     return res.rows[0][0] if res is not None and res.rows else None
@@ -190,7 +232,7 @@ def _run_nodes(session, nodes: list, env: dict) -> None:
         elif kind == "return":
             raise _Return(_eval(session, node[1], env))
         elif kind == "sql":
-            session._sql(_subst(node[1], env))
+            session._sql(_subst_stmt(node[1], env))
         elif kind == "if":
             _cond, then, els = node[1], node[2], node[3]
             if bool(_eval(session, node[1], env)):

@@ -263,6 +263,9 @@ class Database:
         self._next_oid = 2000
         # table/view → owning schema (created under SET SCHEMA s)
         self.table_schemas: Dict[str, str] = {}
+        # foreign keys (sql_cat.c fkey DDL; enforced RESTRICT):
+        # child table → [([cols], rtable, [rcols])]
+        self.fks: Dict[str, list] = {}
         # table access mode (sql_cat.c sql_alter_table SET READ ONLY /
         # INSERT ONLY / READ WRITE): table → mode; absent = read_write
         self.table_access: Dict[str, str] = {}
@@ -362,8 +365,15 @@ class Database:
             schema = [(c, tag_type(tag)) for c, tag in meta["schema"]]
             self.tables[meta["table"]] = TableData(
                 meta["table"], schema, meta.get("flags"))
+            for cols, rtab, rcols in meta.get("fks") or []:
+                if not rcols:
+                    rt = self.tables.get(rtab)
+                    rcols = list(rt.pks) if rt is not None else []
+                self.fks.setdefault(meta["table"], []).append(
+                    (list(cols), rtab, list(rcols)))
         elif rtype == REC_DROP:
             self.tables.pop(meta["table"], None)
+            self.fks.pop(meta["table"], None)
             self._device.pop(meta["table"], None)
         elif rtype == REC_INSERT:
             self.tables[meta["table"]].append(arrays)
@@ -437,6 +447,9 @@ class Database:
                         ps.remove(p)
             elif meta["op"] == "put_owner":
                 self.owners[meta["table"]] = meta["user"]
+            elif meta["op"] == "add_fks":
+                self.fks[meta["table"]] = [
+                    (list(c), r, list(rc)) for c, r, rc in meta["fks"]]
             elif meta["op"] == "put_sqlfunc":
                 self.sqlfuncs[meta["name"]] = meta["func"]
             elif meta["op"] == "drop_sqlfunc":
@@ -638,7 +651,8 @@ class Database:
     # ======================================================================
     def create_table(self, name: str,
                      schema: List[Tuple[str, SQLType]],
-                     flags: Optional[Dict[str, dict]] = None) -> None:
+                     flags: Optional[Dict[str, dict]] = None,
+                     fks: Optional[list] = None) -> None:
         name = name.lower()
         if self._txn is not None:
             return self._txn.create_table(name, schema, flags)
@@ -654,9 +668,11 @@ class Database:
         for c, f in flags.items():
             d = f.get("default") if isinstance(f, dict) else None
             if d:
-                m = _re.search(r"next\s+value\s+for\s+\"?(\w+)", str(d),
-                               _re.I)
-                if m and m.group(1).lower() not in self.sequences:
+                m = _re.search(
+                    r"next\s+value\s+for\s+((?:\"[^\"]+\"|\w+)"
+                    r"(?:\s*\.\s*(?:\"[^\"]+\"|\w+))*)", str(d), _re.I)
+                if m and m.group(1).split(".")[-1].strip()\
+                        .strip('\"').lower() not in self.sequences:
                     raise ValueError(
                         f"42000!DEFAULT: no such sequence {m.group(1)!r}")
         td = TableData(name, [(c.lower(), t) for c, t in schema], flags)
@@ -665,9 +681,118 @@ class Database:
             if seq not in self.sequences:
                 self.create_sequence(seq)
         self.schema_epoch += 1
+        if fks:
+            self.add_foreign_keys(name, fks, log=False)
         self._log(REC_CREATE, {"table": name, "schema": [
             [c.lower(), type_tag(t)] for c, t in schema],
-            "flags": flags})
+            "flags": flags,
+            # log the RESOLVED fks (REFERENCES t without columns binds
+            # to the parent pk at DDL time)
+            "fks": [[list(c), r, list(rc)]
+                    for c, r, rc in self.fks.get(name, [])]})
+
+    def add_foreign_keys(self, name: str, fks: list, log: bool = True,
+                         lookup=None) -> None:
+        """Register FOREIGN KEY constraints (RESTRICT semantics); the
+        referenced table must exist — ``lookup`` overrides the table
+        resolver so transactional sessions validate against their own
+        visible state."""
+        name = name.lower()
+        lookup = lookup or self.tables.get
+        for cols, rtab, rcols in fks:
+            rt = lookup(rtab.lower())
+            if rt is None:
+                raise ValueError(
+                    f"42S02!FOREIGN KEY: no such table {rtab}")
+            rc = [c.lower() for c in rcols] or list(rt.pks)
+            if not rc or len(rc) != len(cols):
+                raise ValueError("42000!FOREIGN KEY: column mismatch")
+            self.fks.setdefault(name, []).append(
+                ([c.lower() for c in cols], rtab.lower(), rc))
+        if log:
+            self._log(REC_DDL, {"op": "add_fks", "table": name,
+                                "fks": [[list(c), r, list(rc)] for
+                                        c, r, rc in self.fks[name]]})
+        self.schema_epoch += 1
+
+    def _fk_check_insert(self, td: TableData,
+                         arrays: Dict[str, np.ndarray],
+                         resolver=None) -> None:
+        """Child-side FK check: every non-nil key combination in the
+        batch must exist in the parent (RESTRICT/NO ACTION default,
+        the reference checks in the append path too)."""
+        from ..dtypes import is_nil_np
+
+        def norm(src_td, col, vals, codes=False):
+            t = src_td.types[col]
+            if t.kind == Kind.STR:
+                if codes:
+                    d = src_td.dicts[col]
+                    return [None if k < 0 else str(d[k]) for k in vals]
+                return [None if v is None else str(v) for v in vals]
+            a = np.asarray(vals, t.np_dtype)
+            nm = is_nil_np(a, t)
+            return [None if b else v for v, b in zip(a.tolist(),
+                                                     nm.tolist())]
+        resolver = resolver or self.tables.get
+        for cols, rtab, rcols in self.fks.get(td.name, ()):
+            if not all(c in arrays for c in cols):
+                continue
+            parent = resolver(rtab)
+            if parent is None:
+                continue
+            live = ~parent.deleted
+            have = set(zip(*[norm(parent, rc, parent.cols[rc][live],
+                                  codes=True) for rc in rcols]))                 if parent.count else set()
+            for combo in zip(*[norm(td, c, arrays[c]) for c in cols]):
+                if any(v is None for v in combo):
+                    continue               # nil FK always allowed
+                if combo not in have:
+                    raise ValueError(
+                        f"40002!INSERT INTO: FOREIGN KEY constraint "
+                        f"violated: {td.name}({', '.join(cols)}) -> "
+                        f"{rtab}")
+
+    def _fk_check_delete(self, td: TableData,
+                         oids: np.ndarray) -> None:
+        """Parent-side FK check on delete: a key value removed from the
+        parent must not remain referenced by any child row."""
+        from ..dtypes import is_nil_np
+        refs = [(child, cols, rcols)
+                for child, lst in self.fks.items()
+                for cols, rtab, rcols in lst if rtab == td.name]
+        if not refs:
+            return
+
+        def norm(src_td, col, sel):
+            t = src_td.types[col]
+            vals = src_td.cols[col][sel]
+            if t.kind == Kind.STR:
+                d = src_td.dicts[col]
+                return [None if k < 0 else str(d[k]) for k in vals]
+            nm = is_nil_np(vals, t)
+            return [None if b else v for v, b in zip(vals.tolist(),
+                                                     nm.tolist())]
+        live = ~td.deleted
+        gone = np.zeros(td.count, bool)
+        gone[oids] = True
+        staying = live & ~gone
+        for child, cols, rcols in refs:
+            removed = set(zip(*[norm(td, rc, gone) for rc in rcols]))                 if gone.any() else set()
+            kept = set(zip(*[norm(td, rc, staying) for rc in rcols]))                 if staying.any() else set()
+            removed -= kept
+            if not removed:
+                continue
+            ctd = self.tables.get(child)
+            if ctd is None or ctd.count == 0:
+                continue
+            clive = ~ctd.deleted
+            for combo in zip(*[norm(ctd, c, clive) for c in cols]):
+                if combo in removed:
+                    raise ValueError(
+                        f"40002!DELETE: FOREIGN KEY constraint "
+                        f"violated: {child}({', '.join(cols)}) "
+                        f"references {td.name}")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
@@ -680,6 +805,7 @@ class Database:
                 return
             raise ValueError(f"42S02!unknown table {name}")
         self.tables.pop(name, None)
+        self.fks.pop(name, None)
         self._device.pop(name, None)
         self.schema_epoch += 1
         self._log(REC_DROP, {"table": name})
@@ -1235,7 +1361,8 @@ class Database:
         return int(res.rows[0][0])
 
     def _check_constraints(self, td: TableData,
-                           arrays: Dict[str, np.ndarray]) -> None:
+                           arrays: Dict[str, np.ndarray],
+                           resolver=None) -> None:
         """NOT NULL + PRIMARY KEY enforcement (the reference checks at
         append time too: sql/storage/bat/bat_storage.c key/null checks,
         sql_cat.c constraint DDL)."""
@@ -1245,6 +1372,10 @@ class Database:
             a = arrays[c]
             if td.types[c].kind == Kind.STR:
                 return np.array([v is None for v in a], dtype=bool)
+            if td.types[c].np_dtype.kind == "b":
+                # bool columns are nonil in practice (False is a value,
+                # not the sentinel)
+                return np.zeros(len(a), dtype=bool)
             return is_nil_np(np.asarray(a, td.types[c].np_dtype),
                              td.types[c])
 
@@ -1266,6 +1397,7 @@ class Database:
                     raise ValueError(
                         f"22003!value exceeds decimal({t.precision},"
                         f"{t.scale}) range for {td.name}.{c}")
+        self._fk_check_insert(td, arrays, resolver)
         for uset in getattr(td, "unique_sets", ()):
             if not all(c in arrays for c in uset):
                 continue
@@ -1365,6 +1497,7 @@ class Database:
         name = name.lower()
         if self._txn is not None:
             return self._txn.delete(name, oids)
+        self._fk_check_delete(self.tables[name], np.asarray(oids))
         self._mutable_td(name).delete_oids(oids)
         self._log(REC_DELETE, {"table": name},
                   {"oids": oids.astype(np.int64)})
@@ -1551,7 +1684,13 @@ class Transaction:
         name = name.lower()
         arrays = {c.lower(): v for c, v in arrays.items()}
         td = self._writable(name)
-        self.db._check_constraints(td, arrays)
+
+        def _parent(n):
+            try:
+                return self.tabledata(n)
+            except KeyError:
+                return None
+        self.db._check_constraints(td, arrays, resolver=_parent)
         td.append(arrays)
         self._device.pop(name, None)
         self.recs.append((REC_INSERT, {"table": name},
@@ -1597,6 +1736,109 @@ class Transaction:
         self.recs.append((REC_CREATE, {"table": name, "schema": [
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags}, {}))
+
+    def add_foreign_keys(self, name: str, fks: list, log: bool = True,
+                         lookup=None) -> None:
+        """Register FOREIGN KEY constraints (RESTRICT semantics); the
+        referenced table must exist — ``lookup`` overrides the table
+        resolver so transactional sessions validate against their own
+        visible state."""
+        name = name.lower()
+        lookup = lookup or self.tables.get
+        for cols, rtab, rcols in fks:
+            rt = lookup(rtab.lower())
+            if rt is None:
+                raise ValueError(
+                    f"42S02!FOREIGN KEY: no such table {rtab}")
+            rc = [c.lower() for c in rcols] or list(rt.pks)
+            if not rc or len(rc) != len(cols):
+                raise ValueError("42000!FOREIGN KEY: column mismatch")
+            self.fks.setdefault(name, []).append(
+                ([c.lower() for c in cols], rtab.lower(), rc))
+        if log:
+            self._log(REC_DDL, {"op": "add_fks", "table": name,
+                                "fks": [[list(c), r, list(rc)] for
+                                        c, r, rc in self.fks[name]]})
+        self.schema_epoch += 1
+
+    def _fk_check_insert(self, td: TableData,
+                         arrays: Dict[str, np.ndarray],
+                         resolver=None) -> None:
+        """Child-side FK check: every non-nil key combination in the
+        batch must exist in the parent (RESTRICT/NO ACTION default,
+        the reference checks in the append path too)."""
+        from ..dtypes import is_nil_np
+
+        def norm(src_td, col, vals, codes=False):
+            t = src_td.types[col]
+            if t.kind == Kind.STR:
+                if codes:
+                    d = src_td.dicts[col]
+                    return [None if k < 0 else str(d[k]) for k in vals]
+                return [None if v is None else str(v) for v in vals]
+            a = np.asarray(vals, t.np_dtype)
+            nm = is_nil_np(a, t)
+            return [None if b else v for v, b in zip(a.tolist(),
+                                                     nm.tolist())]
+        resolver = resolver or self.tables.get
+        for cols, rtab, rcols in self.fks.get(td.name, ()):
+            if not all(c in arrays for c in cols):
+                continue
+            parent = resolver(rtab)
+            if parent is None:
+                continue
+            live = ~parent.deleted
+            have = set(zip(*[norm(parent, rc, parent.cols[rc][live],
+                                  codes=True) for rc in rcols]))                 if parent.count else set()
+            for combo in zip(*[norm(td, c, arrays[c]) for c in cols]):
+                if any(v is None for v in combo):
+                    continue               # nil FK always allowed
+                if combo not in have:
+                    raise ValueError(
+                        f"40002!INSERT INTO: FOREIGN KEY constraint "
+                        f"violated: {td.name}({', '.join(cols)}) -> "
+                        f"{rtab}")
+
+    def _fk_check_delete(self, td: TableData,
+                         oids: np.ndarray) -> None:
+        """Parent-side FK check on delete: a key value removed from the
+        parent must not remain referenced by any child row."""
+        from ..dtypes import is_nil_np
+        refs = [(child, cols, rcols)
+                for child, lst in self.fks.items()
+                for cols, rtab, rcols in lst if rtab == td.name]
+        if not refs:
+            return
+
+        def norm(src_td, col, sel):
+            t = src_td.types[col]
+            vals = src_td.cols[col][sel]
+            if t.kind == Kind.STR:
+                d = src_td.dicts[col]
+                return [None if k < 0 else str(d[k]) for k in vals]
+            nm = is_nil_np(vals, t)
+            return [None if b else v for v, b in zip(vals.tolist(),
+                                                     nm.tolist())]
+        live = ~td.deleted
+        gone = np.zeros(td.count, bool)
+        gone[oids] = True
+        staying = live & ~gone
+        for child, cols, rcols in refs:
+            removed = set(zip(*[norm(td, rc, gone) for rc in rcols]))                 if gone.any() else set()
+            kept = set(zip(*[norm(td, rc, staying) for rc in rcols]))                 if staying.any() else set()
+            removed -= kept
+            if not removed:
+                continue
+            ctd = self.tables.get(child)
+            if ctd is None or ctd.count == 0:
+                continue
+            clive = ~ctd.deleted
+            for combo in zip(*[norm(ctd, c, clive) for c in cols]):
+                if combo in removed:
+                    raise ValueError(
+                        f"40002!DELETE: FOREIGN KEY constraint "
+                        f"violated: {child}({', '.join(cols)}) "
+                        f"references {td.name}")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()

@@ -160,27 +160,45 @@ class SqlLogicRunner:
     def _split_stmts(sql: str):
         """Split a record holding several ';'-separated statements
         (the reference harness feeds the whole block to mclient).
-        Bodies with BEGIN ATOMIC (triggers/procedures) stay whole."""
+        ';' inside BEGIN..END / CASE..END / IF..END IF / WHILE..END
+        WHILE blocks does not split, so several function definitions in
+        one record separate correctly."""
         import re as _re
-        if _re.match(r"\s*create\s+(or\s+replace\s+)?"
-                     r"(trigger|procedure|function)", sql, _re.I) \
-                or "atomic" in sql.lower():
-            return [sql]
         out, buf, q = [], [], None
-        for ch in sql:
+        depth = 0
+        i, n = 0, len(sql)
+        word = _re.compile(r"[A-Za-z_]+")
+        while i < n:
+            ch = sql[i]
             if q:
                 buf.append(ch)
                 if ch == q:
                     q = None
+                i += 1
             elif ch in "'\"":
                 q = ch
                 buf.append(ch)
-            elif ch == ";":
+                i += 1
+            elif ch.isalpha() or ch == "_":
+                m = word.match(sql, i)
+                w = m.group(0).lower()
+                if w in ("begin", "case", "if", "while"):
+                    nxt = word.match(sql, m.end() + 1)
+                    if not (w == "begin" and nxt is not None and
+                            nxt.group(0).lower() == "transaction"):
+                        depth += 1
+                elif w == "end":
+                    depth = max(0, depth - 1)
+                buf.append(m.group(0))
+                i = m.end()
+            elif ch == ";" and depth == 0:
                 if "".join(buf).strip():
                     out.append("".join(buf))
                 buf = []
+                i += 1
             else:
                 buf.append(ch)
+                i += 1
         if "".join(buf).strip():
             out.append("".join(buf))
         return out or [sql]
