@@ -531,7 +531,8 @@ class Session:
                 except KeyError:
                     return None
             self.db.add_foreign_keys(
-                stmt.table, [[stmt.cols, stmt.rtable, stmt.rcols]],
+                stmt.table, [[stmt.cols, stmt.rtable, stmt.rcols,
+                              getattr(stmt, "action", "restrict")]],
                 lookup=_lk)
             return None
         if isinstance(stmt, A.AlterSetAccess):

@@ -91,6 +91,7 @@ class AddForeignKey:
     cols: List[str]
     rtable: str
     rcols: List[str]
+    action: str = "restrict"   # ON DELETE restrict|cascade|setnull
 
 
 @dataclasses.dataclass

@@ -1544,8 +1544,8 @@ class Parser:
                             rcols.append(t.value.lower())
                         self.eat_punct(",")
                     self.expect_punct(")")
-                self._eat_fk_actions()
-                flags["fk"] = [rtab, rcols]
+                act = self._eat_fk_actions()
+                flags["fk"] = [rtab, rcols, act]
             elif self.eat_kw("check") or self._eat_ident("check"):
                 self.expect_punct("(")
                 start = self.peek().pos
@@ -1571,21 +1571,32 @@ class Parser:
         return flags
 
     def _eat_fk_actions(self):
-        """[MATCH ...] [ON DELETE action] [ON UPDATE action] — parsed and
-        ignored (FKs are not enforced; sql_parser.y opt_ref_action)."""
+        """[MATCH ...] [ON DELETE action] [ON UPDATE action]
+        (sql_parser.y opt_ref_action).  Returns the ON DELETE action:
+        'restrict' (default/NO ACTION), 'cascade', or 'setnull'."""
+        action = "restrict"
         while True:
             if self._eat_ident("match"):
                 self.next()
             elif self.eat_kw("on") or self._eat_ident("on"):
-                self.next()                    # delete | update
+                which = self.next().value.lower()   # delete | update
                 if self.eat_kw("set") or self._eat_ident("set"):
-                    self.next()                # null | default
+                    tgt = self.next().value.lower()  # null | default
+                    if which == "delete" and tgt == "null":
+                        action = "setnull"
                 elif self._eat_ident("no"):
                     self._eat_ident("action")
+                    if which == "delete":
+                        # MonetDB's explicit NO ACTION skips the delete
+                        # check (Update_Delete_action tests pin this)
+                        # while a clause-less FK enforces
+                        action = "noaction"
                 else:
-                    self.next()                # cascade | restrict
+                    a = self.next().value.lower()    # cascade | restrict
+                    if which == "delete" and a == "cascade":
+                        action = "cascade"
             else:
-                return
+                return action
 
     def parse_column_defs(self):
         self.expect_punct("(")
@@ -1648,8 +1659,8 @@ class Parser:
                             rcols.append(t.value.lower())
                         self.eat_punct(",")
                     self.expect_punct(")")
-                self._eat_fk_actions()
-                table_fks.append([fcols, rtab, rcols])
+                act = self._eat_fk_actions()
+                table_fks.append([fcols, rtab, rcols, act])
             elif self._at_ident("unique") and (
                     (self.peek(1).kind == "punct" and
                      self.peek(1).value == "(") or
@@ -1695,8 +1706,8 @@ class Parser:
         self.table_uniques = table_uniques
         for c, _t, flags in cols:
             if flags.get("fk"):
-                rtab, rcols = flags.pop("fk")
-                table_fks.append([[c.lower()], rtab, rcols])
+                rtab, rcols, act = flags.pop("fk")
+                table_fks.append([[c.lower()], rtab, rcols, act])
         self.table_fks = table_fks
         return cols
 
@@ -1847,9 +1858,9 @@ class Parser:
                         rcols.append(t.value.lower())
                     self.eat_punct(",")
                 self.expect_punct(")")
-            self._eat_fk_actions()
+            act = self._eat_fk_actions()
             from .ast import AddForeignKey
-            return AddForeignKey(parent, fcols, rtab, rcols)
+            return AddForeignKey(parent, fcols, rtab, rcols, act)
         if self.at_kw("primary", "check") or self._at_ident("unique") \
                 or self._at_ident("check"):
             # other post-hoc constraints: parsed, not enforced

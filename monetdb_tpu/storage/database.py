@@ -365,12 +365,14 @@ class Database:
             schema = [(c, tag_type(tag)) for c, tag in meta["schema"]]
             self.tables[meta["table"]] = TableData(
                 meta["table"], schema, meta.get("flags"))
-            for cols, rtab, rcols in meta.get("fks") or []:
+            for ent in meta.get("fks") or []:
+                cols, rtab, rcols = ent[0], ent[1], ent[2]
+                act = ent[3] if len(ent) > 3 else "restrict"
                 if not rcols:
                     rt = self.tables.get(rtab)
                     rcols = list(rt.pks) if rt is not None else []
                 self.fks.setdefault(meta["table"], []).append(
-                    (list(cols), rtab, list(rcols)))
+                    (list(cols), rtab, list(rcols), act))
         elif rtype == REC_DROP:
             self.tables.pop(meta["table"], None)
             self.fks.pop(meta["table"], None)
@@ -449,7 +451,7 @@ class Database:
                 self.owners[meta["table"]] = meta["user"]
             elif meta["op"] == "add_fks":
                 self.fks[meta["table"]] = [
-                    (list(c), r, list(rc)) for c, r, rc in meta["fks"]]
+                    self._fk4(e) for e in meta["fks"]]
             elif meta["op"] == "put_sqlfunc":
                 self.sqlfuncs[meta["name"]] = meta["func"]
             elif meta["op"] == "drop_sqlfunc":
@@ -688,8 +690,9 @@ class Database:
             "flags": flags,
             # log the RESOLVED fks (REFERENCES t without columns binds
             # to the parent pk at DDL time)
-            "fks": [[list(c), r, list(rc)]
-                    for c, r, rc in self.fks.get(name, [])]})
+            "fks": [[list(e[0]), e[1], list(e[2]),
+                     e[3] if len(e) > 3 else "restrict"]
+                    for e in self.fks.get(name, [])]})
 
     def add_foreign_keys(self, name: str, fks: list, log: bool = True,
                          lookup=None) -> None:
@@ -699,7 +702,9 @@ class Database:
         visible state."""
         name = name.lower()
         lookup = lookup or self.tables.get
-        for cols, rtab, rcols in fks:
+        for ent in fks:
+            cols, rtab, rcols = ent[0], ent[1], ent[2]
+            action = ent[3] if len(ent) > 3 else "restrict"
             rt = lookup(rtab.lower())
             if rt is None:
                 raise ValueError(
@@ -708,12 +713,18 @@ class Database:
             if not rc or len(rc) != len(cols):
                 raise ValueError("42000!FOREIGN KEY: column mismatch")
             self.fks.setdefault(name, []).append(
-                ([c.lower() for c in cols], rtab.lower(), rc))
+                ([c.lower() for c in cols], rtab.lower(), rc, action))
         if log:
             self._log(REC_DDL, {"op": "add_fks", "table": name,
-                                "fks": [[list(c), r, list(rc)] for
-                                        c, r, rc in self.fks[name]]})
+                                "fks": [[list(e[0]), e[1], list(e[2]),
+                                         e[3]] for e in self.fks[name]]})
         self.schema_epoch += 1
+
+    @staticmethod
+    def _fk4(ent):
+        cols, rtab, rcols = ent[0], ent[1], ent[2]
+        return (list(cols), rtab, list(rcols),
+                ent[3] if len(ent) > 3 else "restrict")
 
     def _fk_check_insert(self, td: TableData,
                          arrays: Dict[str, np.ndarray],
@@ -735,7 +746,8 @@ class Database:
             return [None if b else v for v, b in zip(a.tolist(),
                                                      nm.tolist())]
         resolver = resolver or self.tables.get
-        for cols, rtab, rcols in self.fks.get(td.name, ()):
+        for cols, rtab, rcols, _act in map(self._fk4,
+                                           self.fks.get(td.name, ())):
             if not all(c in arrays for c in cols):
                 continue
             parent = resolver(rtab)
@@ -758,9 +770,10 @@ class Database:
         """Parent-side FK check on delete: a key value removed from the
         parent must not remain referenced by any child row."""
         from ..dtypes import is_nil_np
-        refs = [(child, cols, rcols)
+        refs = [(child, cols, rcols, act)
                 for child, lst in self.fks.items()
-                for cols, rtab, rcols in lst if rtab == td.name]
+                for cols, rtab, rcols, act in map(self._fk4, lst)
+                if rtab == td.name]
         if not refs:
             return
 
@@ -777,7 +790,7 @@ class Database:
         gone = np.zeros(td.count, bool)
         gone[oids] = True
         staying = live & ~gone
-        for child, cols, rcols in refs:
+        for child, cols, rcols, act in refs:
             removed = set(zip(*[norm(td, rc, gone) for rc in rcols]))                 if gone.any() else set()
             kept = set(zip(*[norm(td, rc, staying) for rc in rcols]))                 if staying.any() else set()
             removed -= kept
@@ -787,12 +800,39 @@ class Database:
             if ctd is None or ctd.count == 0:
                 continue
             clive = ~ctd.deleted
-            for combo in zip(*[norm(ctd, c, clive) for c in cols]):
-                if combo in removed:
-                    raise ValueError(
-                        f"40002!DELETE: FOREIGN KEY constraint "
-                        f"violated: {child}({', '.join(cols)}) "
-                        f"references {td.name}")
+            hit = [int(i) for i, combo in zip(
+                np.nonzero(clive)[0],
+                zip(*[norm(ctd, c, clive) for c in cols]))
+                if combo in removed]
+            if not hit:
+                continue
+            if act == "noaction":
+                continue          # explicit NO ACTION: unenforced
+            if act == "cascade":
+                # ON DELETE CASCADE: recursively remove referencing rows
+                self._fk_check_delete(ctd, np.asarray(hit, np.int64))
+                ctd.delete_oids(np.asarray(hit, np.int64))
+                self._log(REC_DELETE, {"table": child},
+                          {"oids": np.asarray(hit, np.int64)})
+                self._device.pop(child, None)
+            elif act == "setnull":
+                for c in cols:
+                    t = ctd.types[c]
+                    if t.kind == Kind.STR:
+                        vals = np.full(len(hit), TableData._NIL_CODE,
+                                       np.int32)
+                    else:
+                        vals = np.full(len(hit), t.nil, t.np_dtype)
+                    ctd.update_col(c, np.asarray(hit, np.int64), vals)
+                    self._log(REC_UPDATE, {"table": child, "col": c},
+                              {"oids": np.asarray(hit, np.int64),
+                               "vals": vals})
+                self._device.pop(child, None)
+            else:
+                raise ValueError(
+                    f"40002!DELETE: FOREIGN KEY constraint "
+                    f"violated: {child}({', '.join(cols)}) "
+                    f"references {td.name}")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
@@ -1745,7 +1785,9 @@ class Transaction:
         visible state."""
         name = name.lower()
         lookup = lookup or self.tables.get
-        for cols, rtab, rcols in fks:
+        for ent in fks:
+            cols, rtab, rcols = ent[0], ent[1], ent[2]
+            action = ent[3] if len(ent) > 3 else "restrict"
             rt = lookup(rtab.lower())
             if rt is None:
                 raise ValueError(
@@ -1754,11 +1796,11 @@ class Transaction:
             if not rc or len(rc) != len(cols):
                 raise ValueError("42000!FOREIGN KEY: column mismatch")
             self.fks.setdefault(name, []).append(
-                ([c.lower() for c in cols], rtab.lower(), rc))
+                ([c.lower() for c in cols], rtab.lower(), rc, action))
         if log:
             self._log(REC_DDL, {"op": "add_fks", "table": name,
-                                "fks": [[list(c), r, list(rc)] for
-                                        c, r, rc in self.fks[name]]})
+                                "fks": [[list(e[0]), e[1], list(e[2]),
+                                         e[3]] for e in self.fks[name]]})
         self.schema_epoch += 1
 
     def _fk_check_insert(self, td: TableData,
@@ -1781,7 +1823,8 @@ class Transaction:
             return [None if b else v for v, b in zip(a.tolist(),
                                                      nm.tolist())]
         resolver = resolver or self.tables.get
-        for cols, rtab, rcols in self.fks.get(td.name, ()):
+        for cols, rtab, rcols, _act in map(self._fk4,
+                                           self.fks.get(td.name, ())):
             if not all(c in arrays for c in cols):
                 continue
             parent = resolver(rtab)
@@ -1804,9 +1847,10 @@ class Transaction:
         """Parent-side FK check on delete: a key value removed from the
         parent must not remain referenced by any child row."""
         from ..dtypes import is_nil_np
-        refs = [(child, cols, rcols)
+        refs = [(child, cols, rcols, act)
                 for child, lst in self.fks.items()
-                for cols, rtab, rcols in lst if rtab == td.name]
+                for cols, rtab, rcols, act in map(self._fk4, lst)
+                if rtab == td.name]
         if not refs:
             return
 
@@ -1823,7 +1867,7 @@ class Transaction:
         gone = np.zeros(td.count, bool)
         gone[oids] = True
         staying = live & ~gone
-        for child, cols, rcols in refs:
+        for child, cols, rcols, act in refs:
             removed = set(zip(*[norm(td, rc, gone) for rc in rcols]))                 if gone.any() else set()
             kept = set(zip(*[norm(td, rc, staying) for rc in rcols]))                 if staying.any() else set()
             removed -= kept
@@ -1833,12 +1877,39 @@ class Transaction:
             if ctd is None or ctd.count == 0:
                 continue
             clive = ~ctd.deleted
-            for combo in zip(*[norm(ctd, c, clive) for c in cols]):
-                if combo in removed:
-                    raise ValueError(
-                        f"40002!DELETE: FOREIGN KEY constraint "
-                        f"violated: {child}({', '.join(cols)}) "
-                        f"references {td.name}")
+            hit = [int(i) for i, combo in zip(
+                np.nonzero(clive)[0],
+                zip(*[norm(ctd, c, clive) for c in cols]))
+                if combo in removed]
+            if not hit:
+                continue
+            if act == "noaction":
+                continue          # explicit NO ACTION: unenforced
+            if act == "cascade":
+                # ON DELETE CASCADE: recursively remove referencing rows
+                self._fk_check_delete(ctd, np.asarray(hit, np.int64))
+                ctd.delete_oids(np.asarray(hit, np.int64))
+                self._log(REC_DELETE, {"table": child},
+                          {"oids": np.asarray(hit, np.int64)})
+                self._device.pop(child, None)
+            elif act == "setnull":
+                for c in cols:
+                    t = ctd.types[c]
+                    if t.kind == Kind.STR:
+                        vals = np.full(len(hit), TableData._NIL_CODE,
+                                       np.int32)
+                    else:
+                        vals = np.full(len(hit), t.nil, t.np_dtype)
+                    ctd.update_col(c, np.asarray(hit, np.int64), vals)
+                    self._log(REC_UPDATE, {"table": child, "col": c},
+                              {"oids": np.asarray(hit, np.int64),
+                               "vals": vals})
+                self._device.pop(child, None)
+            else:
+                raise ValueError(
+                    f"40002!DELETE: FOREIGN KEY constraint "
+                    f"violated: {child}({', '.join(cols)}) "
+                    f"references {td.name}")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
