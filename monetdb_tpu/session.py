@@ -467,8 +467,10 @@ class Session:
                 # control-flow body: validated by the PSM block parser,
                 # interpreted per call (rel_psm.c)
                 from .sql.psm import (parse_blocks, strip_line_comments,
+                                      validate_body,
                                       _split_stmts as _ss)
-                parse_blocks(_ss(strip_line_comments(stmt.body)))
+                validate_body(parse_blocks(
+                    _ss(strip_line_comments(stmt.body)))[0])
                 self.db.create_sqlfunc(
                     stmt.name, [(n.lower(), t) for n, t in stmt.params],
                     stmt.ret_type, stmt.body, kind="interp")
@@ -523,6 +525,9 @@ class Session:
                     raise RuntimeError("no transaction")
                 t, self.txn = self.txn, None
                 t.rollback()
+            return None
+        if isinstance(stmt, A.AddUniqueKey):
+            self.db.add_unique_key(stmt.table, stmt.cols, stmt.pk)
             return None
         if isinstance(stmt, A.AddForeignKey):
             def _lk(n):

@@ -84,6 +84,15 @@ class CreateTable:
 
 
 @dataclasses.dataclass
+class AddUniqueKey:
+    """ALTER TABLE t ADD [CONSTRAINT n] {PRIMARY KEY|UNIQUE} (cols):
+    validates existing data before registering (sql_cat.c ukey DDL)."""
+    table: str
+    cols: List[str]
+    pk: bool = False
+
+
+@dataclasses.dataclass
 class AddForeignKey:
     """ALTER TABLE t ADD [CONSTRAINT n] FOREIGN KEY (cols) REFERENCES
     rt (rcols) (sql_cat.c ukey/fkey DDL)."""

@@ -1861,9 +1861,28 @@ class Parser:
             act = self._eat_fk_actions()
             from .ast import AddForeignKey
             return AddForeignKey(parent, fcols, rtab, rcols, act)
-        if self.at_kw("primary", "check") or self._at_ident("unique") \
-                or self._at_ident("check"):
-            # other post-hoc constraints: parsed, not enforced
+        if self.at_kw("primary") or self._at_ident("unique") or \
+                self.eat_kw("unique"):
+            is_pk = False
+            if self.at_kw("primary"):
+                self.next()
+                self.expect_kw("key") if self.at_kw("key") else \
+                    self._eat_ident("key")
+                is_pk = True
+            else:
+                self._eat_ident("unique")
+            cols = []
+            self.expect_punct("(")
+            while not self.at_punct(")"):
+                t = self.next()
+                if t.kind in ("ident", "kw"):
+                    cols.append(t.value.lower())
+                self.eat_punct(",")
+            self.expect_punct(")")
+            from .ast import AddUniqueKey
+            return AddUniqueKey(parent, cols, is_pk)
+        if self.at_kw("check") or self._at_ident("check"):
+            # post-hoc CHECK: parsed, not enforced
             while self.peek().kind != "eof":
                 self.next()
             from .ast import NoOp

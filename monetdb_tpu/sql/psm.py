@@ -127,10 +127,15 @@ def parse_blocks(stmts: List[str], i: int = 0,
             nodes.append(("if", cond, then, els))
             continue
         if lw.startswith("declare"):
-            if re.match(r"declare\s+table\b", st, re.I):
-                # the reference rejects DECLARE TABLE in PSM bodies too
-                raise ValueError(
-                    "3F000!DECLARE TABLE: not supported in functions")
+            m = re.match(r"declare\s+table\s+(\w+)\s*\((.*)\)\s*$",
+                         st, re.I | re.S)
+            if m:
+                # DECLARE TABLE t (cols): a body-local table
+                # (rel_psm.c psm_declare table case)
+                nodes.append(("decl_table", m.group(1).lower(),
+                              m.group(2)))
+                i += 1
+                continue
             m = re.match(r"declare\s+(\w+)", st, re.I)
             if m:
                 nodes.append(("declare", m.group(1).lower()))
@@ -150,6 +155,73 @@ def parse_blocks(stmts: List[str], i: int = 0,
         nodes.append(("sql", st))
         i += 1
     return nodes, i
+
+
+def validate_body(nodes) -> None:
+    """Create-time semantic validation of DML against DECLARE TABLE
+    definitions (the reference binds PSM bodies at create: an UPDATE of
+    a nonexistent column on a declared table errors then)."""
+    decls = {}
+
+    def walk(ns):
+        for node in ns:
+            k = node[0]
+            if k == "decl_table":
+                for cdef in _split_cols(node[2]):
+                    words = {w.lower() for w in cdef.split()}
+                    if words & {"unique", "primary", "foreign", "check",
+                                "references"}:
+                        # the reference rejects constraints on declared
+                        # tables (Bug-3319)
+                        raise ValueError(
+                            "42000!constraints are not supported on "
+                            "DECLARE TABLE")
+                cols = [c.strip().split()[0].strip('"').lower()
+                        for c in _split_cols(node[2])]
+                decls[node[1]] = set(cols)
+            elif k == "sql":
+                st = node[1]
+                m = re.match(r"(?is)\s*insert\s+into\s+(\w+)\s*"
+                             r"\(([^)]*)\)", st)
+                if m and m.group(1).lower() in decls:
+                    for c in m.group(2).split(","):
+                        if c.strip().strip('"').lower() not in \
+                                decls[m.group(1).lower()]:
+                            raise ValueError(
+                                f"42S22!no such column {c.strip()} in "
+                                f"declared table {m.group(1)}")
+                m = re.match(r"(?is)\s*update\s+(\w+)\s+set\s+(\w+)",
+                             st)
+                if m and m.group(1).lower() in decls:
+                    if m.group(2).lower() not in decls[m.group(1).lower()]:
+                        raise ValueError(
+                            f"42S22!no such column {m.group(2)} in "
+                            f"declared table {m.group(1)}")
+            elif k == "while":
+                walk(node[2])
+            elif k == "if":
+                walk(node[2])
+                walk(node[3])
+    walk(nodes)
+
+
+def _split_cols(text: str):
+    out, buf, depth = [], [], 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf))
+    return out
 
 
 class _Return(Exception):
@@ -193,13 +265,21 @@ def run_psm_body(session, body: str, env: dict):
     env = dict(env)
     try:
         _run_nodes(session, nodes, env)
+        return None
     except _Return as r:
         return r.value
-    return None
+    finally:
+        for t in env.get("#decl_tables", []):
+            try:
+                session._sql(f"drop table {t}")
+            except Exception:
+                pass
 
 
 def _subst(text: str, env: dict) -> str:
     for k, v in env.items():
+        if k.startswith("#"):
+            continue
         text = re.sub(rf"\b{re.escape(k)}\b", _lit(v), text,
                       flags=re.I)
     return text
@@ -225,7 +305,11 @@ def _eval(session, expr: str, env: dict):
 def _run_nodes(session, nodes: list, env: dict) -> None:
     for node in nodes:
         kind = node[0]
-        if kind == "declare":
+        if kind == "decl_table":
+            # body-local table: create now, drop when the body exits
+            session._sql(f"create table {node[1]} ({node[2]})")
+            env.setdefault("#decl_tables", []).append(node[1])
+        elif kind == "declare":
             env.setdefault(node[1], None)
         elif kind == "set":
             env[node[1]] = _eval(session, node[2], env)

@@ -449,6 +449,8 @@ class Database:
                         ps.remove(p)
             elif meta["op"] == "put_owner":
                 self.owners[meta["table"]] = meta["user"]
+            elif meta["op"] == "add_ukey":
+                self._add_ukey_replay(meta)
             elif meta["op"] == "add_fks":
                 self.fks[meta["table"]] = [
                     self._fk4(e) for e in meta["fks"]]
@@ -694,6 +696,66 @@ class Database:
                      e[3] if len(e) > 3 else "restrict"]
                     for e in self.fks.get(name, [])]})
 
+    def add_unique_key(self, name: str, cols, pk: bool = False) -> None:
+        """Post-hoc PRIMARY KEY / UNIQUE: reject when a pk already
+        exists (pk), existing data has duplicates, or (pk) nils."""
+        name = name.lower()
+        td = self.tables[name]
+        cols = [c.lower() for c in cols]
+        for c in cols:
+            if c not in td.types:
+                raise ValueError(f"42S22!no such column {name}.{c}")
+        if pk and td.pks:
+            raise ValueError(
+                f"42000!ADD PRIMARY KEY: table {name} already has one")
+        live = ~td.deleted
+        from ..dtypes import is_nil_np
+
+        def vals(c):
+            t = td.types[c]
+            col = td.cols[c][live]
+            if t.kind == Kind.STR:
+                d = td.dicts[c]
+                return [None if k < 0 else str(d[k]) for k in col]
+            nm = is_nil_np(col, t)
+            return [None if b else v for v, b in zip(col.tolist(),
+                                                     nm.tolist())]
+        combos = list(zip(*[vals(c) for c in cols])) if td.count else []
+        if pk and any(None in cb for cb in combos):
+            raise ValueError(
+                "40002!ADD PRIMARY KEY: column holds NULLs")
+        if len(set(combos)) != len(combos):
+            raise ValueError(
+                f"40002!ADD {'PRIMARY KEY' if pk else 'UNIQUE'}: "
+                f"existing rows are not distinct on ({', '.join(cols)})")
+        if pk:
+            td.pks = list(cols)
+            td.notnull |= set(cols)
+            if len(cols) == 1:
+                td.uniques.add(cols[0])
+            else:
+                td.unique_sets.append(tuple(cols))
+        elif len(cols) == 1:
+            td.uniques.add(cols[0])
+        else:
+            td.unique_sets.append(tuple(cols))
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "add_ukey", "table": name,
+                            "cols": cols, "pk": bool(pk)})
+
+    def _add_ukey_replay(self, meta: dict) -> None:
+        td = self.tables.get(meta["table"])
+        if td is None:
+            return
+        cols = meta["cols"]
+        if meta.get("pk"):
+            td.pks = list(cols)
+            td.notnull |= set(cols)
+        if len(cols) == 1:
+            td.uniques.add(cols[0])
+        else:
+            td.unique_sets.append(tuple(cols))
+
     def add_foreign_keys(self, name: str, fks: list, log: bool = True,
                          lookup=None) -> None:
         """Register FOREIGN KEY constraints (RESTRICT semantics); the
@@ -712,8 +774,41 @@ class Database:
             rc = [c.lower() for c in rcols] or list(rt.pks)
             if not rc or len(rc) != len(cols):
                 raise ValueError("42000!FOREIGN KEY: column mismatch")
-            self.fks.setdefault(name, []).append(
-                ([c.lower() for c in cols], rtab.lower(), rc, action))
+            uniq = (rc == list(getattr(rt, "pks", []))
+                    or (len(rc) == 1 and rc[0] in
+                        getattr(rt, "uniques", ()))
+                    or tuple(rc) in [tuple(u) for u in
+                                     getattr(rt, "unique_sets", ())])
+            if not uniq:
+                raise ValueError(
+                    "42000!FOREIGN KEY: referenced columns must be a "
+                    "PRIMARY KEY or UNIQUE constraint")
+            entry = ([c.lower() for c in cols], rtab.lower(), rc,
+                     action)
+            if log:
+                # post-hoc ADD FOREIGN KEY validates existing child rows
+                # (sql_cat.c: the constraint must hold when added)
+                ctd = self.tables.get(name)
+                if ctd is not None and ctd.count:
+                    live = ~ctd.deleted
+                    arrays = {c: ctd.cols[c][live] for c in entry[0]}
+                    if any(ctd.types[c].kind == Kind.STR
+                           for c in entry[0]):
+                        arrays = {
+                            c: (np.asarray(
+                                [None if k < 0 else str(ctd.dicts[c][k])
+                                 for k in ctd.cols[c][live]], object)
+                                if ctd.types[c].kind == Kind.STR
+                                else ctd.cols[c][live])
+                            for c in entry[0]}
+                    saved = self.fks.get(name)
+                    self.fks[name] = [entry]
+                    try:
+                        self._fk_check_insert(ctd, arrays, lookup)
+                    finally:
+                        self.fks[name] = saved if saved is not None \
+                            else []
+            self.fks.setdefault(name, []).append(entry)
         if log:
             self._log(REC_DDL, {"op": "add_fks", "table": name,
                                 "fks": [[list(e[0]), e[1], list(e[2]),
@@ -1777,6 +1872,66 @@ class Transaction:
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags}, {}))
 
+    def add_unique_key(self, name: str, cols, pk: bool = False) -> None:
+        """Post-hoc PRIMARY KEY / UNIQUE: reject when a pk already
+        exists (pk), existing data has duplicates, or (pk) nils."""
+        name = name.lower()
+        td = self.tables[name]
+        cols = [c.lower() for c in cols]
+        for c in cols:
+            if c not in td.types:
+                raise ValueError(f"42S22!no such column {name}.{c}")
+        if pk and td.pks:
+            raise ValueError(
+                f"42000!ADD PRIMARY KEY: table {name} already has one")
+        live = ~td.deleted
+        from ..dtypes import is_nil_np
+
+        def vals(c):
+            t = td.types[c]
+            col = td.cols[c][live]
+            if t.kind == Kind.STR:
+                d = td.dicts[c]
+                return [None if k < 0 else str(d[k]) for k in col]
+            nm = is_nil_np(col, t)
+            return [None if b else v for v, b in zip(col.tolist(),
+                                                     nm.tolist())]
+        combos = list(zip(*[vals(c) for c in cols])) if td.count else []
+        if pk and any(None in cb for cb in combos):
+            raise ValueError(
+                "40002!ADD PRIMARY KEY: column holds NULLs")
+        if len(set(combos)) != len(combos):
+            raise ValueError(
+                f"40002!ADD {'PRIMARY KEY' if pk else 'UNIQUE'}: "
+                f"existing rows are not distinct on ({', '.join(cols)})")
+        if pk:
+            td.pks = list(cols)
+            td.notnull |= set(cols)
+            if len(cols) == 1:
+                td.uniques.add(cols[0])
+            else:
+                td.unique_sets.append(tuple(cols))
+        elif len(cols) == 1:
+            td.uniques.add(cols[0])
+        else:
+            td.unique_sets.append(tuple(cols))
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "add_ukey", "table": name,
+                            "cols": cols, "pk": bool(pk)})
+
+    def _add_ukey_replay(self, meta: dict) -> None:
+        td = self.tables.get(meta["table"])
+        if td is None:
+            return
+        cols = meta["cols"]
+        if meta.get("pk"):
+            td.pks = list(cols)
+            td.notnull |= set(cols)
+        if len(cols) == 1:
+            td.uniques.add(cols[0])
+        else:
+            td.unique_sets.append(tuple(cols))
+
     def add_foreign_keys(self, name: str, fks: list, log: bool = True,
                          lookup=None) -> None:
         """Register FOREIGN KEY constraints (RESTRICT semantics); the
@@ -1795,8 +1950,41 @@ class Transaction:
             rc = [c.lower() for c in rcols] or list(rt.pks)
             if not rc or len(rc) != len(cols):
                 raise ValueError("42000!FOREIGN KEY: column mismatch")
-            self.fks.setdefault(name, []).append(
-                ([c.lower() for c in cols], rtab.lower(), rc, action))
+            uniq = (rc == list(getattr(rt, "pks", []))
+                    or (len(rc) == 1 and rc[0] in
+                        getattr(rt, "uniques", ()))
+                    or tuple(rc) in [tuple(u) for u in
+                                     getattr(rt, "unique_sets", ())])
+            if not uniq:
+                raise ValueError(
+                    "42000!FOREIGN KEY: referenced columns must be a "
+                    "PRIMARY KEY or UNIQUE constraint")
+            entry = ([c.lower() for c in cols], rtab.lower(), rc,
+                     action)
+            if log:
+                # post-hoc ADD FOREIGN KEY validates existing child rows
+                # (sql_cat.c: the constraint must hold when added)
+                ctd = self.tables.get(name)
+                if ctd is not None and ctd.count:
+                    live = ~ctd.deleted
+                    arrays = {c: ctd.cols[c][live] for c in entry[0]}
+                    if any(ctd.types[c].kind == Kind.STR
+                           for c in entry[0]):
+                        arrays = {
+                            c: (np.asarray(
+                                [None if k < 0 else str(ctd.dicts[c][k])
+                                 for k in ctd.cols[c][live]], object)
+                                if ctd.types[c].kind == Kind.STR
+                                else ctd.cols[c][live])
+                            for c in entry[0]}
+                    saved = self.fks.get(name)
+                    self.fks[name] = [entry]
+                    try:
+                        self._fk_check_insert(ctd, arrays, lookup)
+                    finally:
+                        self.fks[name] = saved if saved is not None \
+                            else []
+            self.fks.setdefault(name, []).append(entry)
         if log:
             self._log(REC_DDL, {"op": "add_fks", "table": name,
                                 "fks": [[list(e[0]), e[1], list(e[2]),
