@@ -700,7 +700,11 @@ class Database:
         """Post-hoc PRIMARY KEY / UNIQUE: reject when a pk already
         exists (pk), existing data has duplicates, or (pk) nils."""
         name = name.lower()
-        td = self.tables[name]
+        td = self.tables.get(name)
+        if td is None:
+            # merge/remote tables (or txn-local): constraint accepted as
+            # advisory, no data to validate here
+            return
         cols = [c.lower() for c in cols]
         for c in cols:
             if c not in td.types:
@@ -1871,233 +1875,6 @@ class Transaction:
         self.recs.append((REC_CREATE, {"table": name, "schema": [
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags}, {}))
-
-    def add_unique_key(self, name: str, cols, pk: bool = False) -> None:
-        """Post-hoc PRIMARY KEY / UNIQUE: reject when a pk already
-        exists (pk), existing data has duplicates, or (pk) nils."""
-        name = name.lower()
-        td = self.tables[name]
-        cols = [c.lower() for c in cols]
-        for c in cols:
-            if c not in td.types:
-                raise ValueError(f"42S22!no such column {name}.{c}")
-        if pk and td.pks:
-            raise ValueError(
-                f"42000!ADD PRIMARY KEY: table {name} already has one")
-        live = ~td.deleted
-        from ..dtypes import is_nil_np
-
-        def vals(c):
-            t = td.types[c]
-            col = td.cols[c][live]
-            if t.kind == Kind.STR:
-                d = td.dicts[c]
-                return [None if k < 0 else str(d[k]) for k in col]
-            nm = is_nil_np(col, t)
-            return [None if b else v for v, b in zip(col.tolist(),
-                                                     nm.tolist())]
-        combos = list(zip(*[vals(c) for c in cols])) if td.count else []
-        if pk and any(None in cb for cb in combos):
-            raise ValueError(
-                "40002!ADD PRIMARY KEY: column holds NULLs")
-        if len(set(combos)) != len(combos):
-            raise ValueError(
-                f"40002!ADD {'PRIMARY KEY' if pk else 'UNIQUE'}: "
-                f"existing rows are not distinct on ({', '.join(cols)})")
-        if pk:
-            td.pks = list(cols)
-            td.notnull |= set(cols)
-            if len(cols) == 1:
-                td.uniques.add(cols[0])
-            else:
-                td.unique_sets.append(tuple(cols))
-        elif len(cols) == 1:
-            td.uniques.add(cols[0])
-        else:
-            td.unique_sets.append(tuple(cols))
-        self.schema_epoch += 1
-        self._log(REC_DDL, {"op": "add_ukey", "table": name,
-                            "cols": cols, "pk": bool(pk)})
-
-    def _add_ukey_replay(self, meta: dict) -> None:
-        td = self.tables.get(meta["table"])
-        if td is None:
-            return
-        cols = meta["cols"]
-        if meta.get("pk"):
-            td.pks = list(cols)
-            td.notnull |= set(cols)
-        if len(cols) == 1:
-            td.uniques.add(cols[0])
-        else:
-            td.unique_sets.append(tuple(cols))
-
-    def add_foreign_keys(self, name: str, fks: list, log: bool = True,
-                         lookup=None) -> None:
-        """Register FOREIGN KEY constraints (RESTRICT semantics); the
-        referenced table must exist — ``lookup`` overrides the table
-        resolver so transactional sessions validate against their own
-        visible state."""
-        name = name.lower()
-        lookup = lookup or self.tables.get
-        for ent in fks:
-            cols, rtab, rcols = ent[0], ent[1], ent[2]
-            action = ent[3] if len(ent) > 3 else "restrict"
-            rt = lookup(rtab.lower())
-            if rt is None:
-                raise ValueError(
-                    f"42S02!FOREIGN KEY: no such table {rtab}")
-            rc = [c.lower() for c in rcols] or list(rt.pks)
-            if not rc or len(rc) != len(cols):
-                raise ValueError("42000!FOREIGN KEY: column mismatch")
-            uniq = (rc == list(getattr(rt, "pks", []))
-                    or (len(rc) == 1 and rc[0] in
-                        getattr(rt, "uniques", ()))
-                    or tuple(rc) in [tuple(u) for u in
-                                     getattr(rt, "unique_sets", ())])
-            if not uniq:
-                raise ValueError(
-                    "42000!FOREIGN KEY: referenced columns must be a "
-                    "PRIMARY KEY or UNIQUE constraint")
-            entry = ([c.lower() for c in cols], rtab.lower(), rc,
-                     action)
-            if log:
-                # post-hoc ADD FOREIGN KEY validates existing child rows
-                # (sql_cat.c: the constraint must hold when added)
-                ctd = self.tables.get(name)
-                if ctd is not None and ctd.count:
-                    live = ~ctd.deleted
-                    arrays = {c: ctd.cols[c][live] for c in entry[0]}
-                    if any(ctd.types[c].kind == Kind.STR
-                           for c in entry[0]):
-                        arrays = {
-                            c: (np.asarray(
-                                [None if k < 0 else str(ctd.dicts[c][k])
-                                 for k in ctd.cols[c][live]], object)
-                                if ctd.types[c].kind == Kind.STR
-                                else ctd.cols[c][live])
-                            for c in entry[0]}
-                    saved = self.fks.get(name)
-                    self.fks[name] = [entry]
-                    try:
-                        self._fk_check_insert(ctd, arrays, lookup)
-                    finally:
-                        self.fks[name] = saved if saved is not None \
-                            else []
-            self.fks.setdefault(name, []).append(entry)
-        if log:
-            self._log(REC_DDL, {"op": "add_fks", "table": name,
-                                "fks": [[list(e[0]), e[1], list(e[2]),
-                                         e[3]] for e in self.fks[name]]})
-        self.schema_epoch += 1
-
-    def _fk_check_insert(self, td: TableData,
-                         arrays: Dict[str, np.ndarray],
-                         resolver=None) -> None:
-        """Child-side FK check: every non-nil key combination in the
-        batch must exist in the parent (RESTRICT/NO ACTION default,
-        the reference checks in the append path too)."""
-        from ..dtypes import is_nil_np
-
-        def norm(src_td, col, vals, codes=False):
-            t = src_td.types[col]
-            if t.kind == Kind.STR:
-                if codes:
-                    d = src_td.dicts[col]
-                    return [None if k < 0 else str(d[k]) for k in vals]
-                return [None if v is None else str(v) for v in vals]
-            a = np.asarray(vals, t.np_dtype)
-            nm = is_nil_np(a, t)
-            return [None if b else v for v, b in zip(a.tolist(),
-                                                     nm.tolist())]
-        resolver = resolver or self.tables.get
-        for cols, rtab, rcols, _act in map(self._fk4,
-                                           self.fks.get(td.name, ())):
-            if not all(c in arrays for c in cols):
-                continue
-            parent = resolver(rtab)
-            if parent is None:
-                continue
-            live = ~parent.deleted
-            have = set(zip(*[norm(parent, rc, parent.cols[rc][live],
-                                  codes=True) for rc in rcols]))                 if parent.count else set()
-            for combo in zip(*[norm(td, c, arrays[c]) for c in cols]):
-                if any(v is None for v in combo):
-                    continue               # nil FK always allowed
-                if combo not in have:
-                    raise ValueError(
-                        f"40002!INSERT INTO: FOREIGN KEY constraint "
-                        f"violated: {td.name}({', '.join(cols)}) -> "
-                        f"{rtab}")
-
-    def _fk_check_delete(self, td: TableData,
-                         oids: np.ndarray) -> None:
-        """Parent-side FK check on delete: a key value removed from the
-        parent must not remain referenced by any child row."""
-        from ..dtypes import is_nil_np
-        refs = [(child, cols, rcols, act)
-                for child, lst in self.fks.items()
-                for cols, rtab, rcols, act in map(self._fk4, lst)
-                if rtab == td.name]
-        if not refs:
-            return
-
-        def norm(src_td, col, sel):
-            t = src_td.types[col]
-            vals = src_td.cols[col][sel]
-            if t.kind == Kind.STR:
-                d = src_td.dicts[col]
-                return [None if k < 0 else str(d[k]) for k in vals]
-            nm = is_nil_np(vals, t)
-            return [None if b else v for v, b in zip(vals.tolist(),
-                                                     nm.tolist())]
-        live = ~td.deleted
-        gone = np.zeros(td.count, bool)
-        gone[oids] = True
-        staying = live & ~gone
-        for child, cols, rcols, act in refs:
-            removed = set(zip(*[norm(td, rc, gone) for rc in rcols]))                 if gone.any() else set()
-            kept = set(zip(*[norm(td, rc, staying) for rc in rcols]))                 if staying.any() else set()
-            removed -= kept
-            if not removed:
-                continue
-            ctd = self.tables.get(child)
-            if ctd is None or ctd.count == 0:
-                continue
-            clive = ~ctd.deleted
-            hit = [int(i) for i, combo in zip(
-                np.nonzero(clive)[0],
-                zip(*[norm(ctd, c, clive) for c in cols]))
-                if combo in removed]
-            if not hit:
-                continue
-            if act == "noaction":
-                continue          # explicit NO ACTION: unenforced
-            if act == "cascade":
-                # ON DELETE CASCADE: recursively remove referencing rows
-                self._fk_check_delete(ctd, np.asarray(hit, np.int64))
-                ctd.delete_oids(np.asarray(hit, np.int64))
-                self._log(REC_DELETE, {"table": child},
-                          {"oids": np.asarray(hit, np.int64)})
-                self._device.pop(child, None)
-            elif act == "setnull":
-                for c in cols:
-                    t = ctd.types[c]
-                    if t.kind == Kind.STR:
-                        vals = np.full(len(hit), TableData._NIL_CODE,
-                                       np.int32)
-                    else:
-                        vals = np.full(len(hit), t.nil, t.np_dtype)
-                    ctd.update_col(c, np.asarray(hit, np.int64), vals)
-                    self._log(REC_UPDATE, {"table": child, "col": c},
-                              {"oids": np.asarray(hit, np.int64),
-                               "vals": vals})
-                self._device.pop(child, None)
-            else:
-                raise ValueError(
-                    f"40002!DELETE: FOREIGN KEY constraint "
-                    f"violated: {child}({', '.join(cols)}) "
-                    f"references {td.name}")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
