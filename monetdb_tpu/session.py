@@ -381,8 +381,12 @@ class Session:
                             return self._td(n)
                         except KeyError:
                             return None
-                    self.db.add_foreign_keys(stmt.name, stmt.fks,
-                                             lookup=_lk2)
+                    # inside an open txn the constraint is STAGED on the
+                    # Transaction (installed at commit, gone on rollback
+                    # - ADVICE r4 phantom-FK fix); autocommit registers
+                    # directly
+                    self._store().add_foreign_keys(stmt.name, stmt.fks,
+                                                   lookup=_lk2)
             if self.user is not None:
                 self.db.set_owner(stmt.name, self.user)
             self.db.set_table_schema(stmt.name,
@@ -1094,9 +1098,23 @@ class Session:
                     raise ValueError(
                         f"40002!UPDATE: violated constraint "
                         f"'sys.{cname}' CHECK({tx})")
+        colvals = {}
         for i, (c, _e) in enumerate(stmt.sets):
-            vals = to_physical_np([r[i + 1] for r in res.rows],
-                                  td.types[c.lower()])
+            colvals[c.lower()] = to_physical_np(
+                [r[i + 1] for r in res.rows], td.types[c.lower()])
+        # FK / PK / UNIQUE / NOT NULL enforcement over the post-update
+        # state (ADVICE r4: updates used to check only CHECK constraints;
+        # the reference raises 40002 from the update path too)
+
+        def _resolve(n):
+            try:
+                return self._td(n)
+            except KeyError:
+                return None
+        self.db.check_update_constraints(
+            td, oids, colvals, resolver=_resolve,
+            extra_fks=getattr(self.txn, "fks_add", None))
+        for c, vals in colvals.items():
             self._store().update(stmt.table, c, oids, vals)
         self._fire_triggers(stmt.table, "update", "after")
         return len(oids)

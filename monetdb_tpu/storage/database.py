@@ -760,6 +760,31 @@ class Database:
         else:
             td.unique_sets.append(tuple(cols))
 
+    @staticmethod
+    def _fk_validate(ent, lookup) -> tuple:
+        """Validate one FOREIGN KEY spec against ``lookup``'s visible
+        state and return the normalized (cols, rtab, rcols, action)
+        entry (sql_cat.c constraint DDL checks)."""
+        cols, rtab, rcols = ent[0], ent[1], ent[2]
+        action = ent[3] if len(ent) > 3 else "restrict"
+        rt = lookup(rtab.lower())
+        if rt is None:
+            raise ValueError(
+                f"42S02!FOREIGN KEY: no such table {rtab}")
+        rc = [c.lower() for c in rcols] or list(rt.pks)
+        if not rc or len(rc) != len(cols):
+            raise ValueError("42000!FOREIGN KEY: column mismatch")
+        uniq = (rc == list(getattr(rt, "pks", []))
+                or (len(rc) == 1 and rc[0] in
+                    getattr(rt, "uniques", ()))
+                or tuple(rc) in [tuple(u) for u in
+                                 getattr(rt, "unique_sets", ())])
+        if not uniq:
+            raise ValueError(
+                "42000!FOREIGN KEY: referenced columns must be a "
+                "PRIMARY KEY or UNIQUE constraint")
+        return ([c.lower() for c in cols], rtab.lower(), rc, action)
+
     def add_foreign_keys(self, name: str, fks: list, log: bool = True,
                          lookup=None) -> None:
         """Register FOREIGN KEY constraints (RESTRICT semantics); the
@@ -769,26 +794,7 @@ class Database:
         name = name.lower()
         lookup = lookup or self.tables.get
         for ent in fks:
-            cols, rtab, rcols = ent[0], ent[1], ent[2]
-            action = ent[3] if len(ent) > 3 else "restrict"
-            rt = lookup(rtab.lower())
-            if rt is None:
-                raise ValueError(
-                    f"42S02!FOREIGN KEY: no such table {rtab}")
-            rc = [c.lower() for c in rcols] or list(rt.pks)
-            if not rc or len(rc) != len(cols):
-                raise ValueError("42000!FOREIGN KEY: column mismatch")
-            uniq = (rc == list(getattr(rt, "pks", []))
-                    or (len(rc) == 1 and rc[0] in
-                        getattr(rt, "uniques", ()))
-                    or tuple(rc) in [tuple(u) for u in
-                                     getattr(rt, "unique_sets", ())])
-            if not uniq:
-                raise ValueError(
-                    "42000!FOREIGN KEY: referenced columns must be a "
-                    "PRIMARY KEY or UNIQUE constraint")
-            entry = ([c.lower() for c in cols], rtab.lower(), rc,
-                     action)
+            entry = self._fk_validate(ent, lookup)
             if log:
                 # post-hoc ADD FOREIGN KEY validates existing child rows
                 # (sql_cat.c: the constraint must hold when added)
@@ -827,7 +833,7 @@ class Database:
 
     def _fk_check_insert(self, td: TableData,
                          arrays: Dict[str, np.ndarray],
-                         resolver=None) -> None:
+                         resolver=None, extra_fks=None) -> None:
         """Child-side FK check: every non-nil key combination in the
         batch must exist in the parent (RESTRICT/NO ACTION default,
         the reference checks in the append path too)."""
@@ -845,8 +851,9 @@ class Database:
             return [None if b else v for v, b in zip(a.tolist(),
                                                      nm.tolist())]
         resolver = resolver or self.tables.get
-        for cols, rtab, rcols, _act in map(self._fk4,
-                                           self.fks.get(td.name, ())):
+        ents = list(self.fks.get(td.name, ())) + \
+            list((extra_fks or {}).get(td.name, ()))
+        for cols, rtab, rcols, _act in map(self._fk4, ents):
             if not all(c in arrays for c in cols):
                 continue
             parent = resolver(rtab)
@@ -864,17 +871,45 @@ class Database:
                         f"violated: {td.name}({', '.join(cols)}) -> "
                         f"{rtab}")
 
-    def _fk_check_delete(self, td: TableData,
-                         oids: np.ndarray) -> None:
+    def _fk_check_delete(self, td: TableData, oids: np.ndarray,
+                         resolver=None, deleter=None,
+                         updater=None, extra_fks=None) -> None:
         """Parent-side FK check on delete: a key value removed from the
-        parent must not remain referenced by any child row."""
+        parent must not remain referenced by any child row.
+
+        ``resolver`` maps a child table name to its *visible* TableData
+        (a transaction passes its own view); ``deleter(child, oids)`` /
+        ``updater(child, col, oids, vals)`` perform the CASCADE / SET
+        NULL side effects through the caller's write path (the
+        transaction buffers them in its WAL record group; autocommit
+        goes through _mutable_td so open snapshots never see the
+        cascade - the reference applies FK actions inside the same
+        sql_trans, sql/storage/store.c sql_trans_commit)."""
         from ..dtypes import is_nil_np
+        import itertools
+        src = itertools.chain(self.fks.items(),
+                              (extra_fks or {}).items())
         refs = [(child, cols, rcols, act)
-                for child, lst in self.fks.items()
+                for child, lst in src
                 for cols, rtab, rcols, act in map(self._fk4, lst)
                 if rtab == td.name]
         if not refs:
             return
+        if resolver is None:
+            resolver = self.tables.get
+        if deleter is None:
+            def deleter(child, coids):
+                ctd = self._mutable_td(child)
+                ctd.delete_oids(coids)
+                self._log(REC_DELETE, {"table": child}, {"oids": coids})
+                self._device.pop(child, None)
+        if updater is None:
+            def updater(child, col, coids, vals):
+                ctd = self._mutable_td(child)
+                ctd.update_col(col, coids, vals)
+                self._log(REC_UPDATE, {"table": child, "col": col},
+                          {"oids": coids, "vals": vals})
+                self._device.pop(child, None)
 
         def norm(src_td, col, sel):
             t = src_td.types[col]
@@ -895,7 +930,7 @@ class Database:
             removed -= kept
             if not removed:
                 continue
-            ctd = self.tables.get(child)
+            ctd = resolver(child)
             if ctd is None or ctd.count == 0:
                 continue
             clive = ~ctd.deleted
@@ -909,11 +944,11 @@ class Database:
                 continue          # explicit NO ACTION: unenforced
             if act == "cascade":
                 # ON DELETE CASCADE: recursively remove referencing rows
-                self._fk_check_delete(ctd, np.asarray(hit, np.int64))
-                ctd.delete_oids(np.asarray(hit, np.int64))
-                self._log(REC_DELETE, {"table": child},
-                          {"oids": np.asarray(hit, np.int64)})
-                self._device.pop(child, None)
+                hit_np = np.asarray(hit, np.int64)
+                self._fk_check_delete(ctd, hit_np, resolver=resolver,
+                                      deleter=deleter, updater=updater,
+                                      extra_fks=extra_fks)
+                deleter(child, hit_np)
             elif act == "setnull":
                 for c in cols:
                     t = ctd.types[c]
@@ -922,11 +957,7 @@ class Database:
                                        np.int32)
                     else:
                         vals = np.full(len(hit), t.nil, t.np_dtype)
-                    ctd.update_col(c, np.asarray(hit, np.int64), vals)
-                    self._log(REC_UPDATE, {"table": child, "col": c},
-                              {"oids": np.asarray(hit, np.int64),
-                               "vals": vals})
-                self._device.pop(child, None)
+                    updater(child, c, np.asarray(hit, np.int64), vals)
             else:
                 raise ValueError(
                     f"40002!DELETE: FOREIGN KEY constraint "
@@ -1501,7 +1532,7 @@ class Database:
 
     def _check_constraints(self, td: TableData,
                            arrays: Dict[str, np.ndarray],
-                           resolver=None) -> None:
+                           resolver=None, extra_fks=None) -> None:
         """NOT NULL + PRIMARY KEY enforcement (the reference checks at
         append time too: sql/storage/bat/bat_storage.c key/null checks,
         sql_cat.c constraint DDL)."""
@@ -1536,7 +1567,7 @@ class Database:
                     raise ValueError(
                         f"22003!value exceeds decimal({t.precision},"
                         f"{t.scale}) range for {td.name}.{c}")
-        self._fk_check_insert(td, arrays, resolver)
+        self._fk_check_insert(td, arrays, resolver, extra_fks)
         for uset in getattr(td, "unique_sets", ()):
             if not all(c in arrays for c in uset):
                 continue
@@ -1619,6 +1650,150 @@ class Database:
                 if existing & set(new_keys):
                     raise ValueError(
                         f"PRIMARY KEY constraint violated for {td.name}")
+
+    def check_update_constraints(self, td: TableData, oids: np.ndarray,
+                                 colvals: Dict[str, np.ndarray],
+                                 resolver=None,
+                                 extra_fks=None) -> None:
+        """Constraint enforcement for UPDATE (ADVICE r4: updates used to
+        check only CHECK constraints).  ``colvals``: lower-cased SET
+        column -> new physical values aligned with ``oids``.  Enforces:
+        * child-side FK: updated key combos must exist in the parent;
+        * parent-side FK: a referenced key value may not be updated away
+          while children still reference it (RESTRICT, 40002 - the
+          reference has no ON UPDATE actions either);
+        * PRIMARY KEY / UNIQUE: the post-update column set must stay
+          unique across live rows (40002)."""
+        from ..dtypes import is_nil_np
+        if resolver is None:
+            resolver = self.tables.get
+        oids = np.asarray(oids, np.int64)
+
+        def stored_vals(src_td, c, sel=None):
+            """Stored column -> comparable python values (None = nil),
+            matching _fk_check_insert's norm(); ``sel`` optional mask."""
+            t = src_td.types[c]
+            vals = src_td.cols[c] if sel is None else src_td.cols[c][sel]
+            if t.kind == Kind.STR:
+                d = src_td.dicts[c]
+                return [None if k < 0 else str(d[k])
+                        for k in vals.tolist()]
+            nm = is_nil_np(vals, t)
+            return [None if b else v
+                    for v, b in zip(vals.tolist(), nm.tolist())]
+
+        def new_vals(c):
+            """SET values for column c -> comparable python values."""
+            t = td.types[c]
+            nv = colvals[c]
+            if t.kind == Kind.STR:
+                seq = nv.tolist() if hasattr(nv, "tolist") else nv
+                return [None if v is None else str(v) for v in seq]
+            a = np.asarray(nv, t.np_dtype)
+            nm = is_nil_np(a, t)
+            return [None if b else v
+                    for v, b in zip(a.tolist(), nm.tolist())]
+
+        def post_col(c):
+            """Post-update comparable values of column c over ALL rows
+            (index-aligned with td.cols); updated rows patched in."""
+            cur = stored_vals(td, c)
+            if c in colvals:
+                for o, v in zip(oids.tolist(), new_vals(c)):
+                    cur[o] = v
+            return cur
+
+        live_idx = np.nonzero(~td.deleted)[0].tolist()
+        touched = set(colvals)
+
+        # -- NOT NULL on updated columns ---------------------------------
+        for c in set(td.notnull) | set(td.pks):
+            if c in colvals and any(v is None for v in new_vals(c)):
+                raise ValueError(
+                    f"40002!UPDATE: NOT NULL constraint violated for "
+                    f"{td.name}.{c}")
+
+        # -- child-side FK: new combos must resolve in the parent --------
+        ents = list(self.fks.get(td.name, ())) + \
+            list((extra_fks or {}).get(td.name, ()))
+        for cols, rtab, rcols, _act in map(self._fk4, ents):
+            if not touched & set(cols):
+                continue
+            parent = resolver(rtab)
+            if parent is None:
+                continue
+            plive = ~parent.deleted
+            have = set()
+            if parent.count:
+                have = set(zip(*[stored_vals(parent, rc, plive)
+                                 for rc in rcols]))
+            post = [post_col(c) for c in cols]
+            for o in oids.tolist():
+                combo = tuple(p[o] for p in post)
+                if any(v is None for v in combo):
+                    continue
+                if combo not in have:
+                    raise ValueError(
+                        f"40002!UPDATE: FOREIGN KEY constraint "
+                        f"violated: {td.name}({', '.join(cols)}) -> "
+                        f"{rtab}")
+
+        # -- parent-side FK: referenced values updated away --------------
+        import itertools
+        src = itertools.chain(self.fks.items(),
+                              (extra_fks or {}).items())
+        for child, lst in src:
+            for cols, rtab, rcols, act in map(self._fk4, lst):
+                if rtab != td.name or not touched & set(rcols):
+                    continue
+                if act == "noaction":
+                    # explicit NO ACTION: unenforced (MonetDB pins this:
+                    # Update_Delete_action__update_no_action.test allows
+                    # dangling children after a parent-key update)
+                    continue
+                post = {rc: post_col(rc) for rc in rcols}
+                pre = {rc: stored_vals(td, rc) for rc in rcols}
+                kept = set(tuple(post[rc][i] for rc in rcols)
+                           for i in live_idx)
+                removed = set(tuple(pre[rc][int(o)] for rc in rcols)
+                              for o in oids) - kept
+                removed.discard(tuple([None] * len(rcols)))
+                if not removed:
+                    continue
+                ctd = resolver(child)
+                if ctd is None or ctd.count == 0:
+                    continue
+                clive = ~ctd.deleted
+                ccols = [stored_vals(ctd, c, clive) for c in cols]
+                if any(combo in removed for combo in zip(*ccols)):
+                    raise ValueError(
+                        f"40002!UPDATE: FOREIGN KEY constraint "
+                        f"violated: {child}({', '.join(cols)}) "
+                        f"references {td.name}")
+
+        # -- PK / UNIQUE: post-update uniqueness --------------------------
+        keysets = []
+        if td.pks and touched & set(td.pks):
+            keysets.append((list(td.pks), True))
+        for c in getattr(td, "uniques", ()):
+            if c in touched:
+                keysets.append(([c], False))
+        for uset in getattr(td, "unique_sets", ()):
+            if touched & set(uset):
+                keysets.append((list(uset), False))
+        for cols, is_pk in keysets:
+            post = [post_col(c) for c in cols]
+            seen = set()
+            for i in live_idx:
+                combo = tuple(p[i] for p in post)
+                if not is_pk and any(v is None for v in combo):
+                    continue               # nils never collide (UNIQUE)
+                if combo in seen:
+                    what = "PRIMARY KEY" if is_pk else "UNIQUE"
+                    raise ValueError(
+                        f"40002!UPDATE: {what} constraint violated "
+                        f"for {td.name}({', '.join(cols)})")
+                seen.add(combo)
 
     def insert(self, name: str, arrays: Dict[str, np.ndarray]) -> int:
         name = name.lower()
@@ -1750,6 +1925,11 @@ class Transaction:
         self.writes: Dict[str, TableData] = {}
         self.created: set = set()
         self.dropped: set = set()
+        # FOREIGN KEYs declared inside this txn: staged here, enforced
+        # against the txn's state, installed + logged only at commit
+        # (ADVICE r4: immediate registration leaked phantom constraints
+        # past ROLLBACK and into WAL replay)
+        self.fks_add: Dict[str, list] = {}
         # buffered WAL records, flushed as one commit group (log_tstart/
         # log_tend grouping, gdk/gdk_logger.c:3464)
         self.recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
@@ -1763,17 +1943,19 @@ class Transaction:
     def savepoint(self, name: str) -> None:
         self._savepoints[name.lower()] = (
             {n: td.copy() for n, td in self.writes.items()},
-            set(self.created), set(self.dropped), list(self.recs))
+            set(self.created), set(self.dropped), list(self.recs),
+            {n: list(v) for n, v in self.fks_add.items()})
 
     def rollback_to(self, name: str) -> None:
         st = self._savepoints.get(name.lower())
         if st is None:
             raise ValueError(f"3B001!no such savepoint {name!r}")
-        writes, created, dropped, recs = st
+        writes, created, dropped, recs, fks_add = st
         self.writes = {n: td.copy() for n, td in writes.items()}
         self.created = set(created)
         self.dropped = set(dropped)
         self.recs = list(recs)
+        self.fks_add = {n: list(v) for n, v in fks_add.items()}
         self._device.clear()
         # savepoints set after this one vanish (SQL standard)
         names = list(self._savepoints)
@@ -1829,7 +2011,8 @@ class Transaction:
                 return self.tabledata(n)
             except KeyError:
                 return None
-        self.db._check_constraints(td, arrays, resolver=_parent)
+        self.db._check_constraints(td, arrays, resolver=_parent,
+                                   extra_fks=self.fks_add)
         td.append(arrays)
         self._device.pop(name, None)
         self.recs.append((REC_INSERT, {"table": name},
@@ -1838,6 +2021,34 @@ class Transaction:
 
     def delete(self, name: str, oids: np.ndarray) -> int:
         name = name.lower()
+
+        # FK enforcement against the txn's visible state, with CASCADE /
+        # SET NULL side effects buffered into this txn's write set + WAL
+        # record group (ADVICE r4: the autocommit-only check let a txn
+        # commit dangling child references)
+        def _resolve(n):
+            try:
+                return self.tabledata(n)
+            except KeyError:
+                return None
+
+        def _deleter(child, coids):
+            self._writable(child).delete_oids(coids)
+            self._device.pop(child, None)
+            self.recs.append((REC_DELETE, {"table": child},
+                              Database._wal_encode({"oids": coids})))
+
+        def _updater(child, col, coids, vals):
+            self._writable(child).update_col(col, coids, vals)
+            self._device.pop(child, None)
+            self.recs.append((REC_UPDATE, {"table": child, "col": col},
+                              Database._wal_encode(
+                                  {"oids": coids, "vals": vals})))
+        self.db._fk_check_delete(self.tabledata(name),
+                                 np.asarray(oids, np.int64),
+                                 resolver=_resolve, deleter=_deleter,
+                                 updater=_updater,
+                                 extra_fks=self.fks_add)
         self._writable(name).delete_oids(oids)
         self._device.pop(name, None)
         self.recs.append((REC_DELETE, {"table": name},
@@ -1876,6 +2087,33 @@ class Transaction:
             [c.lower(), type_tag(t)] for c, t in schema],
             "flags": flags}, {}))
 
+    def add_foreign_keys(self, name: str, fks: list,
+                         lookup=None) -> None:
+        """Stage FOREIGN KEY constraints for a txn-created table:
+        validated now against the txn's visible state, installed and
+        WAL-logged only at commit (rollback discards them)."""
+        name = name.lower()
+        if lookup is None:
+            def lookup(n):
+                try:
+                    return self.tabledata(n)
+                except KeyError:
+                    return None
+        for ent in fks:
+            entry = Database._fk_validate(ent, lookup)
+            self.fks_add.setdefault(name, []).append(entry)
+        # one WAL record with the table's full staged list (replay
+        # replaces wholesale, matching Database.add_foreign_keys)
+        self.recs = [r for r in self.recs
+                     if not (r[0] == REC_DDL and
+                             r[1].get("op") == "add_fks" and
+                             r[1].get("table") == name)]
+        self.recs.append((REC_DDL, {"op": "add_fks", "table": name,
+                                    "fks": [[list(e[0]), e[1],
+                                             list(e[2]), e[3]]
+                                            for e in self.fks_add[name]]},
+                          {}))
+
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         name = name.lower()
         if if_exists:
@@ -1886,6 +2124,7 @@ class Transaction:
         self.tabledata(name)          # raises KeyError if not visible
         self.writes.pop(name, None)
         self.created.discard(name)
+        self.fks_add.pop(name, None)
         if name in self.snapshot:
             self.dropped.add(name)
         self._device.pop(name, None)
@@ -1982,6 +2221,9 @@ class Transaction:
             for name, td in self.writes.items():
                 db.tables[name] = td
                 db._device.pop(name, None)
+            for name, entries in self.fks_add.items():
+                if name in db.tables:
+                    db.fks.setdefault(name, []).extend(entries)
             if ddl:
                 db.schema_epoch += 1
             self._finish_locked()

@@ -168,6 +168,11 @@ class SqlLogicRunner:
         depth = 0
         i, n = 0, len(sql)
         word = _re.compile(r"[A-Za-z_]+")
+
+        def _next_word(pos):
+            m2 = _re.compile(r"\s*").match(sql, pos)
+            m3 = word.match(sql, m2.end())
+            return m3
         while i < n:
             ch = sql[i]
             if q:
@@ -182,13 +187,27 @@ class SqlLogicRunner:
             elif ch.isalpha() or ch == "_":
                 m = word.match(sql, i)
                 w = m.group(0).lower()
-                if w in ("begin", "case", "if", "while"):
-                    nxt = word.match(sql, m.end() + 1)
+                if w in ("begin", "case"):
+                    nxt = _next_word(m.end())
                     if not (w == "begin" and nxt is not None and
                             nxt.group(0).lower() == "transaction"):
                         depth += 1
+                elif w in ("if", "while") and depth > 0:
+                    # PSM IF/WHILE blocks only exist inside BEGIN..END
+                    # bodies; a top-level 'if' is DROP/CREATE .. IF
+                    # [NOT] EXISTS and must not open a block (ADVICE r4:
+                    # the leaked depth glued later records together)
+                    depth += 1
                 elif w == "end":
                     depth = max(0, depth - 1)
+                    # 'END IF'/'END WHILE'/'END CASE' closes as a UNIT:
+                    # consume the qualifier so it cannot re-open
+                    nxt = _next_word(m.end())
+                    if nxt is not None and nxt.group(0).lower() in \
+                            ("if", "while", "case"):
+                        buf.append(sql[i:nxt.end()])
+                        i = nxt.end()
+                        continue
                 buf.append(m.group(0))
                 i = m.end()
             elif ch == ";" and depth == 0:
