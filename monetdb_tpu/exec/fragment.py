@@ -193,6 +193,14 @@ class Lowering:
         self.expand_used: Dict[int, int] = {}
         self.scan_counts: Dict[int, int] = {}
         self._join_ord = 0
+        # functional dependencies discovered at unique-build joins:
+        # (frozenset of determinant key irs, frozenset of dependent env
+        # irs).  A group-by whose key set contains all determinants can
+        # drop the dependents from its SORT keys (the values are fetched
+        # via extents regardless) - the rel_statistics.c/join-FD trick
+        # that turns Q3's packed-int64 8M-row group sort into a single
+        # int32 key sort.
+        self.fds: List[Tuple[frozenset, frozenset]] = []
 
     # -- inputs --------------------------------------------------------------
     def _add_input(self, arr) -> int:
@@ -293,7 +301,37 @@ class Lowering:
         cir, penv, cap = self.rel(r.child)
         renamed = {(r.alias, n): pt for (_t, n), pt in penv.items()}
         keys = tuple(((r.alias, n), (t, n)) for (t, n) in penv.keys())
+        self._remap_fds({("env", t, n): ("env", r.alias, n)
+                         for (t, n) in penv.keys()})
         return ("rename", cir, keys), renamed, cap
+
+    def _remap_fds(self, m: Dict[tuple, tuple]) -> None:
+        """Rewrite recorded FDs through an env re-keying (rename/project).
+        Determinant irs are rewritten structurally; an FD whose
+        determinants reference env keys that no longer exist is dropped."""
+        def rw(ir):
+            if ir in m:
+                return m[ir]
+            if isinstance(ir, tuple):
+                return tuple(rw(x) for x in ir)
+            return ir
+
+        def live(ir, avail):
+            """Every env ref inside ir resolves in the new env."""
+            if isinstance(ir, tuple):
+                if len(ir) == 3 and ir[0] == "env":
+                    return ir in avail
+                return all(live(x, avail) for x in ir
+                           if isinstance(x, tuple))
+            return True
+        avail = set(m.values())
+        out = []
+        for dets, deps in self.fds:
+            dets2 = frozenset(rw(d) for d in dets)
+            deps2 = frozenset(m[d] for d in deps if d in m)
+            if deps2 and all(live(d, avail) for d in dets2):
+                out.append((dets2, deps2))
+        self.fds = out
 
     def _rel_filter(self, r: L.Filter):
         cir, penv, cap = self.rel(r.child)
@@ -318,6 +356,10 @@ class Lowering:
             ir, pt = self.expr(e, penv)
             items.append((("#out", name), ir))
             penv2[("#out", name)] = pt
+        # FDs survive a projection for identity-passed columns
+        self._remap_fds({ir: ("env",) + key for key, ir in items
+                         if isinstance(ir, tuple) and len(ir) == 3 and
+                         ir[0] == "env"})
         return ("project", cir, tuple(items)), penv2, cap
 
     def _rel_orderby(self, r: L.OrderBy):
@@ -513,6 +555,12 @@ class Lowering:
         if kind in ("semi", "anti"):
             out = {k: pt for k, pt in lenv.items()}
             return ir, out, lcap
+        # unique build ⇒ every build column is functionally determined by
+        # the probe-side key exprs (holds for runtime-checked uniqueness
+        # too: a failed check re-lowers without recording the FD)
+        dets = frozenset(a_ir for a_ir, _ap, _b, _bp in pairs)
+        deps = frozenset(("env",) + k for k in renv.keys())
+        self.fds.append((dets, deps))
         return ir, menv, lcap
 
     def _lower_join_expand(self, ordinal, kind, lir, rir, lenv, renv,
@@ -596,15 +644,46 @@ class Lowering:
                   tuple(dense_specs), int(domain), tuple(aggs))
             return ir, penv2, max(int(domain), 1)
         # sort strategy: seg_cap = child capacity (static upper bound).
-        # When every key dense-codes and the combined domain fits int64,
-        # pack them into ONE mixed-radix sort key (the mkey.hash role,
-        # monetdb5/modules/mal/mkey.c, but exact): a 1-key device sort
-        # costs ~len(keys)x less than the multi-operand comparator sort.
-        if packable and len(dense_specs) > 1:
-            sort_keys = (("packcode",
-                          tuple((c, d) for c, d, _dt in dense_specs)),)
+        # FD reduction first: keys functionally determined (via a
+        # unique-build join) by other keys in the set are dropped from
+        # the SORT keys - grouping is identical and the values still
+        # come back via extents.  Q3's (l_orderkey, o_orderdate,
+        # o_shippriority) collapses to l_orderkey: a single int32 code
+        # sort instead of a packed-int64 one (~10x on TPU - no native
+        # 64-bit sort).
+        irset = {ir for _k, ir, _pt in key_irs}
+        drop: set = set()
+        for _ in range(2):      # FD chains (dep of a dep)
+            for dets, deps in self.fds:
+                if dets <= (irset - drop):
+                    drop |= {ir for ir in irset & deps if ir not in dets}
+        keep = [(k, ir, pt) for k, ir, pt in key_irs if ir not in drop]
+        if not keep:
+            keep = key_irs[:1]
+        # re-evaluate strategy over the kept keys only: when every kept
+        # key pack-codes and the combined domain fits int64, ONE
+        # mixed-radix sort key (the mkey.hash role, modules/mal/mkey.c,
+        # but exact) replaces the multi-operand comparator sort; the
+        # interpreter narrows it to int32 when the domain fits (int64
+        # sorts are ~10x slower on TPU - no native 64-bit sort)
+        kept_specs = []
+        kdomain = 1
+        kpackable = True
+        for _k, ir, pt in keep:
+            spec = self._pack_code(ir, pt)
+            if spec is None:
+                kpackable = False
+                break
+            code_ir, d = spec
+            kept_specs.append((code_ir, d))
+            kdomain *= d
+            if kdomain > (1 << 62):
+                kpackable = False
+                break
+        if kpackable and kept_specs:
+            sort_keys = (("packcode", tuple(kept_specs)),)
         else:
-            sort_keys = tuple(ir for _k, ir, _pt in key_irs)
+            sort_keys = tuple(ir for _k, ir, _pt in keep)
         ir = ("groupby_sort", cir,
               tuple((k, ir) for k, ir, _pt in key_irs),
               sort_keys, tuple(aggs))
@@ -626,6 +705,29 @@ class Lowering:
             if 0 < d <= _DENSE_DOMAIN_MAX:
                 return ("dcode_range", ir, int(pt.minval)), d
         return None
+
+    def _pack_code(self, ir, pt: PT):
+        """(code_ir in [0, D), D) for SORT-key packing: like _dense_code
+        but without the histogram domain cap (packing only needs the
+        combined domain to fit an integer sort key, not a slot array)
+        and with an explicit nil slot for nullable ranges."""
+        spec = self._dense_code(ir, pt)
+        if spec is not None:
+            return spec
+        t = pt.typ
+        if t.kind == Kind.STR or pt.is_float:
+            return None
+        if pt.minval is None or pt.maxval is None:
+            return None
+        lo, hi = int(pt.minval), int(pt.maxval)
+        span = hi - lo + 1
+        if span <= 0:
+            return None
+        if pt.nonil:
+            return ("dcode_range", ir, lo), span
+        # nullable wide range: nil -> slot 0, values shifted +1 (keeps
+        # the sort_key convention of nils-first group order)
+        return ("pcode_rangenil", ir, lo), span + 1
 
     def _lower_agg(self, func: str, arg, penv, distinct: bool = False):
         """Aggregate spec mirroring ops/aggr.py semantics (gdk_aggr.c:900
@@ -2111,7 +2213,18 @@ class _Interp:
             arr = self.ev(e, env, live)
             if arr.ndim == 0:
                 arr = jnp.broadcast_to(arr, (cap,))
-            karrs.append(sort_key(arr, False, None))
+            if e[0] == "packcode":
+                # already a nonneg order-consistent code; narrow to
+                # int32 when the static domain fits (TPU has no native
+                # 64-bit sort - int64 sorts are ~10x slower)
+                dom = 1
+                for _c, d in e[1]:
+                    dom *= d
+                if dom < (1 << 31) - 8:
+                    arr = arr.astype(jnp.int32)
+                karrs.append(arr)
+            else:
+                karrs.append(sort_key(arr, False, None))
         ng, _rows, sctx = self._sort_ids(karrs, live, cap)
         red = _SegReduce(None, cap, cap, sorted_ctx=sctx)
         # per-original-row ids (a cap-size scatter) only for distinct aggs
@@ -2151,6 +2264,12 @@ class _Interp:
             return arr.astype(jnp.int64)
         if kind == "dcode_i8":
             return arr.astype(jnp.int64) + 128
+        if kind == "pcode_rangenil":
+            # sort-key packing slot for a nullable range: nil -> 0,
+            # value -> (v - lo) + 1 (nils-first group order)
+            v = arr.astype(jnp.int64)
+            return jnp.where(_nilm_arr(arr), jnp.int64(0),
+                             v - code_ir[2] + 1)
         # dcode_range
         return arr.astype(jnp.int64) - code_ir[2]
 
@@ -3274,8 +3393,11 @@ class CompiledFragment:
         stats_inc("runs")
         t0 = _time.perf_counter()
         rpcs = 0
+        import os
+        dbg = os.environ.get("MTPU_DEBUG_TIMING")
         compiles0 = _run_single._cache_size() + _run_raw._cache_size()
         for _attempt in range(8):
+            t_at = _time.perf_counter()
             single = self.cap <= _SINGLE_PHASE_CAP
             if single:
                 err, tots, count, arrays = _run_single(
@@ -3286,6 +3408,13 @@ class CompiledFragment:
                 err, tots, count, live, arrays = _run_raw(
                     (self.rel_ir, self.out_keys), self.inputs)
                 err_v, tots_v, count_v = jax.device_get((err, tots, count))
+            if dbg:
+                import sys as _sys
+                print(f"[frag] attempt={_attempt} single={single} "
+                      f"cap={self.cap} err={int(err_v)} "
+                      f"dt={_time.perf_counter() - t_at:.2f}s "
+                      f"lower={self.lower_ms:.0f}ms",
+                      file=_sys.stderr, flush=True)
             rpcs += 1
             code = int(err_v)
             if code >= _ERR_DUP_BASE:
