@@ -181,6 +181,108 @@ def main():
         print(f"q1 pallas bench failed: {type(ex).__name__}: "
               f"{str(ex)[:160]}", file=sys.stderr)
 
+    # ---- join + group-by roofline (BASELINE.json: "within 1.5x of HBM
+    # roofline"; reference harness analog monetdb5/modules/kernel/
+    # microbenchmark.c).  Roofline = v5e HBM bandwidth (819 GB/s,
+    # override MTPU_HBM_ROOFLINE_GBPS).  Bytes accounted per iteration
+    # are the algorithm's compulsory HBM traffic, stated inline. -------
+    import os as _os
+    HBM_GBPS = float(_os.environ.get("MTPU_HBM_ROOFLINE_GBPS", "819"))
+    join_gbps = join_frac = None
+    try:
+        nb, npr = 10_000_000, 100_000_000
+        dom = 16_777_216
+        rngj = np.random.default_rng(11)
+        bkeys = jnp.asarray(rngj.integers(0, dom - 64, nb)
+                            .astype(np.int32))
+        pkeys = jnp.asarray(rngj.integers(0, dom - 64, npr)
+                            .astype(np.int32))
+
+        @jax.jit
+        def join_loop(bkeys, pkeys, offs):
+            rid = lax.iota(jnp.int32, nb)
+
+            def body(acc, off):
+                # dense-build hash-join analog (the engine's join fast
+                # path, exec/fragment.py r_join dense strat): scatter-min
+                # build table + gather probe
+                tmin = jnp.full(dom + 1, jnp.int32(nb), jnp.int32) \
+                    .at[bkeys + off].min(rid, mode="drop")
+                hit = tmin[jnp.clip(pkeys + off, 0, dom)]
+                return acc + jnp.sum(
+                    jnp.where(hit < nb, hit, -1).astype(jnp.int64)), None
+
+            acc, _ = lax.scan(body, jnp.int64(0), offs)
+            return acc
+
+        def join_args(k):
+            return (bkeys, pkeys,
+                    jnp.asarray(np.arange(k) % 7, jnp.int32))
+        jax.device_get(join_loop(*join_args(1)))
+        jax.device_get(join_loop(*join_args(5)))
+        tj1 = _timed(join_loop, *join_args(1), reps=3)
+        tj2 = _timed(join_loop, *join_args(5), reps=3)
+        per_j = max((tj2 - tj1) / 4, 1e-9)
+        # compulsory traffic: build keys read (4B*nb) + table write
+        # (4B*dom) + probe keys read (4B*npr) + probe gather (4B*npr)
+        jbytes = 4.0 * (nb + dom + 2 * npr)
+        join_gbps = jbytes / per_j / 1e9
+        join_frac = join_gbps / HBM_GBPS
+        print(f"join build+probe ({nb/1e6:.0f}M build x {npr/1e6:.0f}M "
+              f"probe): {per_j*1e3:.1f} ms/iter  {join_gbps:.1f} GB/s  "
+              f"{join_frac:.2f}x of roofline", file=sys.stderr)
+    except Exception as ex:
+        print(f"join roofline bench failed: {type(ex).__name__}: "
+              f"{str(ex)[:160]}", file=sys.stderr)
+
+    gb_gbps = gb_frac = None
+    try:
+        ngr, nseg = 100_000_000, 1_000_000
+        rngg = np.random.default_rng(13)
+        sid = jnp.asarray(rngg.integers(0, nseg, ngr).astype(np.int32))
+        vals = jnp.asarray(rngg.integers(0, 1000, ngr).astype(np.int32))
+        from monetdb_tpu.exec.fragment import _lsd_argsort, _ss
+
+        @jax.jit
+        def gb_loop(sid, vals, offs):
+            def body(acc, off):
+                # high-cardinality grouped sum, engine sorted-reduce
+                # path (exec/fragment.py _SegReduce sorted strategy):
+                # one LSD sort pass + gather + cumsum + boundary diff
+                s = (sid + off) % nseg
+                perm = _lsd_argsort([s], ngr)
+                ss = s[perm]
+                v = vals[perm].astype(jnp.int64)
+                c = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                     jnp.cumsum(v)])
+                ends = _ss(ss, lax.iota(jnp.int32, nseg), "right")
+                starts = jnp.concatenate(
+                    [jnp.zeros(1, ends.dtype), ends[:-1]])
+                sums = c[ends] - c[starts]
+                return acc + jnp.sum(sums), None
+
+            acc, _ = lax.scan(body, jnp.int64(0), offs)
+            return acc
+
+        def gb_args(k):
+            return (sid, vals, jnp.asarray(np.arange(k) % 5, jnp.int32))
+        jax.device_get(gb_loop(*gb_args(1)))
+        jax.device_get(gb_loop(*gb_args(3)))
+        tg1 = _timed(gb_loop, *gb_args(1), reps=3)
+        tg2 = _timed(gb_loop, *gb_args(3), reps=3)
+        per_g = max((tg2 - tg1) / 2, 1e-9)
+        # compulsory traffic: sid read + sort write-back (2x4B) + perm
+        # write (4B) + value gather (4B) + widened cumsum (8B) per row
+        gbytes = ngr * 24.0
+        gb_gbps = gbytes / per_g / 1e9
+        gb_frac = gb_gbps / HBM_GBPS
+        print(f"group-by sum ({ngr/1e6:.0f}M rows, {nseg/1e6:.1f}M "
+              f"groups): {per_g*1e3:.1f} ms/iter  {gb_gbps:.1f} GB/s  "
+              f"{gb_frac:.2f}x of roofline", file=sys.stderr)
+    except Exception as ex:
+        print(f"group-by roofline bench failed: {type(ex).__name__}: "
+              f"{str(ex)[:160]}", file=sys.stderr)
+
     # ---- whole-query engine wall times, TPC-H SF1, all 22 queries -------
     # (BASELINE.md north-star config 1; measures the full SQL→plan-cache→
     # fused-fragment→result path).  Cold = first run (lower + XLA compile
@@ -203,10 +305,12 @@ def main():
         microbenches and again after every engine query so the newest
         line always reflects everything completed so far."""
         vs_cpu = None
+        ncov = 0
         if cpu_sf1_ms and engine_ms:
             ratios = [cpu_sf1_ms[q] / engine_ms[q]
                       for q in engine_ms
                       if engine_ms.get(q) and cpu_sf1_ms.get(q)]
+            ncov = len(ratios)
             if ratios:
                 vs_cpu = round(_geomean(ratios), 2)
         print(json.dumps({
@@ -225,13 +329,23 @@ def main():
                                           if pallas_ms else None),
                 "q1_pallas_speedup": (round(per_iter1 * 1e3 / pallas_ms, 2)
                                       if pallas_ms and per_iter1 else None),
+                "join_gbps": round(join_gbps, 1) if join_gbps else None,
+                "join_roofline_frac": (round(join_frac, 3)
+                                       if join_frac else None),
+                "groupby_gbps": round(gb_gbps, 1) if gb_gbps else None,
+                "groupby_roofline_frac": (round(gb_frac, 3)
+                                          if gb_frac else None),
+                "hbm_roofline_gbps": HBM_GBPS,
                 "engine_sf1_wall_ms": engine_ms or None,
                 "engine_sf1_cold_ms": engine_cold_ms or None,
                 "engine_sf1_skipped": skipped or None,
                 "engine_sf1_failed": failed or None,
                 "cpu_baseline_engine": cpu_engine,
                 "cpu_baseline_sf1_ms": cpu_sf1_ms or None,
+                # geomean over the MEASURED queries; coverage says how
+                # many of 22 it includes (r4 verdict: don't overstate)
                 "vs_cpu_baseline_geomean": vs_cpu,
+                "vs_cpu_baseline_coverage": f"{ncov}/22",
                 "rows": n,
             },
         }), flush=True)
@@ -252,7 +366,15 @@ def main():
         # incl. microbenches + SF1 generation; round 3 died at ~31 min)
         budget_s = float(os.environ.get("MTPU_BENCH_BUDGET_S", 900))
         budget_end = time.perf_counter() + budget_s
-        for qn in sorted(QUERIES):
+        # cheapest-first order (round-4 measured cold costs): a budget
+        # timeout then drops only the most expensive tail instead of a
+        # random suffix
+        order = [6, 4, 1, 19, 22, 17, 11, 16, 20, 14, 15, 12, 10, 13,
+                 18, 2, 5, 3, 7, 21, 8, 9]
+        order += [q for q in sorted(QUERIES) if q not in order]
+        for qn in order:
+            if qn not in QUERIES:
+                continue
             if time.perf_counter() > budget_end:
                 skipped.append(qn)      # no silent caps: record the drop
                 continue

@@ -24,6 +24,23 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("MTPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MTPU_PLATFORM"])
 
+# Persistent XLA compile cache: fused query fragments compile once per
+# machine, not once per process (measured: a 2-op 8M-row sort program
+# costs ~14s cold, ~2.5s from the disk cache).  The reference's analog
+# is the compiled-plan query cache (sql/server/sql_qc.c) - ours must
+# also survive process restarts because TPU compiles are 4-5 orders of
+# magnitude slower than MAL codegen.  MTPU_COMPILE_CACHE=0 disables.
+if os.environ.get("MTPU_COMPILE_CACHE", "1") not in ("0", "false", ""):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MTPU_COMPILE_CACHE_DIR",
+                           "/tmp/mtpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
 _defaults: Dict[str, Any] = {
     # raise on integer/decimal overflow like the reference's BATcalc*
     # (gdk/gdk_calc_addsub.c ON_OVERFLOW macros)

@@ -510,15 +510,16 @@ class Lowering:
                              a_pt.is_str))
         if domain is None and len(pairs) > 1:
             raise Unsupported("multi-key join without packable bounds")
-        # direct-address build writes one table slot per build row - a
-        # scatter, which TPU serializes (~20x slower than a device sort
-        # at multi-M rows and a worker-fault risk).  It only wins for
-        # small dimension-table builds where the probe's single gather
-        # beats the sort path's binary search; big builds take the
-        # sort + searchsorted mergejoin (the same trade joincost makes,
-        # gdk/gdk_join.c:3586).
-        if domain is not None and rcap <= _JOIN_DENSE_BUILD_MAX and \
-                domain <= max(65536, min(self._JOIN_DENSE_MAX, 16 * rcap)):
+        # direct-address build: one scatter-min into a domain-sized
+        # table + one gather per probe.  Measured on v5e (jax 0.9):
+        # scatter-min of 2M rows into a 6M-slot table runs in ~90ms and
+        # compiles in seconds, while every sort/searchsorted
+        # *instantiation* costs 15-60s of XLA compile and loop-based
+        # binary search runs ~1.5s at 8M probes - so dense direct
+        # addressing wins whenever the packed key domain fits a
+        # reasonable table (the fetchjoin/hashjoin pick of
+        # gdk/gdk_join.c:3586, with TPU compile economics deciding).
+        if domain is not None and domain <= self._JOIN_DENSE_MAX:
             strat = "dense"
         else:
             strat = "sort"
@@ -1518,12 +1519,95 @@ def _nilm_arr(x):
     return x == jnp.iinfo(x.dtype).min
 
 
-def _ss(sorted_arr, targets, side: str):
-    """Device searchsorted, sort-based: the default 'scan' method is a
-    sequential binary search whose random gathers run ~8x slower on TPU
-    than re-sorting the combined array (measured 253 ms vs 33 ms at 512k
-    needles x 512k haystack on v5e)."""
-    return jnp.searchsorted(sorted_arr, targets, side=side, method="sort")
+def _ss(sorted_arr, targets, side: str, method: str = "scan"):
+    """Device searchsorted.
+
+    Compile/runtime economics on TPU v5e (measured, jax 0.9, 8M
+    needles x 2M haystack): 'sort' instantiates an extra device sort
+    per call site at ~25-60s of XLA COMPILE but runs in ~10ms; 'scan'
+    compiles in <1s but its ~23 dependent gather rounds run ~1.5s at
+    8M needles.  Small-needle and cold-path sites use 'scan'; the few
+    hot big-domain join probes that cannot use the dense direct-address
+    strategy ask for 'sort' (paid once - the persistent compile cache,
+    config.py, amortizes it across processes)."""
+    return jnp.searchsorted(sorted_arr, targets, side=side, method=method)
+
+
+# ---------------------------------------------------------------------------
+# LSD argsort: the engine's ONE way to sort on device.
+#
+# XLA's TPU sort emitter costs ~6-8s of compile time PER INSTANTIATION
+# at multi-M rows, scaling with comparator operand count and dtype
+# width (measured: 2-op int32 8M = ~6s, 2-op int64 = ~50s, 5-op int64 =
+# ~324s).  So: every ordering is decomposed into int32 key ROWS
+# (int64/float keys split into hi/lo passes - GDKrsort's 8-bit-digit
+# LSB radix idea, gdk/gdk_rsort.c:20, at 32-bit granularity), and ONE
+# (int32 key, int32 payload) stable-sort instantiation inside a
+# lax.scan runs every pass.  Compile cost per call site is ~one 2-op
+# int32 sort regardless of how many keys the ordering has.
+# ---------------------------------------------------------------------------
+
+_I32_BIAS = np.int64(1 << 31)
+
+
+def _key_rows_i64(key64) -> list:
+    """int64 ordering -> [hi, lo] int32 rows (lex order preserved):
+    hi = arithmetic high word; lo biased so unsigned low-word order
+    becomes signed int32 order."""
+    hi = (key64 >> 32).astype(jnp.int32)
+    lo = ((key64 & 0xFFFFFFFF) - _I32_BIAS).astype(jnp.int32)
+    return [hi, lo]
+
+
+def _sort_rows(arr, descending: bool = False,
+               nils_last: Optional[bool] = None) -> list:
+    """Physical column -> int32 key rows realizing BATsort's ordering
+    contract (ops/sort.py sort_key): nil smallest by default, explicit
+    nils_last pins nils to the far end, descending = complement rows."""
+    from ..ops.sort import sort_key
+    if arr.dtype == jnp.int32 and nils_last is None:
+        rows = [arr]                       # nil = INT32_MIN, smallest
+    elif arr.dtype.kind == "i" and arr.dtype.itemsize < 4 and \
+            nils_last is None:
+        rows = [arr.astype(jnp.int32)]
+    elif arr.dtype == jnp.bool_:
+        rows = [arr.astype(jnp.int32)]
+    else:
+        rows = _key_rows_i64(sort_key(arr, False, nils_last))
+    if descending:
+        rows = [~r for r in rows]
+    return rows
+
+
+def _rows_of(arr) -> list:
+    """Ascending-order int32 key rows for an already-normalized key
+    array (int32 codes pass through; int64 sort keys split)."""
+    if arr.dtype == jnp.int32:
+        return [arr]
+    if arr.dtype == jnp.bool_ or (arr.dtype.kind == "i" and
+                                  arr.dtype.itemsize < 4):
+        return [arr.astype(jnp.int32)]
+    return _key_rows_i64(arr.astype(jnp.int64))
+
+
+def _lsd_argsort(rows: list, cap: int):
+    """Stable argsort of the int32 key rows (first row most
+    significant) -> int32 permutation; ONE sort instantiation via
+    lax.scan regardless of key count."""
+    perm0 = jax.lax.iota(jnp.int32, cap)
+    if len(rows) == 1:
+        _k, perm = jax.lax.sort((rows[0], perm0), num_keys=1,
+                                is_stable=True)
+        return perm
+
+    def body(perm, key_row):
+        k = key_row[perm]
+        _, perm2 = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
+        return perm2, None
+
+    stacked = jnp.stack(rows[::-1])        # LSD: least significant first
+    perm, _ = jax.lax.scan(body, perm0, stacked)
+    return perm
 
 
 class _SegReduce:
@@ -1571,12 +1655,16 @@ class _SegReduce:
             return
         self.mode = "sorted"
         if sorted_ctx is None:
-            s, perm = jax.lax.sort(
-                (sid, jax.lax.iota(jnp.int64, cap)), num_keys=1)
-            sorted_ctx = (s, perm)
+            # sid in [0, seg] always fits int32: one cheap-compile pass
+            perm = _lsd_argsort([sid.astype(jnp.int32)], cap)
+            sorted_ctx = (sid[perm], perm)
         self.s, self.perm = sorted_ctx
-        self.ends = _ss(
-            self.s, jnp.arange(self.seg, dtype=self.s.dtype), "right")
+        # segment boundaries from a histogram scatter-add + cumsum
+        # (replaces a searchsorted - see _ss compile economics): s holds
+        # sid in [0, seg], excluded rows at seg
+        hist = jnp.zeros(self.seg + 1, jnp.int32).at[self.s].add(
+            jnp.int32(1), mode="drop")
+        self.ends = jnp.cumsum(hist[: self.seg])
         self.starts = jnp.concatenate(
             [jnp.zeros(1, self.ends.dtype), self.ends[:-1]])
 
@@ -1827,23 +1915,18 @@ class _Interp:
         return env2, count, mask, cap
 
     def r_orderby(self, ir):
-        from ..ops.sort import sort_key
         env, count, mask, cap = self.rel(ir[1])
         live = self.live_of(cap, count, mask)
-        keys = []
+        rows = [(~live).astype(jnp.int32)]      # dead rows sort last
         for e, desc, nl in ir[2]:
             arr = self.ev(e, env, live)
             if arr.ndim == 0:
                 arr = jnp.broadcast_to(arr, (cap,))
-            keys.append(sort_key(arr, desc, nl))
-        dead = (~live).astype(jnp.int8)
-        io = jax.lax.iota(jnp.int64, cap)
-        out = jax.lax.sort((dead, *keys, io), num_keys=1 + len(keys),
-                           is_stable=True)
-        rows = out[-1]
+            rows += _sort_rows(arr, desc, nl)
+        perm = _lsd_argsort(rows, cap)
         nlive = jnp.sum(live.astype(jnp.int64))
         live_out = jax.lax.iota(jnp.int64, cap) < nlive
-        env2 = {k: _gather_nil(a, rows, live_out) for k, a in env.items()}
+        env2 = {k: _gather_nil(a, perm, live_out) for k, a in env.items()}
         return env2, nlive, None, cap
 
     def r_limit(self, ir):
@@ -1855,12 +1938,14 @@ class _Interp:
             oids = jax.lax.iota(jnp.int64, out_cap) + offset
             oids = jnp.where(oids < count, oids, -1)
         else:
-            # scatter-free: oids[r] = index of the (offset+r+1)-th live
-            # row via inclusive-cumsum + searchsorted (see _compact_oids)
+            # oids[r] = index of the (offset+r+1)-th live row via one
+            # rank-indexed scatter-set (see _compact_oids)
             nlive = jnp.sum(live.astype(jnp.int64))
-            csum = jnp.cumsum(live.astype(jnp.int64))
-            ranks = jax.lax.iota(jnp.int64, out_cap) + offset + 1
-            oids = _ss(csum, ranks, "left")
+            csum = jnp.cumsum(live.astype(jnp.int32))
+            pos = csum - 1 - offset
+            pos = jnp.where(live & (pos >= 0), pos, out_cap)
+            oids = jnp.full(out_cap, jnp.int32(-1)).at[pos].set(
+                jax.lax.iota(jnp.int32, cap), mode="drop")
         count2 = jnp.clip(nlive - offset, 0,
                           out_cap if n is None else min(n, out_cap))
         live_out = jax.lax.iota(jnp.int64, out_cap) < count2
@@ -1875,7 +1960,10 @@ class _Interp:
         from ..ops.sort import sort_key
         env, count, mask, cap = self.rel(ir[1])
         live = self.live_of(cap, count, mask)
-        keys = [sort_key(env[(e[1], e[2])], False, None) for e, _d, _n in ir[2]]
+        keys = [env[(e[1], e[2])]
+                if env[(e[1], e[2])].dtype.kind in "ib"
+                else sort_key(env[(e[1], e[2])], False, None)
+                for e, _d, _n in ir[2]]
         ng, _rows, sctx = self._sort_ids(keys, live, cap)
         ext = _SegReduce(None, cap, cap, sorted_ctx=sctx).first_index()
         live_out = jax.lax.iota(jnp.int64, cap) < ng
@@ -1963,12 +2051,14 @@ class _Interp:
             sent = jnp.asarray(jnp.iinfo(code_r.dtype).max,
                                code_r.dtype)
             kr = jnp.where(rvalid, code_r, sent)
-            ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
+            rs = _lsd_argsort(_rows_of(kr), rcap)
+            ks = kr[rs]
             if uniq_check:
                 dup = (ks[1:] == ks[:-1]) & (ks[1:] != sent)
                 self.flag(jnp.any(dup), _ERR_DUP_BASE + ordinal)
             kl = jnp.where(lvalid, code_l.astype(code_r.dtype), sent)
-            pos = jnp.clip(_ss(ks, kl, "left"), 0, rcap - 1)
+            pos = jnp.clip(_ss(ks, kl, "left", method="sort"),
+                           0, rcap - 1)
             matched = lvalid & (ks[pos] == kl) & (kl != sent)
             rowid = jnp.where(matched, rs[pos], -1)
 
@@ -2017,14 +2107,28 @@ class _Interp:
         code_l, lvalid = self._join_codes(keyspecs, lenv, llive, lcap, "l")
         code_r, rvalid = self._join_codes(keyspecs, renv, rlive, rcap, "r")
 
-        rid = jax.lax.iota(jnp.int32, rcap)
         sent = jnp.asarray(jnp.iinfo(code_r.dtype).max, code_r.dtype)
         kr = jnp.where(rvalid, code_r, sent)
-        ks, rs = jax.lax.sort((kr, rid), num_keys=1, is_stable=True)
-        kl = jnp.where(lvalid, code_l.astype(code_r.dtype), sent)
-        s = _ss(ks, kl, "left")
-        e = _ss(ks, kl, "right")
-        c = jnp.where(lvalid, e - s, 0).astype(jnp.int64)
+        rs = _lsd_argsort(_rows_of(kr), rcap)
+        dom = self._codes_domain(keyspecs)
+        if dom is not None:
+            # dense packed domain: per-code match runs from a histogram
+            # scatter + cumsum LUT instead of two searchsorteds (same
+            # compile-economics trade as the dense join strat)
+            hist = jnp.zeros(dom + 1, jnp.int32).at[
+                jnp.where(rvalid, code_r, dom)].add(jnp.int32(1),
+                                                    mode="drop")
+            ends_lut = jnp.cumsum(hist[:dom])
+            starts_lut = ends_lut - hist[:dom]
+            safe_l = jnp.clip(jnp.where(lvalid, code_l, 0), 0, dom - 1)
+            s = starts_lut[safe_l]
+            e = ends_lut[safe_l]
+        else:
+            ks = kr[rs]
+            kl = jnp.where(lvalid, code_l.astype(code_r.dtype), sent)
+            s = _ss(ks, kl, "left", method="sort")
+            e = _ss(ks, kl, "right", method="sort")
+        c = jnp.where(lvalid, (e - s).astype(jnp.int64), 0)
         if kind == "left":
             # probe rows with no match still emit one (nil-right) row
             c_out = jnp.where(llive, jnp.maximum(c, 1), 0)
@@ -2037,9 +2141,17 @@ class _Interp:
         self.exp_totals[ordinal] = total if self.axis is None else \
             jax.lax.pmax(total, self.axis)
 
-        j = jax.lax.iota(jnp.int64, ecap)
-        i = _ss(csum, j, "right")
+        # slot j -> owning probe row: scatter each emitting row's first
+        # slot, then a running max backfills the runs (replaces the
+        # inverse-rank searchsorted; owners' first slots are unique and
+        # ascending, so cummax reconstructs ownership exactly)
+        row_starts = csum - c_out
+        owner = jnp.full(ecap, jnp.int32(0)).at[
+            jnp.where(c_out > 0, row_starts, ecap)].set(
+            jax.lax.iota(jnp.int32, lcap), mode="drop")
+        i = jax.lax.cummax(owner)
         i_safe = jnp.clip(i, 0, lcap - 1)
+        j = jax.lax.iota(jnp.int64, ecap)
         ok = j < total
         start = csum[i_safe] - c_out[i_safe]
         k = j - start
@@ -2085,22 +2197,23 @@ class _Interp:
         Also returns the sorted context (sorted segment ids + the
         permutation) so segment reductions reuse this sort instead of
         re-sorting (_SegReduce sorted strategy)."""
-        dead = (~live).astype(jnp.int8)
-        io = jax.lax.iota(jnp.int64, cap)
-        out = jax.lax.sort((dead, *keys, io), num_keys=1 + len(keys),
-                           is_stable=True)
-        rows = out[-1]
-        d_s = out[0]
+        dead = (~live).astype(jnp.int32)
+        rows = [dead]
+        for k in keys:
+            rows += _rows_of(k)
+        perm = _lsd_argsort(rows, cap)
+        d_s = dead[perm]
         first = jax.lax.iota(jnp.int32, cap) == 0
         bound = first
-        for k_s in out[1:-1]:
+        for k in keys:
+            k_s = k[perm]
             bound = bound | (k_s != jnp.roll(k_s, 1))
         live_s = d_s == 0
         gid_s = jnp.cumsum((bound & live_s).astype(jnp.int32)) - 1
         ng = (jnp.max(jnp.where(live_s, gid_s, -1)) + 1).astype(jnp.int64)
         sid_sorted = jnp.where(live_s, gid_s.astype(jnp.int64),
                                jnp.int64(cap))
-        return ng, rows, (sid_sorted, rows)
+        return ng, perm, (sid_sorted, perm)
 
     @staticmethod
     def _ids_of(sctx, cap):
@@ -2223,6 +2336,10 @@ class _Interp:
                 if dom < (1 << 31) - 8:
                     arr = arr.astype(jnp.int32)
                 karrs.append(arr)
+            elif arr.dtype.kind in "ib":
+                # grouping needs only a total order with nils grouped:
+                # raw integer/code order qualifies, no int64 widening
+                karrs.append(arr)
             else:
                 karrs.append(sort_key(arr, False, None))
         ng, _rows, sctx = self._sort_ids(karrs, live, cap)
@@ -2307,8 +2424,9 @@ class _Interp:
             from ..ops.sort import sort_key
             k1 = jnp.where(use, sid_live, seg).astype(jnp.int64)
             k2 = sort_key(arr, False, None)
-            k1s, k2s, vs = jax.lax.sort((k1, k2, arr), num_keys=2,
-                                        is_stable=True)
+            perm = _lsd_argsort([k1.astype(jnp.int32)] + _rows_of(k2),
+                                cap)
+            k1s, k2s, vs = k1[perm], k2[perm], arr[perm]
             first = (jax.lax.iota(jnp.int32, cap) == 0) | \
                 (k1s != jnp.roll(k1s, 1)) | (k2s != jnp.roll(k2s, 1))
             fu = first & (k1s < seg)
@@ -2864,16 +2982,18 @@ def _run_raw(ir, inputs):
 
 
 def _compact_oids(live, out_cap: int):
-    """Scatter-free compaction map: oids[r] = index of the (r+1)-th live
-    row, -1 past the live count (TPU: inclusive-cumsum + searchsorted
-    gather replaces the serialized scatter-set; same virtualize role as
-    gdk/gdk_select.c:30)."""
-    csum = jnp.cumsum(live.astype(jnp.int64))
-    nlive = csum[-1] if live.shape[0] else jnp.int64(0)
-    ranks = jax.lax.iota(jnp.int64, out_cap) + 1
-    oids = _ss(csum, ranks, "left")
-    live_out = ranks <= nlive
-    return jnp.where(live_out, oids, -1), nlive, live_out
+    """Compaction map: oids[r] = index of the (r+1)-th live row, -1 past
+    the live count (the virtualize role, gdk/gdk_select.c:30).  One
+    rank-indexed scatter-set (unique indices - XLA keeps it parallel);
+    measured faster to compile AND run than the searchsorted form."""
+    cap = live.shape[0]
+    csum = jnp.cumsum(live.astype(jnp.int32))
+    nlive = (csum[-1] if cap else jnp.int32(0)).astype(jnp.int64)
+    pos = jnp.where(live, csum - 1, out_cap)
+    oids = jnp.full(out_cap, jnp.int32(-1)).at[pos].set(
+        jax.lax.iota(jnp.int32, cap), mode="drop")
+    live_out = jax.lax.iota(jnp.int64, out_cap) < nlive
+    return oids, nlive, live_out
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
