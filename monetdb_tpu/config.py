@@ -30,7 +30,10 @@ if os.environ.get("MTPU_PLATFORM"):
 # is the compiled-plan query cache (sql/server/sql_qc.c) - ours must
 # also survive process restarts because TPU compiles are 4-5 orders of
 # magnitude slower than MAL codegen.  MTPU_COMPILE_CACHE=0 disables.
-if os.environ.get("MTPU_COMPILE_CACHE", "1") not in ("0", "false", ""):
+_plat_env = (os.environ.get("MTPU_PLATFORM")
+             or os.environ.get("JAX_PLATFORMS", ""))
+if "cpu" not in _plat_env and \
+        os.environ.get("MTPU_COMPILE_CACHE", "1") not in ("0", "false", ""):
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

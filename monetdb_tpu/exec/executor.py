@@ -339,6 +339,7 @@ class Executor:
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
         self.refs: Dict[str, set] = {}
+        self._win_order = None
 
     # -- entry ---------------------------------------------------------------
     def run(self, rel: L.Rel) -> Frame:
@@ -479,12 +480,24 @@ class Executor:
 
     def _exec_project(self, r: L.Project) -> Frame:
         fr = self.exec_rel(r.child)
+        self._win_order = None
         out = {}
         for name, e in r.exprs:
             v = self.eval(e, fr)
             if isinstance(v, Scalar):
                 v = self._broadcast(v, fr)
             out[("#out", name)] = v
+        wo, self._win_order = self._win_order, None
+        if wo is not None:
+            # window functions ride the (partition, order)-sorted rows in
+            # the reference (sql_rank.c projects aligned with the sorted
+            # relation), so a query without its own ORDER BY surfaces
+            # rows in that order - nosort corpus tests pin it.  Reorder
+            # the projection to the LAST window's sort.
+            oids, cnt = wo
+            out = {k: P.project_oids(oids, cnt, c)
+                   for k, c in out.items()}
+            return Frame(out, cnt)
         return Frame(out, fr.count)
 
     def _broadcast(self, s: Scalar, fr: Frame) -> Column:
@@ -625,6 +638,65 @@ class Executor:
                 g = G.group_multi(list(frame.cols.values()))
                 frame = frame.gather(g.extents, g.ngroups)
             return frame
+        all_mode = r.kind in ("except_all", "intersect_all")
+        base_kind = r.kind[:-4] if all_mode else r.kind
+        if all_mode:
+            # multiset semantics (sql_parser.y EXCEPT/INTERSECT ALL):
+            # for a value with count_l left copies and count_r right
+            # copies, EXCEPT ALL keeps max(count_l - count_r, 0) and
+            # INTERSECT ALL keeps min(count_l, count_r).  Realized by
+            # each left row's OCCURRENCE RANK within its value group:
+            # EXCEPT ALL keeps ranks >= count_r, INTERSECT ALL keeps
+            # ranks < count_r.
+            gl = G.group_multi([c for _k, c in lcols])
+            gr = G.group_multi([c for _k, c in rcols])
+            # match left value groups to right value groups via the
+            # deduped representative rows (the existing anti/semi chain)
+            lrep = lf.gather(gl.extents, gl.ngroups)
+            rrep = rf.gather(gr.extents, gr.ngroups)
+            lrep_cols = list(lrep.cols.items())
+            rrep_cols = list(rrep.cols.items())
+            l0, r0 = self._align_join_keys(lrep_cols[0][1],
+                                           rrep_cols[0][1])
+            r1, r2, total = J.join(l0, r0, nil_matches=True, how="left")
+            for (_lk, lc), (_rk, rc) in zip(lrep_cols[1:], rrep_cols[1:]):
+                lc, rc = self._align_join_keys(lc, rc)
+                lp = P.project_oids(r1, total, lc)
+                rp = P.project_oids(r2, total, rc)
+                eq = _eq_nil_as_value(lp.data, rp.data)
+                c = S.materialize(Cand.from_mask(eq, total), lp.cap)
+                r1 = P.project_oids(c.oids, c.oid_count,
+                                    Column(OID, r1, total)).data
+                r2 = P.project_oids(c.oids, c.oid_count,
+                                    Column(OID, r2, total)).data
+                total = c.oid_count
+            # count_r per left gid (0 where unmatched)
+            cnt_r = np.zeros(gl.seg_cap, np.int64)
+            r1h = np.asarray(r1[:int(total)])
+            r2h = np.asarray(r2[:int(total)])
+            rh = np.asarray(gr.histo[: gr.ngroups])
+            ok = (r1h >= 0) & (r2h >= 0)
+            cnt_r[r1h[ok]] = rh[r2h[ok]]
+            # occurrence rank of each left row within its value group
+            ids = np.asarray(gl.ids[: lf.cap])
+            order = np.argsort(ids[: lf.count], kind="stable")
+            starts = np.zeros(gl.ngroups + 1, np.int64)
+            np.cumsum(np.asarray(gl.histo[: gl.ngroups]),
+                      out=starts[1:])
+            rank = np.empty(lf.count, np.int64)
+            gid_sorted = ids[: lf.count][order]
+            rank[order] = np.arange(lf.count) - starts[
+                np.clip(gid_sorted, 0, gl.ngroups)]
+            valid = ids[: lf.count] >= 0
+            cr = cnt_r[np.clip(ids[: lf.count], 0, gl.seg_cap - 1)]
+            if base_kind == "except":
+                keep = valid & (rank >= cr)
+            else:
+                keep = valid & (rank < cr)
+            mask = np.zeros(lf.cap, bool)
+            mask[: lf.count] = keep
+            cand = Cand.from_mask(jnp.asarray(mask), lf.count)
+            return self._apply_cand(lf, cand)
         # except / intersect: dedupe left, then anti/semi match on all cols
         g = G.group_multi([c for _k, c in lcols])
         lf = lf.gather(g.extents, g.ngroups)
@@ -1154,10 +1226,27 @@ class Executor:
             order_cols.append(self._broadcast(v, fr)
                               if isinstance(v, Scalar) else v)
             descs.append(d)
+        # combined window sort (sql_rank.c): partition keys, refined by
+        # order keys.  A partition key that ALSO appears in ORDER BY
+        # takes the ORDER BY's direction (the reference dedups the sort
+        # spec that way - analytics00 pins partition blocks in bb DESC
+        # for `partition by bb order by bb desc`).  MonetDB sorts nils
+        # FIRST in both directions.
+        order_reprs = [str(o) for o, _d in e.order]
+        part_descs = []
+        for p in e.partition:
+            pr = str(p)
+            part_descs.append(descs[order_reprs.index(pr)]
+                              if pr in order_reprs else False)
         sort_cols = part_cols + order_cols
         if sort_cols:
             oids, cnt = SRT.argsort(
-                sort_cols, [False] * len(part_cols) + descs)
+                sort_cols, part_descs + descs,
+                nils_last=[False] * len(sort_cols))
+            # remember the window's row order: a projection with no
+            # ORDER BY of its own surfaces rows in this order (see
+            # _exec_project)
+            self._win_order = (oids, cnt)
         else:
             oids = jnp.where(valid_mask(fr.cap, n),
                              jax.lax.iota(jnp.int64, fr.cap), -1)

@@ -62,7 +62,22 @@ _I64_MAX = np.int64(np.iinfo(np.int64).max)
 # error codes >= this encode "join build side <ordinal> was non-unique":
 # the host re-lowers that join as an expanding join and retries
 _ERR_DUP_BASE = 16
-_DENSE_DOMAIN_MAX = 1 << 20
+#: histogram-grouping domain cap.  With scatter-mode segment reductions
+#: (one .at[].add per aggregate, ~140ms at 8M rows on v5e) the dense
+#: strategy stays cheaper than the device sort far beyond the old 1M
+#: gate; slot arrays at 16M are 128 MB int64 - well inside HBM.
+_DENSE_DOMAIN_MAX = 1 << 24
+#: initial group-output capacity bucket (grown by count-then-retry when
+#: ngroups overflows it)
+_GROUP_OUT_CAP0 = 1 << 16
+#: compaction barrier: inputs of group-by/order-by/distinct larger than
+#: _COMPACT_MIN_CAP are compacted to a count-retried bucket starting at
+#: _COMPACT_CAP0 - sorts/scatters then run at live-row scale instead of
+#: base-capacity scale (a filtered+joined 8.4M-cap pipeline with 300k
+#: live rows pays 16-60x less; the reference gets this for free because
+#: BATselect materializes candidates, gdk_select.c virtualize)
+_COMPACT_MIN_CAP = 1 << 17
+_COMPACT_CAP0 = 1 << 19
 
 #: segment count at or below which grouped aggregation uses a fused
 #: masked one-hot broadcast-reduce instead of sort-based reduction.
@@ -362,8 +377,24 @@ class Lowering:
                          ir[0] == "env"})
         return ("project", cir, tuple(items)), penv2, cap
 
+    def _maybe_compact(self, cir, cap):
+        """Insert a compaction barrier (count-retried bucket capacity)
+        so the sort/scatter consumer runs at live-row scale.  Converges
+        to a no-op when the live count reaches the base capacity."""
+        ordinal = self._join_ord
+        self._join_ord += 1
+        if cap <= _COMPACT_MIN_CAP:
+            return cir, cap
+        oc = self.expand.get(ordinal) or min(cap, _COMPACT_CAP0)
+        oc = min(oc, cap)
+        if oc >= cap:
+            return cir, cap
+        self.expand_used[ordinal] = oc
+        return ("compact", cir, int(oc), ordinal), oc
+
     def _rel_orderby(self, r: L.OrderBy):
         cir, penv, cap = self.rel(r.child)
+        cir, cap = self._maybe_compact(cir, cap)
         keys = []
         for e, desc, nl in r.keys:
             if isinstance(e, ColRef):
@@ -399,6 +430,7 @@ class Lowering:
 
     def _rel_distinct(self, r: L.Distinct):
         cir, penv, cap = self.rel(r.child)
+        cir, cap = self._maybe_compact(cir, cap)
         keys = tuple((("env", t, n), False, None) for (t, n) in penv.keys())
         return ("distinct", cir, keys), penv, cap
 
@@ -599,29 +631,50 @@ class Lowering:
     # -- group by -------------------------------------------------------------
     def _rel_groupby(self, r: L.GroupBy):
         cir, penv, cap = self.rel(r.child)
+        cir, cap = self._maybe_compact(cir, cap)
+        ordinal = self._join_ord          # group-output capacity retry
+        self._join_ord += 1               # channel (shared expand space)
         key_irs = []          # (env key, expr ir, pt)
         for name, e in r.keys:
             ir, pt = self.expr(e, penv)
             key_irs.append(((("#grp", name)), ir, pt))
 
-        # strategy pick: dense combined domain (gdk_group.c histogram
-        # strategy) when every key maps to small ints, else device sort
+        # FD reduction first: keys functionally determined (via a
+        # unique-build join) by other keys in the set are dropped from
+        # the GROUPING keys - grouping is identical and their values
+        # come back via a representative-row gather (extents).  Q3's
+        # (l_orderkey, o_orderdate, o_shippriority) collapses to
+        # l_orderkey.
+        irset = {ir for _k, ir, _pt in key_irs}
+        drop: set = set()
+        for _ in range(2):      # FD chains (dep of a dep)
+            for dets, deps in self.fds:
+                if dets <= (irset - drop):
+                    drop |= {ir for ir in irset & deps if ir not in dets}
+        keep = [(k, ir, pt) for k, ir, pt in key_irs if ir not in drop]
+        if not keep:
+            keep = key_irs[:1]
+        kept_irs = {ir for _k, ir, _pt in keep}
+        fetch_keys = tuple((k, ir) for k, ir, _pt in key_irs
+                           if ir not in kept_irs)
+
+        # strategy pick over the KEPT keys: dense combined domain
+        # (gdk_group.c histogram strategy; aggregation is one scatter
+        # per aggregate) when the domain fits a slot table, else device
+        # sort
         dense_specs = []
         domain = 1
         dense_ok = True
-        packable = True          # every key has a code, domain fits i64
-        for _k, ir, pt in key_irs:
+        for _k, ir, pt in keep:
             spec = self._dense_code(ir, pt)
             if spec is None:
-                dense_ok = packable = False
+                dense_ok = False
                 break
             code_ir, d = spec
             dense_specs.append((code_ir, d, pt.dt))
             domain *= d
             if domain > _DENSE_DOMAIN_MAX:
                 dense_ok = False
-            if domain > (1 << 62):
-                packable = False
                 break
 
         aggs = []
@@ -639,34 +692,32 @@ class Lowering:
             if pt.wide:
                 penv2[_hikey(("#grp", name))] = PT(I64, nonil=True)
 
+        def _out_cap(bound: int) -> int:
+            """Group-output capacity: start at a small bucket, grown by
+            the count-then-retry loop (exp_totals) when ngroups
+            overflows - downstream operators (order-by/limit/joins on
+            aggregates) then run at group scale, not input scale."""
+            if not key_irs:
+                return 1                 # scalar aggregate: one row
+            hard = capacity_for(max(bound, 1))
+            oc = self.expand.get(ordinal) or min(hard, _GROUP_OUT_CAP0)
+            oc = min(oc, hard)
+            if oc < bound:
+                self.expand_used[ordinal] = oc    # retry channel active
+            return oc
+
         if dense_ok:
+            out_cap = _out_cap(int(domain))
             ir = ("groupby_dense", cir,
-                  tuple((k, ir) for k, ir, _pt in key_irs),
-                  tuple(dense_specs), int(domain), tuple(aggs))
-            return ir, penv2, max(int(domain), 1)
-        # sort strategy: seg_cap = child capacity (static upper bound).
-        # FD reduction first: keys functionally determined (via a
-        # unique-build join) by other keys in the set are dropped from
-        # the SORT keys - grouping is identical and the values still
-        # come back via extents.  Q3's (l_orderkey, o_orderdate,
-        # o_shippriority) collapses to l_orderkey: a single int32 code
-        # sort instead of a packed-int64 one (~10x on TPU - no native
-        # 64-bit sort).
-        irset = {ir for _k, ir, _pt in key_irs}
-        drop: set = set()
-        for _ in range(2):      # FD chains (dep of a dep)
-            for dets, deps in self.fds:
-                if dets <= (irset - drop):
-                    drop |= {ir for ir in irset & deps if ir not in dets}
-        keep = [(k, ir, pt) for k, ir, pt in key_irs if ir not in drop]
-        if not keep:
-            keep = key_irs[:1]
-        # re-evaluate strategy over the kept keys only: when every kept
-        # key pack-codes and the combined domain fits int64, ONE
-        # mixed-radix sort key (the mkey.hash role, modules/mal/mkey.c,
-        # but exact) replaces the multi-operand comparator sort; the
-        # interpreter narrows it to int32 when the domain fits (int64
-        # sorts are ~10x slower on TPU - no native 64-bit sort)
+                  tuple((k, ir) for k, ir, _pt in keep),
+                  tuple(dense_specs), int(domain), tuple(aggs),
+                  fetch_keys, int(out_cap), ordinal)
+            return ir, penv2, out_cap
+        # sort strategy: when every kept key pack-codes and the combined
+        # domain fits int64, ONE mixed-radix sort key (the mkey.hash
+        # role, modules/mal/mkey.c, but exact) replaces the
+        # multi-operand comparator sort; the interpreter narrows it to
+        # int32 when the domain fits (no native 64-bit sort on TPU)
         kept_specs = []
         kdomain = 1
         kpackable = True
@@ -685,10 +736,11 @@ class Lowering:
             sort_keys = (("packcode", tuple(kept_specs)),)
         else:
             sort_keys = tuple(ir for _k, ir, _pt in keep)
+        out_cap = _out_cap(cap)
         ir = ("groupby_sort", cir,
               tuple((k, ir) for k, ir, _pt in key_irs),
-              sort_keys, tuple(aggs))
-        return ir, penv2, cap
+              sort_keys, tuple(aggs), int(out_cap), ordinal)
+        return ir, penv2, out_cap
 
     def _dense_code(self, ir, pt: PT):
         """(code_ir in [0, D), D) for the dense histogram strategy -
@@ -1635,6 +1687,15 @@ class _SegReduce:
     def __init__(self, sid, seg: int, cap: int, sorted_ctx=None):
         self.seg = int(seg)
         self.cap = int(cap)
+        if sorted_ctx is None and self.seg > _ONEHOT_MAX:
+            # scatter strategy: one .at[].add/min/max per aggregate.
+            # Measured on v5e: an 8M-row scatter-add into multi-M slots
+            # runs ~140ms while the shared device sort costs 1-2s at
+            # runtime (and ~17s of compile per instantiation) - the
+            # scatter is the BATgroupsum loop made parallel
+            self.mode = "scatter"
+            self.sid = sid            # segment id, excluded rows = seg
+            return
         if sorted_ctx is None and self.seg <= _ONEHOT_MAX:
             self.mode = "onehot"
             self.sid = sid
@@ -1680,6 +1741,9 @@ class _SegReduce:
     def sum(self, vals, dtype=None):
         """Per-segment sum; vals must be 0 outside the contributing set."""
         dt = np.dtype(dtype) if dtype is not None else vals.dtype
+        if self.mode == "scatter":
+            return jnp.zeros(self.seg + 1, dt).at[self.sid].add(
+                vals.astype(dt), mode="drop")[: self.seg]
         if self.mode == "onehot":
             if self._pallas and dt.kind == "i":
                 from ..ops.pallas_kernels import seg_sum64
@@ -1693,6 +1757,11 @@ class _SegReduce:
 
     def extreme(self, vals, fill, is_min: bool):
         """Per-segment min/max; vals must be `fill` outside the set."""
+        if self.mode == "scatter":
+            out = jnp.full(self.seg + 1, fill, vals.dtype)
+            out = out.at[self.sid].min(vals, mode="drop") if is_min \
+                else out.at[self.sid].max(vals, mode="drop")
+            return out[: self.seg]
         if self.mode == "onehot":
             red = jnp.min if is_min else jnp.max
             return red(jnp.where(self.oh, vals[:, None], fill), axis=0)
@@ -1714,6 +1783,9 @@ class _SegReduce:
         """Per-segment product; vals must be 1 outside the set.  The
         sorted strategy keeps the (small, seg-sized) scatter: cumprod
         would overflow where the product itself does not."""
+        if self.mode == "scatter":
+            return jnp.ones(self.seg + 1, vals.dtype).at[self.sid].mul(
+                vals, mode="drop")[: self.seg]
         if self.mode == "onehot":
             return jnp.prod(jnp.where(self.oh, vals[:, None],
                                       vals.dtype.type(1)), axis=0)
@@ -1724,6 +1796,11 @@ class _SegReduce:
     def first_index(self):
         """Original-row index of each segment's first sorted element
         (-1 for empty segments) - BATgroup extents."""
+        if self.mode == "scatter":
+            big = jnp.int64(self.cap + 1)
+            ext = jnp.full(self.seg + 1, big).at[self.sid].min(
+                jax.lax.iota(jnp.int64, self.cap), mode="drop")[: self.seg]
+            return jnp.where(ext > self.cap, jnp.int64(-1), ext)
         if self.mode == "onehot":
             io = jax.lax.iota(jnp.int64, self.oh.shape[0])
             big = jnp.int64(self.cap + 1)
@@ -1762,10 +1839,24 @@ class _Interp:
         # traced total match counts per expanding join (host compares with
         # the static expansion capacity and retries with a bigger one)
         self.exp_totals: Dict[int, jax.Array] = {}
+        # per-row error suppression inside untaken CASE branches (the
+        # reference only evaluates the taken branch per row,
+        # BugTracker-2009 case_evaluates_all_branches.SF-2893484; under
+        # eager whole-column evaluation the per-element error conditions
+        # are masked by the branch-selection mask instead)
+        self._vmask = None
 
     def flag(self, cond_scalar, code: int):
         self.errs.append(jnp.where(cond_scalar, jnp.int32(code),
                                    jnp.int32(0)))
+
+    def flag_rows(self, rows, code: int):
+        """Flag an error from per-row conditions, honoring the CASE
+        branch-selection mask (rows where the branch is not taken never
+        raise)."""
+        if self._vmask is not None:
+            rows = rows & self._vmask
+        self.flag(jnp.any(rows), code)
 
     def err(self):
         if not self.errs:
@@ -1896,6 +1987,21 @@ class _Interp:
         env, count, mask, cap = self.rel(ir[1])
         env2 = {newk: env[oldk] for newk, oldk in ir[2]}
         return env2, count, mask, cap
+
+    def r_compact(self, ir):
+        """Compaction barrier: gather live rows to the front of a
+        smaller (count-retried) capacity so sort/scatter consumers pay
+        for data, not padding (gdk_select.c virtualize role)."""
+        _, cir, out_cap, ordinal = ir
+        env, count, mask, cap = self.rel(cir)
+        live = self.live_of(cap, count, mask)
+        nlive = jnp.sum(live.astype(jnp.int64))
+        # overflow -> count-retry channel (rows would be dropped)
+        self.exp_totals[ordinal] = nlive if self.axis is None else \
+            jax.lax.pmax(nlive, self.axis)
+        oids, _n, live_out = _compact_oids(live, out_cap)
+        env2 = {k: _gather_nil(v, oids, live_out) for k, v in env.items()}
+        return env2, nlive, None, out_cap
 
     def r_filter(self, ir):
         env, count, mask, cap = self.rel(ir[1])
@@ -2235,7 +2341,8 @@ class _Interp:
         Group keys are decoded from the slot index itself (the slot IS the
         packed key combination), so every shard materializes identical,
         replicated outputs without gathering rows."""
-        _, cir, key_outs, dense_specs, domain, aggs = ir
+        (_, cir, key_outs, dense_specs, domain, aggs, fetch_keys,
+         out_cap, ordinal) = ir
         env, count, mask, cap = self.rel(cir)
         comb_axis = self.axis if (spmd and self.axis is not None) else None
         live = self.live_of(cap, count, mask)
@@ -2246,7 +2353,9 @@ class _Interp:
         safe = jnp.where(live, comb, domain)
         red = _SegReduce(safe, domain, cap)
         if dense_specs:
-            hist = red.sum(live.astype(jnp.int64))
+            # int32 histogram: a multi-M-row int64 scatter-add costs 2x
+            # (int64 is emulated on TPU); counts fit int32
+            hist = red.sum(live.astype(jnp.int32))
             if comb_axis is not None:
                 hist = jax.lax.psum(hist, comb_axis)
             present = hist > 0
@@ -2258,18 +2367,22 @@ class _Interp:
             present = jnp.ones(1, jnp.bool_)
             newid = jnp.zeros(1, jnp.int32)
             ng = jnp.int64(1)
-        pos = jnp.where(present, newid.astype(jnp.int64), domain)
+        if out_cap < max(domain, 1):
+            # group-output capacity retry channel (count-then-allocate)
+            self.exp_totals[ordinal] = ng if self.axis is None else \
+                jax.lax.pmax(ng, self.axis)
+        pos = jnp.where(present, newid.astype(jnp.int64), out_cap)
 
         def compact(slot_vals, fill):
-            return jnp.full(domain, fill, slot_vals.dtype).at[pos].set(
+            return jnp.full(out_cap, fill, slot_vals.dtype).at[pos].set(
                 slot_vals, mode="drop")
 
         env2 = {}
+        live_out = jax.lax.iota(jnp.int64, out_cap) < ng
         if key_outs:
             # compact rank -> slot index -> key values (mixed-radix decode)
-            slot_of = jnp.full(domain, jnp.int64(-1)).at[pos].set(
+            slot_of = jnp.full(out_cap, jnp.int64(-1)).at[pos].set(
                 jax.lax.iota(jnp.int64, domain), mode="drop")
-            live_out = jax.lax.iota(jnp.int64, domain) < ng
             ok = live_out & (slot_of >= 0)
             rem = jnp.where(ok, slot_of, 0)
             vals = []
@@ -2280,6 +2393,16 @@ class _Interp:
             vals.reverse()
             for (key, _e), v in zip(key_outs, vals):
                 env2[key] = v
+        if fetch_keys:
+            # FD-dropped keys: gather from each group's representative
+            # row (BATgroup extents; the value is well-defined per group
+            # because the key is functionally determined)
+            ext_rank = compact(red.first_index(), jnp.int64(-1))
+            for key, e in fetch_keys:
+                arr = self.ev(e, env, live)
+                if arr.ndim == 0:
+                    arr = jnp.broadcast_to(arr, (cap,))
+                env2[key] = _gather_nil(arr, ext_rank, live_out)
         for key, spec in aggs:
             slot = self._agg_slots(spec, env, live, safe, domain, cap,
                                    comb_axis, red=red)
@@ -2289,7 +2412,7 @@ class _Interp:
                 env2[_hikey(key)] = compact(hi, jnp.int64(0))
             else:
                 env2[key] = compact(slot, _nil_const(slot.dtype))
-        return env2, ng, None, domain
+        return env2, ng, None, out_cap
 
     def r_groupby_dense_spmd(self, ir):
         return self.r_groupby_dense(ir, spmd=True)
@@ -2318,7 +2441,7 @@ class _Interp:
         """General grouping: device lexsort + boundary scan (replaces the
         reference's hash strategies; gdk/gdk_group.c:1347 BATgroup)."""
         from ..ops.sort import sort_key
-        _, cir, key_outs, sort_keys, aggs = ir
+        _, cir, key_outs, sort_keys, aggs, out_cap, ordinal = ir
         env, count, mask, cap = self.rel(cir)
         live = self.live_of(cap, count, mask)
         karrs = []
@@ -2365,7 +2488,16 @@ class _Interp:
                 env2[key], env2[_hikey(key)] = slot
             else:
                 env2[key] = slot
-        return env2, ng, None, cap
+        # outputs are rank-compacted in [0, ng): slice to the group
+        # bucket; ng overflow goes to the count-then-retry channel.
+        # Under SPMD the LOCAL cap (shard slice / repartition lanes) may
+        # differ from the lowering-time cap - bound by what exists.
+        eff = min(out_cap, cap)
+        if eff < cap:
+            self.exp_totals[ordinal] = ng if self.axis is None else \
+                jax.lax.pmax(ng, self.axis)
+            env2 = {k: v[:eff] for k, v in env2.items()}
+        return env2, ng, None, eff
 
     def _dcode(self, code_ir, env, live, cap):
         """Column -> code in [0, D) (ops/group.py _codes incl. nil slot)."""
@@ -2564,8 +2696,8 @@ class _Interp:
         hi = env[ir[2]]
         isnil = lo == _nil_const(np.dtype(np.int64))
         fits = (hi >= -(1 << 31)) & (hi < (1 << 31))
-        self.flag(jnp.any(jnp.broadcast_to(live, lo.shape)
-                          & ~isnil & ~fits), 4)
+        self.flag_rows(jnp.broadcast_to(live, lo.shape)
+                       & ~isnil & ~fits, 4)
         v = hi * (1 << 32) + lo
         return jnp.where(isnil, _nil_const(np.dtype(np.int64)), v)
 
@@ -2602,12 +2734,12 @@ class _Interp:
             res = ai + bi
             if check:
                 ovf = ((ai ^ res) & (bi ^ res)) < 0
-                self.flag(jnp.max(jnp.where(valid & ovf, 1, 0)) > 0, 1)
+                self.flag_rows(valid & ovf, 1)
         elif op == "sub":
             res = ai - bi
             if check:
                 ovf = ((ai ^ bi) & (ai ^ res)) < 0
-                self.flag(jnp.max(jnp.where(valid & ovf, 1, 0)) > 0, 1)
+                self.flag_rows(valid & ovf, 1)
         elif op == "mul":
             res = ai * bi
             if check:
@@ -2619,18 +2751,18 @@ class _Interp:
                     q = jax.lax.div(res, jnp.where(bz, dt.type(1), bi))
                     ovf = (~bz) & (q != ai)
                     ovf = ovf | ((ai == jnp.iinfo(jnp.int64).min) & (bi == -1))
-                self.flag(jnp.max(jnp.where(valid & ovf, 1, 0)) > 0, 1)
+                self.flag_rows(valid & ovf, 1)
         elif op == "div":
             bz = bi == 0
             res = jax.lax.div(ai, jnp.where(bz, dt.type(1), bi))
-            self.flag(jnp.max(jnp.where(valid & bz, 1, 0)) > 0, 2)
+            self.flag_rows(valid & bz, 2)
             if check:
                 ovf = (ai == np.iinfo(dt).min) & (bi == -1)
-                self.flag(jnp.max(jnp.where(valid & ovf, 1, 0)) > 0, 1)
+                self.flag_rows(valid & ovf, 1)
         elif op == "mod":
             bz = bi == 0
             res = jax.lax.rem(ai, jnp.where(bz, dt.type(1), bi))
-            self.flag(jnp.max(jnp.where(valid & bz, 1, 0)) > 0, 2)
+            self.flag_rows(valid & bz, 2)
         else:
             raise Unsupported(op)
         return jnp.where(valid, res, _nil_const(dt))
@@ -2661,9 +2793,8 @@ class _Interp:
         if bnil:
             nil_in = nil_in | jnp.broadcast_to(jnp.isnan(b), live.shape)
         bz = b == 0
-        self.flag(jnp.max(jnp.where(live & ~nil_in &
-                                    jnp.broadcast_to(bz, live.shape),
-                                    1, 0)) > 0, 2)
+        self.flag_rows(live & ~nil_in &
+                       jnp.broadcast_to(bz, live.shape), 2)
         res = a / jnp.where(bz, 1.0, b)
         return jnp.where(jnp.broadcast_to(bz, res.shape) if res.ndim
                          else bz, jnp.nan, res)
@@ -2705,7 +2836,7 @@ class _Interp:
                 hi = float(np.iinfo(dt).max)
                 bad = valid & jnp.broadcast_to((r < lo) | (r > hi),
                                                live.shape)
-                self.flag(jnp.max(jnp.where(bad, 1, 0)) > 0, 3)
+                self.flag_rows(bad, 3)
             res = r.astype(dt)
         else:
             x = a.astype(jnp.int64) if (a.dtype.kind == "i" and
@@ -2726,7 +2857,7 @@ class _Interp:
                     hi = np.iinfo(dt).max
                     bad = valid & jnp.broadcast_to((x < lo) | (x > hi),
                                                    live.shape)
-                    self.flag(jnp.max(jnp.where(bad, 1, 0)) > 0, 3)
+                    self.flag_rows(bad, 3)
                 res = x.astype(dt)
         nilv = _nil_const(dt)
         return jnp.where(jnp.broadcast_to(nilm, res.shape) if res.ndim
@@ -2755,10 +2886,33 @@ class _Interp:
     def e_case(self, ir, env, live):
         _, whens, default, out_dt = ir
         dt = np.dtype(out_dt)
-        res = self.ev(default, env, live).astype(dt)
-        for p_ir, v_ir in reversed(whens):
-            p = self.pv(p_ir, env, live)
-            v = self.ev(v_ir, env, live).astype(dt)
+        # branch-selection masks: errors (div-zero/overflow) inside a
+        # branch only fire for rows that actually take it (the
+        # reference's per-row lazy CASE, SF-2893484)
+        preds = []
+        taken = jnp.zeros(live.shape, jnp.bool_)
+        sels = []
+        for p_ir, _v in whens:
+            p = jnp.broadcast_to(self.pv(p_ir, env, live), live.shape)
+            preds.append(p)
+            sels.append(p & ~taken)
+            taken = taken | p
+        outer = self._vmask
+
+        def under(sel, f):
+            self._vmask = sel if outer is None else (outer & sel)
+            try:
+                return f()
+            finally:
+                self._vmask = outer
+        res = under(~taken,
+                    lambda: self.ev(default, env, live)).astype(dt)
+        for (p_ir, v_ir), p, sel in zip(reversed(whens),
+                                        reversed(preds),
+                                        reversed(sels)):
+            v = under(sel,
+                      lambda v_ir=v_ir: self.ev(v_ir, env, live)
+                      ).astype(dt)
             res = jnp.where(p, v, res)
         return res
 
@@ -2766,8 +2920,16 @@ class _Interp:
         _, a_ir, b_ir, out_dt = ir
         dt = np.dtype(out_dt)
         a = self.ev(a_ir, env, live).astype(dt)
-        b = self.ev(b_ir, env, live).astype(dt)
-        return jnp.where(_nilm_arr(a), b, a)
+        isnil = _nilm_arr(a)
+        # COALESCE fallback is lazy per row (see e_case error masking)
+        outer = self._vmask
+        sel = jnp.broadcast_to(isnil, live.shape)
+        self._vmask = sel if outer is None else (outer & sel)
+        try:
+            b = self.ev(b_ir, env, live).astype(dt)
+        finally:
+            self._vmask = outer
+        return jnp.where(isnil, b, a)
 
     def e_nullif(self, ir, env, live):
         _, p_ir, a_ir, dt = ir
@@ -3032,17 +3194,20 @@ def _ir_cap(ir, nsh: int, counts=None) -> int:
         # sharded scans hold a row-range slice; live rows are a prefix of
         # the capacity, so one shard holds at most min(cap/nsh, count)
         return c if k == "scan" else max(min(ir[3] // nsh, c), 1)
-    if k in ("rename", "filter", "project", "orderby", "distinct",
-             "groupby_sort"):
+    if k in ("rename", "filter", "project", "orderby", "distinct"):
         return _ir_cap(ir[1], nsh, counts)
+    if k == "compact":
+        return ir[2]
     if k == "gather":
         return _ir_cap(ir[1], nsh, counts) * nsh
     if k == "repartition":
         return ir[3] * nsh
     if k == "limit":
         return ir[4]
+    if k == "groupby_sort":
+        return ir[5]
     if k in ("groupby_dense", "groupby_dense_spmd"):
-        return ir[4]
+        return ir[7]
     if k == "join":
         return _ir_cap(ir[2], nsh, counts)
     if k == "join_expand":
@@ -3060,12 +3225,16 @@ def _ir_rows(ir, counts=None) -> int:
             c = min(c, max(counts[ir[2]], 1))
         return c
     if k in ("rename", "filter", "project", "orderby", "distinct",
-             "groupby_sort", "gather", "repartition"):
+             "gather", "repartition"):
         return _ir_rows(ir[1], counts)
+    if k == "compact":
+        return min(_ir_rows(ir[1], counts), ir[2])
     if k == "limit":
         return ir[4]
+    if k == "groupby_sort":
+        return ir[5]
     if k in ("groupby_dense", "groupby_dense_spmd"):
-        return ir[4]
+        return ir[7]
     if k == "join":
         return _ir_rows(ir[2], counts)
     if k == "join_expand":
@@ -3132,6 +3301,10 @@ class _SpmdRewriter:
         if k in ("filter", "project"):
             c, d = self.rw(ir[1])
             return (k, c) + ir[2:], d
+        if k == "compact":
+            # shard-local compaction: each shard packs its own live rows
+            c, d = self.rw(ir[1])
+            return (k, c) + ir[2:], d
         if k in ("orderby", "limit"):
             # global-order barriers: gather the shards first
             c, d = self.rw(ir[1])
@@ -3166,11 +3339,12 @@ class _SpmdRewriter:
         if k == "groupby_dense":
             c, d = self.rw(ir[1])
             if d == "shard":
-                if any(spec[0].endswith("_distinct")
-                       for _key, spec in ir[5]):
-                    # distinct aggregates need per-group global value
-                    # sets: repartition by group key when big enough,
-                    # else gather
+                if ir[6] or any(spec[0].endswith("_distinct")
+                                for _key, spec in ir[5]):
+                    # FD-fetched keys need a shard-local representative
+                    # row per whole group, and distinct aggregates need
+                    # per-group global value sets: repartition by group
+                    # key when big enough, else gather
                     if ir[3] and _ir_cap(c, self.nsh,
                                          self.scan_rows) >= self.min_rows:
                         keys = tuple(ci[1] for ci, _d, _dt in ir[3])

@@ -414,10 +414,17 @@ def windowed_agg(func: str, col: Optional[Column], part_bound: Column,
             out = jnp.where(live & ~empty, vals, jnp.nan)
             return Column(F64 if col.typ.np_dtype.kind == "f" else col.typ,
                           out, count, nonil=False)
-        out = jnp.where(live & ~empty, vals, nil64)
+        if col.typ.np_dtype.kind == "b":
+            # bool columns cannot hold nil (tri-state gap, PARITY.md)
+            out = jnp.where(live & ~empty, vals, nil64)
+            return Column(col.typ, out.astype(np.bool_), count,
+                          nonil=True)
+        # nil in the OUTPUT type's domain: casting the int64 sentinel to
+        # a narrower type would truncate to 0, not the narrow nil
+        nil_t = jnp.int64(np.iinfo(col.typ.np_dtype).min)
+        out = jnp.where(live & ~empty, vals, nil_t)
         res = out.astype(col.typ.np_dtype) if col.typ.np_dtype != out.dtype \
             else out
-        # narrow nil: int64 min truncates to the narrow type's min (= nil)
         return Column(col.typ, res, count, nonil=False, sdict=col.sdict)
     raise ValueError(func)
 

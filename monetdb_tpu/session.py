@@ -441,6 +441,29 @@ class Session:
         if isinstance(stmt, A.DropSchema):
             self.db.drop_schema(stmt.name, stmt.if_exists, stmt.cascade)
             return None
+        if isinstance(stmt, A.AlterRenameSchema):
+            if getattr(stmt, "if_exists", False) and \
+                    stmt.schema.lower() not in self.db.schemas:
+                return None
+            self.db.rename_schema(stmt.schema, stmt.new_name)
+            if self.current_schema == stmt.schema.lower():
+                self.current_schema = stmt.new_name.lower()
+            return None
+        if isinstance(stmt, A.AlterSetSchema):
+            # ALTER TABLE t SET SCHEMA s2 (sql_cat.c sql_set_table_schema)
+            t = stmt.table.lower()
+            s2 = stmt.new_schema.lower()
+            if s2 not in self.db.schemas:
+                raise ValueError(f"3F000!ALTER TABLE: no such schema "
+                                 f"'{s2}'")
+            self._td(t)                    # raises for unknown table
+            if self.db._sql_mentions(t):
+                raise ValueError(
+                    f"2BM37!ALTER TABLE: unable to set schema of table "
+                    f"'{t}', there are database objects which depend "
+                    f"on it")
+            self.db.set_table_schema(t, s2)
+            return None
         if isinstance(stmt, A.DropTable):
             n = stmt.name.lower()
             if n in self.db.merges or n in self.db.remotes \

@@ -363,6 +363,19 @@ class AlterRenameTable:
 
 
 @dataclasses.dataclass
+class AlterRenameSchema:
+    schema: str
+    new_name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class AlterSetSchema:
+    table: str
+    new_schema: str
+
+
+@dataclasses.dataclass
 class AlterRenameColumn:
     table: str
     column: str

@@ -418,6 +418,15 @@ class Binder:
                 pre, bare = lname.split(".", 1)
                 if pre in (getattr(self.catalog, "schemas", None) or
                            {"sys": 1}):
+                    ts = getattr(self.catalog, "table_schemas", None) or {}
+                    actual = ts.get(bare)
+                    if actual is not None and actual != pre:
+                        # the table lives in another schema (SET SCHEMA
+                        # / schema rename moved it): qualified access
+                        # through the old schema must fail (sql_cat.c)
+                        raise BindError(
+                            f"42S02!SELECT: no such table "
+                            f"'{pre}'.'{bare}'")
                     if src.alias == src.name:
                         src.alias = bare
                     lname = src.name = bare

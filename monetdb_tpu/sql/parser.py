@@ -428,8 +428,11 @@ class Parser:
         stmt.ctes = ctes
         while self.at_kw("union", "except", "intersect"):
             op = self.next().value
-            if op == "union" and self.eat_kw("all"):
-                op = "union_all"
+            if self.eat_kw("all"):
+                # UNION/EXCEPT/INTERSECT ALL: multiset semantics
+                op = op + "_all"
+            else:
+                self.eat_kw("distinct")     # explicit DISTINCT = default
             corr = None
             if self._eat_ident("corresponding"):
                 # CORRESPONDING [BY (cols)]: operate on the shared
@@ -577,46 +580,57 @@ class Parser:
 
     def parse_table_ref(self):
         left = self.parse_table_primary()
-        while True:
-            kind = None
-            natural = bool(self.eat_kw("natural"))
-            if self.eat_kw("cross"):
-                self.expect_kw("join")
-                kind = "cross"
-            elif self.at_kw("join"):
-                self.next()
-                kind = "inner"
-            elif self.at_kw("inner"):
-                self.next()
-                self.expect_kw("join")
-                kind = "inner"
-            elif self.at_kw("left", "right", "full"):
-                kind = self.next().value
-                self.eat_kw("outer")
-                self.expect_kw("join")
-            elif natural:
-                raise SQLSyntaxError("expected JOIN after NATURAL")
-            else:
-                break
-            right = self.parse_table_primary()
-            on = None
-            using = None
-            if kind != "cross" and not natural:
-                if self.eat_kw("using"):
-                    # JOIN ... USING (c1, c2) (sql_parser.y joined_table)
-                    self.expect_punct("(")
-                    using = [self.next().value.lower()]
-                    while self.eat_punct(","):
-                        using.append(self.next().value.lower())
-                    self.expect_punct(")")
-                else:
-                    self.expect_kw("on")
-                    on = self.parse_expr()
-            j = JoinSource(left, right, kind, on)
-            j.natural = natural
-            j.using = using
-            left = j
+        while self._at_join_start():
+            left = self._join_step(left)
         return left
+
+    def _at_join_start(self) -> bool:
+        return self.at_kw("natural", "cross", "join", "inner", "left",
+                          "right", "full")
+
+    def _join_step(self, left):
+        """One join production (sql_parser.y joined_table).  The right
+        operand may itself be an unparenthesized joined table whose ON
+        binds innermost-first: A LEFT JOIN B INNER JOIN C ON e1 ON e2
+        == A LEFT JOIN (B INNER JOIN C ON e1) ON e2."""
+        natural = bool(self.eat_kw("natural"))
+        if self.eat_kw("cross"):
+            self.expect_kw("join")
+            kind = "cross"
+        elif self.at_kw("join"):
+            self.next()
+            kind = "inner"
+        elif self.at_kw("inner"):
+            self.next()
+            self.expect_kw("join")
+            kind = "inner"
+        elif self.at_kw("left", "right", "full"):
+            kind = self.next().value
+            self.eat_kw("outer")
+            self.expect_kw("join")
+        else:
+            raise SQLSyntaxError("expected JOIN after NATURAL")
+        right = self.parse_table_primary()
+        on = None
+        using = None
+        if kind != "cross" and not natural:
+            if self.eat_kw("using"):
+                # JOIN ... USING (c1, c2) (sql_parser.y joined_table)
+                self.expect_punct("(")
+                using = [self.next().value.lower()]
+                while self.eat_punct(","):
+                    using.append(self.next().value.lower())
+                self.expect_punct(")")
+            else:
+                # right-nested joins consume their ONs before ours
+                while self._at_join_start():
+                    right = self._join_step(right)
+                self.expect_kw("on")
+                on = self.parse_expr()
+        j = JoinSource(left, right, kind, on)
+        j.natural = natural
+        j.using = using
+        return j
 
     def _paren_wraps_select(self) -> bool:
         """After eating '(', detect '((...(SELECT|WITH' — a derived table
@@ -1789,6 +1803,21 @@ class Parser:
                 else:
                     break
             return AlterSequence(name, restart, inc)
+        if self._at_ident("schema") or self.at_kw("schema"):
+            # ALTER SCHEMA [IF EXISTS] s RENAME TO s2 (sql_parser.y)
+            self.next()
+            from .ast import AlterRenameSchema
+            if_exists = False
+            if self.eat_kw("if") or self._eat_ident("if"):
+                self.eat_kw("exists") or self._eat_ident("exists")
+                if_exists = True
+            old = self.next().value
+            if not self._eat_ident("rename"):
+                self.expect_kw("rename")
+            self.expect_kw("to")
+            st = AlterRenameSchema(old, self.next().value)
+            st.if_exists = if_exists
+            return st
         self.expect_kw("table")
         self.eat_kw("if") and (self.eat_kw("exists")
                                or self._eat_ident("exists"))
@@ -1812,8 +1841,11 @@ class Parser:
             self._eat_ident("column")
             return AlterDropColumn(parent, self.next().value)
         if self.eat_kw("set") or self._eat_ident("set"):
-            # SET {READ ONLY | READ WRITE | INSERT ONLY} (sql_parser.y
-            # alter_statement; sql_cat.c sql_alter_table access modes)
+            # SET SCHEMA s2 | {READ ONLY | READ WRITE | INSERT ONLY}
+            # (sql_parser.y alter_statement; sql_cat.c sql_alter_table)
+            if self._eat_ident("schema") or self.eat_kw("schema"):
+                from .ast import AlterSetSchema
+                return AlterSetSchema(parent, self.next().value)
             from .ast import AlterSetAccess
             if self._eat_ident("insert"):
                 self._eat_ident("only")

@@ -106,17 +106,38 @@ CURRENT_QUERY = _CurrentQuery()
 # relation builders
 # ======================================================================
 def _tables_rows(cat: Catalog):
-    rows = [(n, 0, t.count) for n, t in cat.tables.items()
-            if not n.startswith("sys.")]
-    rows += [(n, 1, None) for n in cat.views]
-    rows += [(n, 3, None) for n in cat.merges]
-    rows += [(n, 5, None) for n in cat.remotes]
-    rows += [(n, 6, None) for n in cat.replicas]
-    return sorted(rows)
+    """sys.tables with the reference's column set (sql_catalog.h /
+    25_debug.sql: id, name, schema_id, query, type, system,
+    commit_action, access, temporary) plus a trailing count column."""
+    ts = getattr(cat, "table_schemas", {}) or {}
+
+    def sid(n):
+        return _oid(cat, "schema", ts.get(n, "sys"))
+
+    rows = [(_oid(cat, "table", n), n, sid(n), None, 0, False, 0, 0, 0,
+             t.count)
+            for n, t in cat.tables.items() if not n.startswith("sys.")]
+    rows += [(_oid(cat, "table", n), n, sid(n),
+              (cat.views or {}).get(n), 1, False, 0, 0, 0, None)
+             for n in cat.views]
+    rows += [(_oid(cat, "table", n), n, sid(n), None, 3, False, 0, 0, 0,
+              None) for n in cat.merges]
+    rows += [(_oid(cat, "table", n), n, sid(n), None, 5, False, 0, 0, 0,
+              None) for n in cat.remotes]
+    rows += [(_oid(cat, "table", n), n, sid(n), None, 6, False, 0, 0, 0,
+              None) for n in cat.replicas]
+    return sorted(rows, key=lambda r: r[1])
 
 
 def _columns_rows(cat: Catalog):
+    """sys.columns: reference column set (id, name, type, table_id,
+    number, "null") with a leading table-name convenience column."""
     rows = []
+
+    def add(tname, cname, typ, i):
+        rows.append((_oid(cat, "column", f"{tname}.{cname}"), tname,
+                     cname, str(typ), _oid(cat, "table", tname), i,
+                     True))
     for tname in sorted(cat.tables):
         if tname.startswith("sys."):
             continue
@@ -124,11 +145,11 @@ def _columns_rows(cat: Catalog):
         for i, cname in enumerate(t.names()):
             if cname == "__rowid__":
                 continue
-            rows.append((tname, cname, str(t.col(cname).typ), i))
+            add(tname, cname, t.col(cname).typ, i)
     for dd in (cat.merges, cat.remotes, cat.replicas):
         for dname in sorted(dd):
             for i, (cname, typ) in enumerate(dd[dname].schema):
-                rows.append((dname, cname, str(typ), i))
+                add(dname, cname, typ, i)
     return rows
 
 
@@ -234,7 +255,10 @@ _TABLE_TYPES = [(0, "TABLE"), (1, "VIEW"), (3, "MERGE TABLE"),
 
 _RELATIONS = {
     "sys.tables": (
-        [("name", _VC), ("type", I32), ("count", I64)], _tables_rows),
+        [("id", I32), ("name", _VC), ("schema_id", I32), ("query", _VC),
+         ("type", I32), ("system", BOOL), ("commit_action", I32),
+         ("access", I32), ("temporary", I32), ("count", I64)],
+        _tables_rows),
     "sys.schemas": (
         [("id", I32), ("name", _VC), ("authorization", I32),
          ("system", BOOL)], _schemas_rows),
@@ -257,7 +281,8 @@ _RELATIONS = {
         _sequences_rows),
     "sys.functions": ([("name", _VC), ("language", _VC)], _functions_rows),
     "sys.columns": (
-        [("table", _VC), ("name", _VC), ("type", _VC), ("number", I32)],
+        [("id", I32), ("table", _VC), ("name", _VC), ("type", _VC),
+         ("table_id", I32), ("number", I32), ("null", BOOL)],
         _columns_rows),
     "sys.storage": (
         [("table", _VC), ("column", _VC), ("type", _VC), ("count", I64),

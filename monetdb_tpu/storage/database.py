@@ -463,6 +463,13 @@ class Database:
                     self.comments.pop(meta["key"], None)
                 else:
                     self.comments[meta["key"]] = meta["text"]
+            elif meta["op"] == "rename_schema":
+                s = self.schemas.pop(meta["old"], None)
+                if s is not None:
+                    self.schemas[meta["new"]] = s
+                for t, sc in list(self.table_schemas.items()):
+                    if sc == meta["old"]:
+                        self.table_schemas[t] = meta["new"]
             elif meta["op"] == "put_schema":
                 self.schemas[meta["name"]] = dict(meta["def"])
             elif meta["op"] == "drop_schema":
@@ -1119,6 +1126,10 @@ class Database:
             raise ValueError(f"unknown table {table}")
         if new in self.tables or new in self.views:
             raise ValueError(f"name {new} exists")
+        if self._sql_mentions(table):
+            raise ValueError(
+                f"2BM37!ALTER TABLE: unable to rename table '{table}', "
+                f"there are database objects which depend on it")
         self._rename_table_apply(table, new)
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "rename_table", "table": table,
@@ -1204,6 +1215,55 @@ class Database:
         self.comments.pop(f"schema:{name}", None)
         self.schema_epoch += 1
         self._log(REC_DDL, {"op": "drop_schema", "name": name})
+
+    def _sql_mentions(self, token: str, skip=()) -> bool:
+        """Does any view / SQL function / procedure body reference
+        ``token`` (word match)?  The dependency probe behind the
+        reference's 2BM37 rename refusals (sql_cat.c sql_rename_*
+        via the dependency tables)."""
+        import re
+        pat = re.compile(r'(?<![\w])"?' + re.escape(token) + r'"?(?![\w])',
+                         re.IGNORECASE)
+        for name, sql in self.views.items():
+            if name not in skip and pat.search(sql or ""):
+                return True
+        for reg in (self.sqlfuncs, self.procedures):
+            for name, d in reg.items():
+                body = d.get("body", d.get("sql", "")) \
+                    if isinstance(d, dict) else str(d)
+                if pat.search(body or ""):
+                    return True
+        return False
+
+    def rename_schema(self, old: str, new: str) -> None:
+        """ALTER SCHEMA old RENAME TO new (sql_cat.c sql_rename_schema):
+        tables keep their names, their schema mapping follows."""
+        old, new = old.lower(), new.lower()
+        s = self.schemas.get(old)
+        if s is None:
+            raise ValueError(f"3F000!ALTER SCHEMA: no such schema "
+                             f"'{old}'")
+        members = {t for t, sc in self.table_schemas.items() if sc == old}
+        deps = any(self._sql_mentions(t, skip=members) for t in members) \
+            or self._sql_mentions(old)
+        if deps:
+            raise ValueError(
+                f"2BM37!ALTER SCHEMA: unable to rename schema '{old}', "
+                f"there are database objects which depend on it")
+        if s.get("system"):
+            raise ValueError(f"3F000!ALTER SCHEMA: cannot rename a "
+                             f"system schema '{old}'")
+        if new in self.schemas:
+            raise ValueError(f"3F000!ALTER SCHEMA: schema '{new}' "
+                             f"already exists")
+        del self.schemas[old]
+        self.schemas[new] = s
+        for t, sc in list(self.table_schemas.items()):
+            if sc == old:
+                self.table_schemas[t] = new
+        self.schema_epoch += 1
+        self._log(REC_DDL, {"op": "rename_schema", "old": old,
+                            "new": new})
 
     def create_index(self, name: str, table: str, cols, unique=False,
                      replace: bool = False) -> None:
