@@ -676,6 +676,12 @@ class Lowering:
             if domain > _DENSE_DOMAIN_MAX:
                 dense_ok = False
                 break
+        # histogram slots cost O(domain) per aggregate; once the input
+        # is compacted near live-row scale, a sparse domain much larger
+        # than the rows is worse than one code sort (gdk_group.c makes
+        # the same rows-vs-domain pick between histogram and hash)
+        if dense_ok and domain > max(65536, 8 * cap):
+            dense_ok = False
 
         aggs = []
         penv2: Dict[Tuple[str, str], PT] = {}
