@@ -47,6 +47,10 @@ class _CachedPlan:
     fragment: object       # exec.fragment.CompiledFragment, or None
     unsupported: Optional[str]   # lowering-time fallback reason
     frag_enabled: bool = True    # fragment_exec config at bind time
+    #: table -> schema mapping at bind time: schema-qualified name
+    #: resolution (ALTER ... SET SCHEMA / schema renames) must
+    #: invalidate cached plans
+    tschemas: Optional[dict] = None
 
 
 def _plan_valid(e: "_CachedPlan", cat: Catalog) -> bool:
@@ -57,6 +61,9 @@ def _plan_valid(e: "_CachedPlan", cat: Catalog) -> bool:
         return False
     if len(e.udfs) != len(cat.udfs) or \
             any(cat.udfs.get(k) is not v for k, v in e.udfs.items()):
+        return False
+    if e.tschemas is not None and \
+            e.tschemas != (getattr(cat, "table_schemas", None) or {}):
         return False
     return all(cat.tables.get(k) is v for k, v in e.tables.items())
 
@@ -268,7 +275,10 @@ class Engine:
                             dict(self.catalog.views),
                             dict(self.catalog.udfs),
                             rel, out_cols, fragment, unsupported,
-                            frag_enabled=bool(_cfg.get("fragment_exec")))
+                            frag_enabled=bool(_cfg.get("fragment_exec")),
+                            tschemas=dict(getattr(self.catalog,
+                                                  "table_schemas", None)
+                                          or {}))
         with _PLAN_LOCK:
             lst = _PLAN_CACHE.setdefault(sql, [])
             lst[:] = [e for e in lst if _plan_valid(e, self.catalog)]

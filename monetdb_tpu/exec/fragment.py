@@ -3088,6 +3088,9 @@ class _Interp:
         lut = self.inputs[lut_i]
         codes = self.ev(a_ir, env, live)
         ok = codes >= 0
+        if lut.shape[0] == 0:
+            # empty dictionary (all-nil / empty column): nothing matches
+            return jnp.zeros(codes.shape, jnp.bool_)
         return lut[jnp.where(ok, codes, 0)] & ok
 
     def p_inints(self, ir, env, live):

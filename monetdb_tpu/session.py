@@ -462,7 +462,12 @@ class Session:
                     f"2BM37!ALTER TABLE: unable to set schema of table "
                     f"'{t}', there are database objects which depend "
                     f"on it")
-            self.db.set_table_schema(t, s2)
+            if self.txn is not None:
+                # staged: visible in this txn, applied at commit,
+                # discarded on rollback
+                self.txn.schema_moves[t] = s2
+            else:
+                self.db.set_table_schema(t, s2)
             return None
         if isinstance(stmt, A.DropTable):
             n = stmt.name.lower()
@@ -472,7 +477,11 @@ class Session:
             else:
                 self._store().drop_table(stmt.name,
                                          getattr(stmt, "if_exists", False))
-            self.db.table_schemas.pop(n, None)
+            if self.txn is None:
+                # txn drops keep the mapping: ROLLBACK restores the
+                # table, and a committed drop's residue is overwritten
+                # by any later CREATE (set_table_schema)
+                self.db.table_schemas.pop(n, None)
             return None
         if isinstance(stmt, A.CreateView):
             # validate the view body binds against the current catalog
@@ -553,6 +562,19 @@ class Session:
                 t, self.txn = self.txn, None
                 t.rollback()
             return None
+        if isinstance(stmt, (A.AddUniqueKey, A.AddForeignKey,
+                             A.AlterSetAccess, A.AlterSetSchema,
+                             A.AlterAddColumn, A.AlterDropColumn,
+                             A.AlterRenameColumn, A.AlterRenameTable)) \
+                and getattr(stmt, "if_exists", False):
+            # ALTER TABLE IF EXISTS on an absent table: no-op
+            t = getattr(stmt, "table", None) or getattr(stmt, "parent",
+                                                        None)
+            if t is not None:
+                try:
+                    self._td(t)
+                except KeyError:
+                    return None
         if isinstance(stmt, A.AddUniqueKey):
             self.db.add_unique_key(stmt.table, stmt.cols, stmt.pk)
             return None

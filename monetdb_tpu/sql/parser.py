@@ -1819,19 +1819,26 @@ class Parser:
             st.if_exists = if_exists
             return st
         self.expect_kw("table")
-        self.eat_kw("if") and (self.eat_kw("exists")
-                               or self._eat_ident("exists"))
+        alt_if_exists = bool(
+            (self.eat_kw("if") or self._eat_ident("if")) and
+            (self.eat_kw("exists") or self._eat_ident("exists")))
         parent = self._qname()
+
+        def _t(st):
+            # IF EXISTS: the session no-ops when the table is absent
+            if alt_if_exists:
+                st.if_exists = True
+            return st
         if self._eat_ident("rename"):
             if self.eat_kw("to"):
-                return AlterRenameTable(parent, self.next().value)
+                return _t(AlterRenameTable(parent, self.next().value))
             self._eat_ident("column")
             col = self.next().value
             self.expect_kw("to")
-            return AlterRenameColumn(parent, col, self.next().value)
+            return _t(AlterRenameColumn(parent, col, self.next().value))
         if self.eat_kw("drop"):
             if self.eat_kw("table"):
-                return AlterDropTable(parent, self._qname())
+                return _t(AlterDropTable(parent, self._qname()))
             if self.eat_kw("constraint"):
                 self.next()                     # constraints unenforced
                 self._eat_ident("cascade")
@@ -1839,22 +1846,22 @@ class Parser:
                 from .ast import NoOp
                 return NoOp("drop constraint")
             self._eat_ident("column")
-            return AlterDropColumn(parent, self.next().value)
+            return _t(AlterDropColumn(parent, self.next().value))
         if self.eat_kw("set") or self._eat_ident("set"):
             # SET SCHEMA s2 | {READ ONLY | READ WRITE | INSERT ONLY}
             # (sql_parser.y alter_statement; sql_cat.c sql_alter_table)
             if self._eat_ident("schema") or self.eat_kw("schema"):
                 from .ast import AlterSetSchema
-                return AlterSetSchema(parent, self.next().value)
+                return _t(AlterSetSchema(parent, self.next().value))
             from .ast import AlterSetAccess
             if self._eat_ident("insert"):
                 self._eat_ident("only")
-                return AlterSetAccess(parent, "insert_only")
+                return _t(AlterSetAccess(parent, "insert_only"))
             self._eat_ident("read")
             if self._eat_ident("only"):
-                return AlterSetAccess(parent, "read_only")
+                return _t(AlterSetAccess(parent, "read_only"))
             self._eat_ident("write")
-            return AlterSetAccess(parent, "read_write")
+            return _t(AlterSetAccess(parent, "read_write"))
         if self._eat_ident("alter"):
             # ALTER TABLE t ALTER [COLUMN] c SET ... / SET DEFAULT / NULL
             self._eat_ident("column")
@@ -1892,7 +1899,7 @@ class Parser:
                 self.expect_punct(")")
             act = self._eat_fk_actions()
             from .ast import AddForeignKey
-            return AddForeignKey(parent, fcols, rtab, rcols, act)
+            return _t(AddForeignKey(parent, fcols, rtab, rcols, act))
         if self.at_kw("primary") or self._at_ident("unique") or \
                 self.eat_kw("unique"):
             is_pk = False
@@ -1912,7 +1919,7 @@ class Parser:
                 self.eat_punct(",")
             self.expect_punct(")")
             from .ast import AddUniqueKey
-            return AddUniqueKey(parent, cols, is_pk)
+            return _t(AddUniqueKey(parent, cols, is_pk))
         if self.at_kw("check") or self._at_ident("check"):
             # post-hoc CHECK: parsed, not enforced
             while self.peek().kind != "eof":
@@ -1933,7 +1940,7 @@ class Parser:
             else:
                 ctype = self.parse_type()
                 flags = self._parse_column_flags()
-            return AlterAddColumn(parent, cname, ctype, flags)
+            return _t(AlterAddColumn(parent, cname, ctype, flags))
         member = self.next().value
         rng = vals = None
         nulls = False
@@ -1955,7 +1962,7 @@ class Parser:
                 self.expect_kw("null")
                 self.expect_kw("values")
                 nulls = True
-        return AlterAddTable(parent, member, rng, vals, nulls)
+        return _t(AlterAddTable(parent, member, rng, vals, nulls))
 
     def parse_insert(self):
         self.expect_kw("insert")

@@ -1299,6 +1299,7 @@ class Database:
 
     def set_table_schema(self, table: str, schema: str) -> None:
         self.table_schemas[table.lower()] = schema.lower()
+        self.schema_epoch += 1      # qualified-name resolution changed
         self._log(REC_DDL, {"op": "put_tschema",
                             "table": table.lower(),
                             "schema": schema.lower()})
@@ -1943,6 +1944,11 @@ class Database:
         cat.sqlfuncs = self.sqlfuncs
         cat.schemas = self.schemas
         cat.table_schemas = self.table_schemas
+        if txn is not None and getattr(txn, "schema_moves", None):
+            # txn-local ALTER TABLE SET SCHEMA visibility (applied to
+            # the store only at commit)
+            cat.table_schemas = {**self.table_schemas,
+                                 **txn.schema_moves}
         cat.users = self.users
         cat.roles = self.roles
         cat.oid = self.oid
@@ -1990,6 +1996,9 @@ class Transaction:
         # (ADVICE r4: immediate registration leaked phantom constraints
         # past ROLLBACK and into WAL replay)
         self.fks_add: Dict[str, list] = {}
+        # ALTER TABLE SET SCHEMA moves staged in this txn (table ->
+        # new schema); visible through catalog(), applied at commit
+        self.schema_moves: Dict[str, str] = {}
         # buffered WAL records, flushed as one commit group (log_tstart/
         # log_tend grouping, gdk/gdk_logger.c:3464)
         self.recs: List[Tuple[int, dict, Dict[str, np.ndarray]]] = []
@@ -2004,18 +2013,20 @@ class Transaction:
         self._savepoints[name.lower()] = (
             {n: td.copy() for n, td in self.writes.items()},
             set(self.created), set(self.dropped), list(self.recs),
-            {n: list(v) for n, v in self.fks_add.items()})
+            {n: list(v) for n, v in self.fks_add.items()},
+            dict(self.schema_moves))
 
     def rollback_to(self, name: str) -> None:
         st = self._savepoints.get(name.lower())
         if st is None:
             raise ValueError(f"3B001!no such savepoint {name!r}")
-        writes, created, dropped, recs, fks_add = st
+        writes, created, dropped, recs, fks_add, moves = st
         self.writes = {n: td.copy() for n, td in writes.items()}
         self.created = set(created)
         self.dropped = set(dropped)
         self.recs = list(recs)
         self.fks_add = {n: list(v) for n, v in fks_add.items()}
+        self.schema_moves = dict(moves)
         self._device.clear()
         # savepoints set after this one vanish (SQL standard)
         names = list(self._savepoints)
@@ -2284,6 +2295,9 @@ class Transaction:
             for name, entries in self.fks_add.items():
                 if name in db.tables:
                     db.fks.setdefault(name, []).extend(entries)
+            for t, sc in self.schema_moves.items():
+                if t in db.tables or t in db.views:
+                    db.set_table_schema(t, sc)
             if ddl:
                 db.schema_epoch += 1
             self._finish_locked()
