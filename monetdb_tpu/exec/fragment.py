@@ -3751,6 +3751,28 @@ class CompiledFragment:
                     arrs = jax.device_get(
                         _finish_mask(live, arrays, out_cap=out_cap))
                 rpcs += 1
+            result = FragmentResult(n, [np.asarray(a) for a in arrs],
+                                    self.pts, self.wide)
+            # capacity SHRINK: expanding joins / group buckets start at
+            # a conservative default (e.g. 2x the larger side - 16M for
+            # lineitem-sized operands); once the true total is measured,
+            # re-lower to its bucket so every later run's ecap-sized
+            # ops (cummax, gathers, residuals) pay for actual matches,
+            # not the guess.  An overflow on a later run grows it back
+            # via the normal retry.
+            shrink = {}
+            for o, t in tots_v.items():
+                if o < 0:
+                    continue
+                used = self.expand_used.get(o, 0)
+                tight = capacity_for(max(int(t), 1))
+                if used > 2 * tight:
+                    shrink[o] = tight
+            if shrink:
+                self._lower({**self.expand, **shrink})
+                self.expand = {**self.expand, **shrink,
+                               **self.expand_used}
+                self._memoize()
             if events is not None:
                 compiled = (_run_single._cache_size() +
                             _run_raw._cache_size()) - compiles0
@@ -3760,8 +3782,7 @@ class CompiledFragment:
                     "compile": "miss" if compiled else "hit",
                     "expanding_joins": len(self.expand_used),
                     "usec": int((_time.perf_counter() - t0) * 1e6)})
-            return FragmentResult(n, [np.asarray(a) for a in arrs],
-                                  self.pts, self.wide)
+            return result
         raise Unsupported("expanding-join retry limit exceeded")
 
 
