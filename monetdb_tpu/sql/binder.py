@@ -907,8 +907,53 @@ class Binder:
             ref = ColRef("#out", nm)
             ref.typ = i.typ
             eq.append((o, ref))
+        self._push_corr_semi(rel, srel, sub.correlations)
         j = L.Join(rel, srel, "inner", on=eq)
         return L.Filter(j, self._mk_cmp(op, outer_b, val_ref))
+
+    def _push_corr_semi(self, rel: L.Rel, srel: L.Rel,
+                        correlations) -> None:
+        """Magic-set reduction (rel_unnest.c + the reference's
+        pushselect role): when a decorrelated scalar subquery's
+        correlation keys come from a FILTERED outer scan, semi-join the
+        subquery's aggregation input against a clone of that filtered
+        scan, so the inner aggregate runs over the keys the outer can
+        actually ask about (TPC-H Q17: avg-per-part over ~200 selected
+        parts instead of all 200k)."""
+        import copy as _copy
+        outs = [o for o, _cop, _i in correlations]
+        tabs = {c.table for e in outs for c in walk(e)
+                if isinstance(c, ColRef)}
+        if len(tabs) != 1:
+            return
+        alias = tabs.pop()
+
+        def find(r):
+            """The Filter(...Filter(Scan alias)) chain, or the Scan."""
+            if isinstance(r, L.Scan):
+                return r if r.alias == alias else None
+            if isinstance(r, L.Filter):
+                got = find(r.child)
+                if got is not None and got is r.child:
+                    return r            # contiguous filter chain
+                return got
+            for c in r.children():
+                got = find(c)
+                if got is not None:
+                    return got
+            return None
+
+        src = find(rel)
+        if src is None or not isinstance(src, L.Filter):
+            return                      # unfiltered: nothing to gain
+        clone = _copy.deepcopy(src)
+        gb = srel
+        while not isinstance(gb, L.GroupBy) and gb.children():
+            gb = gb.children()[0]
+        if not isinstance(gb, L.GroupBy):
+            return
+        on = [(i, o) for o, _cop, i in correlations]
+        gb.child = L.Join(gb.child, clone, "semi", on=on)
 
     def _bind_scalar_apply(self, sub, srel, scols):
         """Correlated scalar subquery in VALUE position (projection /
