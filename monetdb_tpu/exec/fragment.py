@@ -37,6 +37,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import functools
+import os
 from decimal import Decimal as PyDecimal
 from typing import Dict, List, Optional, Tuple
 
@@ -1623,18 +1624,16 @@ def _sort_rows(arr, descending: bool = False,
     contract (ops/sort.py sort_key): nil smallest by default, explicit
     nils_last pins nils to the far end, descending = complement rows."""
     from ..ops.sort import sort_key
-    if arr.dtype == jnp.int32 and nils_last is None:
-        rows = [arr]                       # nil = INT32_MIN, smallest
-    elif arr.dtype.kind == "i" and arr.dtype.itemsize < 4 and \
-            nils_last is None:
-        rows = [arr.astype(jnp.int32)]
-    elif arr.dtype == jnp.bool_:
-        rows = [arr.astype(jnp.int32)]
-    else:
-        rows = _key_rows_i64(sort_key(arr, False, nils_last))
-    if descending:
-        rows = [~r for r in rows]
-    return rows
+    if nils_last is None and (arr.dtype == jnp.bool_ or
+                              (arr.dtype.kind == "i" and
+                               arr.dtype.itemsize <= 4)):
+        rows = [arr.astype(jnp.int32)]     # nil = INT32_MIN, smallest
+        if descending:
+            rows = [~r for r in rows]
+        return rows
+    # sort_key applies direction BEFORE the explicit nils_last pin
+    # (NULLS LAST must hold for DESC too) - no post-complement here
+    return _key_rows_i64(sort_key(arr, descending, nils_last))
 
 
 def _rows_of(arr) -> list:
@@ -3453,6 +3452,60 @@ class FragmentResult:
 #: same thing from hash stats, gdk/gdk_join.c joincost). Guarded by _LOCK.
 _JOIN_MEMO: Dict[tuple, Dict[int, int]] = {}
 
+#: disk-persisted expand/bucket memo: measured expanding-join totals,
+#: group-output buckets and compaction capacities survive process
+#: restarts (else every fresh process re-lowers with defaults, and the
+#: post-measurement shrink forces one cold XLA compile per query per
+#: process - the persistent compile cache only helps if the IR is
+#: byte-identical).  Keyed by a digest of the naive plan IR; scan
+#: capacities are part of that IR, so different datasets never collide.
+_MEMO_PATH = os.environ.get("MTPU_EXPAND_MEMO",
+                            "/tmp/mtpu_expand_memo.json")
+if _MEMO_PATH in ("0", "off", ""):
+    _MEMO_PATH = None
+_DISK_MEMO: Optional[dict] = None
+
+
+def _memo_digest(plan_key) -> str:
+    import hashlib
+    return hashlib.sha256(repr(plan_key).encode()).hexdigest()
+
+
+def _memo_disk_get(plan_key) -> Optional[Dict[int, Optional[int]]]:
+    global _DISK_MEMO
+    import json
+    if _MEMO_PATH is None:
+        return None
+    if _DISK_MEMO is None:
+        try:
+            with open(_MEMO_PATH) as f:
+                _DISK_MEMO = json.load(f)
+        except Exception:
+            _DISK_MEMO = {}
+    d = _DISK_MEMO.get(_memo_digest(plan_key))
+    if d is None:
+        return None
+    return {int(o): v for o, v in d.items()}
+
+
+def _memo_disk_put(plan_key, expand: Dict[int, Optional[int]]) -> None:
+    global _DISK_MEMO
+    import json
+    import os as _os
+    if _MEMO_PATH is None:
+        return
+    if _DISK_MEMO is None:
+        _memo_disk_get(plan_key)
+    _DISK_MEMO[_memo_digest(plan_key)] = {str(o): v
+                                          for o, v in expand.items()}
+    try:
+        tmp = _MEMO_PATH + f".{_os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_DISK_MEMO, f)
+        _os.replace(tmp, _MEMO_PATH)
+    except Exception:
+        pass
+
 import threading as _threading
 
 _LOCK = _threading.Lock()
@@ -3489,6 +3542,8 @@ class CompiledFragment:
         self.plan_key = self.rel_ir       # naive IR identifies the plan
         with _LOCK:
             memo = dict(_JOIN_MEMO.get(self.plan_key, ()))
+        if not memo:
+            memo = _memo_disk_get(self.plan_key) or {}
         if memo:
             self._lower(memo)
         self.lower_ms = (_time.perf_counter() - t0) * 1e3
@@ -3529,6 +3584,7 @@ class CompiledFragment:
     def _memoize(self) -> None:
         with _LOCK:
             _JOIN_MEMO[self.plan_key] = dict(self.expand)
+        _memo_disk_put(self.plan_key, dict(self.expand))
 
     def _pick_shard_inputs(self, nsh: int,
                            require_min: bool = False) -> Optional[frozenset]:

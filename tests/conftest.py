@@ -12,6 +12,10 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate tests from the machine-wide expand-capacity memo (retry-count
+# assertions must see the cold path) and the XLA AOT cache
+os.environ.setdefault("MTPU_EXPAND_MEMO", "0")
+os.environ.setdefault("MTPU_COMPILE_CACHE", "0")
 
 import jax  # noqa: E402
 
