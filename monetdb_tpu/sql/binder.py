@@ -812,6 +812,12 @@ class Binder:
         return c
 
     def _bind_in_subquery(self, rel, p: Subquery, negated: bool) -> L.Rel:
+        if getattr(p.select, "limit", None) is not None or \
+                getattr(p.select, "offset", 0):
+            # the reference rejects LIMIT/OFFSET inside IN subqueries
+            # (rel_select.c; pinned by limit_in_subquery.SF-2620437)
+            raise BindError(
+                "42000!SELECT: LIMIT not supported in IN subquery")
         outer = self.bind_expr(p.outer)
         sub = self._sub(outer_scope=self.scope)
         srel, scols = sub._bind_query(p.select, collect_corr=True)
